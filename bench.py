@@ -1,0 +1,165 @@
+"""Benchmark: encode throughput at two parallelism levels + headline queries.
+
+Protocol (per BASELINE.md): deterministic synthetic tokens table sized to
+the SF dir, full encode pipeline at local[N] and local[4N] (the sandbox
+stand-in for N vs 4N executors), tokens/sec at both, scaling efficiency
+T(4N)/(4*T(N)), bytes/token vs Spark's own Parquet(zstd) writer on identical
+data, plus per-query timings of the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "encode_tokens_per_sec", "value": N, "unit": "tokens/sec",
+   "queries": {...}, "sf": ..., "scaling": {...}, "compression": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from embulk_input_parquet_hadoop_spark.session import get_spark  # noqa: E402
+from embulk_input_parquet_hadoop_spark.sources import datagen  # noqa: E402
+from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+SEED = 42
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_tokens(sf: float) -> str:
+    """Deterministic synthetic tokens table, cached per sf."""
+    path = f"{WORK}/tokens_sf{sf}"
+    marker = f"{path}/_COMPLETE"
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        datagen.generate(path, n_docs=datagen.sf_to_docs(sf), seed=SEED,
+                         n_files=32)
+        open(marker, "w").write("ok")
+    return path
+
+
+def run_encode(cores: int, tokens_path: str, tag: str) -> dict:
+    spark = get_spark(f"bench-encode-{tag}", cores=cores,
+                      arrow_batch_rows=16384)
+    try:
+        out = f"{WORK}/encoded_{tag}"
+        shutil.rmtree(out, ignore_errors=True)
+        # warm the JVM + file cache with a tiny slice
+        spark.read.parquet(tokens_path).limit(1000).count()
+        t0 = time.perf_counter()
+        totals = pipeline.encode_path(spark, tokens_path, out, waves=1)
+        wall = time.perf_counter() - t0
+        return {"cores": cores, "wall_s": wall,
+                "n_tokens": totals["n_tokens"],
+                "n_rows": totals["n_rows"],
+                "raw_bytes": totals["raw_bytes"],
+                "enc_bytes": totals["enc_bytes"],
+                "tokens_per_sec": totals["n_tokens"] / wall,
+                "out_dir": out}
+    finally:
+        spark.stop()
+
+
+def parquet_reference_size(tokens_path: str) -> int:
+    """Spark's own Parquet(zstd) rewrite of the same data — the size bar."""
+    spark = get_spark("bench-parquet-ref", cores=CPUS)
+    try:
+        ref = f"{WORK}/parquet_ref"
+        shutil.rmtree(ref, ignore_errors=True)
+        (spark.read.parquet(tokens_path).write
+         .option("compression", "zstd").parquet(ref))
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(ref) for f in fs
+                   if f.endswith(".parquet"))
+    finally:
+        spark.stop()
+
+
+def dir_size(path: str) -> int:
+    return sum(os.path.getsize(os.path.join(dp, f))
+               for dp, _, fs in os.walk(path) for f in fs
+               if f.endswith(".parquet"))
+
+
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    import __spark_entry__ as entrymod
+    spark = get_spark("bench-queries", cores=CPUS)
+    timings, counts = {}, {}
+    try:
+        qs = entrymod.queries()
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            counts[name] = n
+    finally:
+        spark.stop()
+    return timings, counts
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    os.makedirs(WORK, exist_ok=True)
+    tokens_path = ensure_tokens(sf)
+
+    low_cores = max(2, CPUS // 4)
+    low = run_encode(low_cores, tokens_path, f"c{low_cores}")
+    high = run_encode(CPUS, tokens_path, f"c{CPUS}")
+    eff = high["tokens_per_sec"] / (4 * low["tokens_per_sec"])
+
+    ref_bytes = parquet_reference_size(tokens_path)
+    enc_disk = dir_size(f"{high['out_dir']}/chunks")
+
+    # decode-verify the high run (correctness gate inside the bench)
+    spark = get_spark("bench-verify", cores=CPUS)
+    try:
+        vres = verify.verify_path(spark, tokens_path, high["out_dir"])
+    finally:
+        spark.stop()
+
+    timings, _counts = run_queries(SF_DIR)
+
+    result = {
+        "metric": "encode_tokens_per_sec",
+        "value": round(high["tokens_per_sec"], 1),
+        "unit": "tokens/sec",
+        "sf": sf,
+        "queries": timings,
+        "scaling": {
+            "cores_low": low["cores"],
+            "cores_high": high["cores"],
+            "tokens_per_sec_low": round(low["tokens_per_sec"], 1),
+            "tokens_per_sec_high": round(high["tokens_per_sec"], 1),
+            "efficiency_low_to_high": round(eff, 3),
+        },
+        "compression": {
+            "n_tokens": high["n_tokens"],
+            "raw_bytes": high["raw_bytes"],
+            "enc_bytes_logical": high["enc_bytes"],
+            "enc_bytes_on_disk": enc_disk,
+            "parquet_zstd_ref_bytes": ref_bytes,
+            "bytes_per_token_ours": round(enc_disk / high["n_tokens"], 4),
+            "bytes_per_token_parquet_zstd":
+                round(ref_bytes / high["n_tokens"], 4),
+            "vs_parquet_zstd": round(enc_disk / ref_bytes, 4),
+        },
+        "verify_ok": vres["ok"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

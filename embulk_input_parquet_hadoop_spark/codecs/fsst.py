@@ -1,0 +1,101 @@
+"""FSST-style static symbol-table codec for byte payloads.
+
+Inspired by "FSST: Fast Random Access String Compression" (Boncz, Neumann,
+Leis — VLDB 2020; see PAPERS.md). The real FSST uses 255 codes + an escape
+byte. This implementation uses a correctness-first variant suited to pure
+Python/numpy execution inside Arrow batches:
+
+- Train: sample the payload, count frequent substrings of length 2..8,
+  greedily pick symbols by compression gain ``(len(sym) - 1) * freq``.
+- Code space: byte values that do NOT occur anywhere in the payload. Symbols
+  consist only of alphabet bytes, codes only of non-alphabet bytes, so
+  sequential ``bytes.replace`` (longest symbol first) is collision-free and
+  runs at C speed; decode replaces each code byte back in any order.
+- If the alphabet covers all 256 byte values (rare for text), encoding is a
+  no-op (identity) and the caller's codec selector will prefer another codec.
+
+This mirrors — inverted to the write side — the reference's one real decode
+optimization: expand the page dictionary once, then O(1) lookups
+(``ParquetStringConverter.java:44-57``).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+MAX_SYMBOL_LEN = 8
+MAX_SYMBOLS = 255
+_TRAIN_SAMPLE = 1 << 16  # train on at most 64 KiB
+
+
+def train(payload: bytes, max_symbols: int | None = None) -> list[bytes]:
+    """Build a symbol table (list of byte strings) from ``payload``."""
+    if not payload:
+        return []
+    sample = payload[:_TRAIN_SAMPLE]
+    used = np.unique(np.frombuffer(payload, dtype=np.uint8))
+    free_codes = 256 - len(used)
+    budget = min(max_symbols or MAX_SYMBOLS, free_codes)
+    if budget <= 0:
+        return []
+
+    counts: Counter[bytes] = Counter()
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    for length in (2, 3, 4, 6, 8):
+        if len(arr) < length:
+            break
+        windows = np.lib.stride_tricks.sliding_window_view(arr, length)
+        # stride to keep training cost bounded; still sees every region
+        step = max(1, length // 2)
+        view = windows[::step]
+        uniq, cnt = np.unique(view, axis=0, return_counts=True)
+        order = np.argsort(cnt)[::-1][:512]
+        for row, c in zip(uniq[order], cnt[order]):
+            counts[row.tobytes()] += int(c) * step
+
+    # greedy by gain; skip symbols that are substrings of an already-chosen
+    # longer symbol only if they add no gain — cheap heuristic: just take top
+    scored = sorted(counts.items(), key=lambda kv: (len(kv[0]) - 1) * kv[1],
+                    reverse=True)
+    symbols: list[bytes] = []
+    for sym, freq in scored:
+        if (len(sym) - 1) * freq < 4:  # not worth a code
+            break
+        symbols.append(sym)
+        if len(symbols) >= budget:
+            break
+    # longest-first so replace() greedily matches bigger symbols
+    symbols.sort(key=len, reverse=True)
+    return symbols
+
+
+def _free_codes(payload: bytes, k: int) -> list[int]:
+    used = set(np.unique(np.frombuffer(payload, dtype=np.uint8)).tolist()) if payload else set()
+    free = [b for b in range(256) if b not in used]
+    return free[:k]
+
+
+def encode(payload: bytes) -> tuple[bytes, dict]:
+    """Encode; params carry the symbol table (hex strings) + code bytes."""
+    symbols = train(payload)
+    codes = _free_codes(payload, len(symbols))
+    symbols = symbols[: len(codes)]
+    out = payload
+    for sym, code in zip(symbols, codes):
+        out = out.replace(sym, bytes([code]))
+    params = {
+        "syms": [s.hex() for s in symbols],
+        "codes": codes,
+    }
+    return out, params
+
+
+def decode(payload: bytes, params: dict, n: int | None = None) -> bytes:
+    out = payload
+    # codes are disjoint from symbol alphabets, so order doesn't matter;
+    # reverse order keeps it symmetric anyway
+    for sym_hex, code in zip(params["syms"], params["codes"]):
+        out = out.replace(bytes([code]), bytes.fromhex(sym_hex))
+    return out

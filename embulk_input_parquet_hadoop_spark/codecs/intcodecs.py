@@ -1,0 +1,175 @@
+"""Integer codec kernels: plain, frame-of-reference, delta, RLE, dictionary.
+
+Each codec has ``encode(arr) -> (payload, params)`` and
+``decode(payload, params, n) -> np.ndarray(int64)``. All are pure numpy
+(Arrow-batch friendly, no per-value Python), matching the codec vocabulary
+the reference decodes from Parquet column chunks (PLAIN, PLAIN_DICTIONARY,
+RLE, BIT_PACKED — see the ``ENC:`` lines in
+``parquet-msgpack/src/test/resources/test-data/*/*.meta`` and the
+dictionary-expansion decode path in
+``parquet-msgpack/src/main/java/jp/co/cyberagent/parquet/msgpack/read/
+converter/ParquetStringConverter.java:44-57``).
+
+Values are treated as signed 64-bit; the caller (column encoder) records the
+original dtype and casts back after decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bitpack
+
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
+def _as_i64(arr: np.ndarray) -> np.ndarray:
+    return arr.astype(np.int64, copy=False)
+
+
+def _range_ok(vmin: int, vmax: int) -> bool:
+    """True when (vmax - vmin) fits an unsigned 63-bit shift-safe range."""
+    return (int(vmax) - int(vmin)) < _I64_MAX
+
+
+# --- plain (stores the array's native dtype, not widened int64) -------------
+
+def plain_encode(arr: np.ndarray) -> tuple[bytes, dict]:
+    return arr.tobytes(), {"dt": arr.dtype.str}
+
+
+def plain_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    raw = np.frombuffer(payload, dtype=np.dtype(params["dt"]))[:n]
+    return raw.astype(np.int64)
+
+
+# --- frame-of-reference (FOR): subtract min, bit-pack the deltas ------------
+
+def for_encode(arr: np.ndarray) -> tuple[bytes, dict]:
+    a = _as_i64(arr)
+    if len(a) == 0:
+        return b"", {"min": 0, "w": 0}
+    vmin = int(a.min())
+    vmax = int(a.max())
+    if not _range_ok(vmin, vmax):
+        raise OverflowError("FOR range exceeds 63 bits")
+    deltas = (a - vmin).astype(np.uint64)
+    w = bitpack.bit_width(vmax - vmin)
+    return bitpack.pack(deltas, w), {"min": vmin, "w": w}
+
+
+def for_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    deltas = bitpack.unpack(payload, params["w"], n)
+    return (deltas.astype(np.int64) + np.int64(params["min"]))
+
+
+# --- delta: zigzag(diff) bit-packed; ideal for sorted ids / offsets ----------
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return ((v << np.int64(1)) ^ (v >> np.int64(63))).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
+
+
+def delta_encode(arr: np.ndarray) -> tuple[bytes, dict]:
+    a = _as_i64(arr)
+    if len(a) == 0:
+        return b"", {"first": 0, "w": 0}
+    first = int(a[0])
+    diffs = np.diff(a)
+    if len(diffs) == 0:
+        return b"", {"first": first, "w": 0}
+    zz = _zigzag(diffs)
+    w = bitpack.bit_width(int(zz.max()))
+    return bitpack.pack(zz, w), {"first": first, "w": w}
+
+
+def delta_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    diffs = _unzigzag(bitpack.unpack(payload, params["w"], n - 1))
+    out = np.empty(n, dtype=np.int64)
+    out[0] = params["first"]
+    np.cumsum(diffs, out=out[1:])
+    out[1:] += params["first"]
+    return out
+
+
+# --- RLE: (value FOR-packed, run-length bit-packed) pairs --------------------
+
+def rle_encode(arr: np.ndarray) -> tuple[bytes, dict]:
+    a = _as_i64(arr)
+    n = len(a)
+    if n == 0:
+        return b"", {"runs": 0, "vmin": 0, "vw": 0, "rw": 0}
+    boundaries = np.flatnonzero(a[1:] != a[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    values = a[starts]
+    vmin = int(values.min())
+    vmax = int(values.max())
+    if not _range_ok(vmin, vmax):
+        raise OverflowError("RLE value range exceeds 63 bits")
+    vw = bitpack.bit_width(vmax - vmin)
+    rw = bitpack.bit_width(int(lengths.max()))
+    vpay = bitpack.pack((values - vmin).astype(np.uint64), vw)
+    rpay = bitpack.pack(lengths.astype(np.uint64), rw)
+    params = {"runs": len(values), "vmin": vmin, "vw": vw, "rw": rw,
+              "vlen": len(vpay)}
+    return vpay + rpay, params
+
+
+def rle_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    runs = params["runs"]
+    if runs == 0:
+        return np.zeros(0, dtype=np.int64)
+    vlen = params["vlen"]
+    values = bitpack.unpack(payload[:vlen], params["vw"], runs).astype(np.int64)
+    values += np.int64(params["vmin"])
+    lengths = bitpack.unpack(payload[vlen:], params["rw"], runs)
+    return np.repeat(values, lengths.astype(np.int64))[:n]
+
+
+# --- dictionary: unique values FOR-packed + inverse indices bit-packed --------
+
+def dict_encode(arr: np.ndarray) -> tuple[bytes, dict]:
+    a = _as_i64(arr)
+    if len(a) == 0:
+        return b"", {"card": 0, "iw": 0, "dmin": 0, "dw": 0, "dlen": 0}
+    uniq, inv = np.unique(a, return_inverse=True)
+    card = len(uniq)
+    dmin = int(uniq[0])
+    dmax = int(uniq[-1])
+    if not _range_ok(dmin, dmax):
+        raise OverflowError("dict value range exceeds 63 bits")
+    dw = bitpack.bit_width(dmax - dmin)
+    dpay = bitpack.pack((uniq - dmin).astype(np.uint64), dw)
+    iw = bitpack.bit_width(card - 1)
+    ipay = bitpack.pack(inv.astype(np.uint64), iw)
+    params = {"card": card, "iw": iw, "dmin": dmin, "dw": dw, "dlen": len(dpay)}
+    return dpay + ipay, params
+
+
+def dict_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    card = params["card"]
+    if card == 0:
+        return np.zeros(0, dtype=np.int64)
+    dlen = params["dlen"]
+    uniq = bitpack.unpack(payload[:dlen], params["dw"], card).astype(np.int64)
+    uniq += np.int64(params["dmin"])
+    inv = bitpack.unpack(payload[dlen:], params["iw"], n).astype(np.int64)
+    return uniq[inv]
+
+
+# --- registry ----------------------------------------------------------------
+
+INT_CODECS = {
+    "plain": (plain_encode, plain_decode),
+    "for": (for_encode, for_decode),
+    "delta": (delta_encode, delta_decode),
+    "rle": (rle_encode, rle_decode),
+    "dict": (dict_encode, dict_decode),
+}

@@ -1,0 +1,143 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard —
+all pure DataFrame API (shuffles on hash keys, broadcast-free, no UDFs), so
+each scales as an ordinary aggregation/join at 1000-executor size. Hash
+values are md5-derived so the DuckDB oracle can reproduce them exactly
+(see functions/hashes.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import md5_long, words
+
+
+def exact_dup_stats(df: DataFrame, id_col: str, text_col: str,
+                    group_col: str) -> DataFrame:
+    """Per-group doc counts vs distinct-fingerprint counts (exact dedup)."""
+    return (df.select(group_col, F.md5(F.col(text_col)).alias("fp"))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fp").alias("n_unique")))
+
+
+def doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word) pairs, distinct per doc — the set representation."""
+    return (df.select(id_col, F.explode(words(F.col(text_col)))
+                      .alias("word")).distinct())
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = 4) -> DataFrame:
+    """MinHash over the word set: h_i(doc) = min(md5(i || ':' || word)).
+
+    Lexicographic min over md5 hex strings of a salted word is a valid
+    min-wise hash family (md5 is uniform on hex strings). One shuffle:
+    groupBy(id).
+    """
+    pairs = doc_words(df, id_col, text_col)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("word"))))
+            .alias(f"h{i}") for i in range(n_hashes)]
+    return pairs.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_groups(sigs: DataFrame, id_col: str, rows_per_band: int = 2,
+                    min_docs: int = 2) -> DataFrame:
+    """Band the signature columns; emit buckets holding >= min_docs docs.
+
+    Candidate near-duplicate pairs are pairs within a bucket — the classic
+    shingle -> minhash -> band -> bucket-join pipeline, here as groupBy on
+    the band key (one shuffle per band, unioned).
+    """
+    hash_cols = [c for c in sigs.columns if c != id_col]
+    bands = [hash_cols[i:i + rows_per_band]
+             for i in range(0, len(hash_cols), rows_per_band)]
+    parts = []
+    for band_idx, cols in enumerate(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
+        parts.append(
+            sigs.select(F.lit(band_idx).alias("band"), key.alias("bucket"),
+                        F.col(id_col)))
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionAll(p)
+    return (allb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("min_id"),
+                 F.max(id_col).alias("max_id"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 3) -> DataFrame:
+    """(id, shingle) pairs of k-word shingles, distinct per doc."""
+    ws = words(F.col(text_col))
+    # guard: Spark sequence(1, 0) DESCENDS; short docs need an empty array
+    idx = F.when(F.size(ws) >= k,
+                 F.sequence(F.lit(1), F.size(ws) - (k - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int"))
+                   for j in range(k)]))
+    return (df.select(id_col, F.explode(shingles).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, threshold: float = 0.2) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle inverted index.
+
+    join on shingle -> per-pair intersection counts -> union by
+    inclusion-exclusion. Counts are exact integers; jaccard is a single
+    division, rounded at the caller. At scale, feed this the LSH candidate
+    pairs instead of the full inverted index.
+    """
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter") /
+                                (F.col("sz_a") + F.col("sz_b")
+                                 - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 16) -> DataFrame:
+    """SimHash over the word multiset: 16-bit md5-derived fingerprint.
+
+    explode(words) x bit positions -> signed bit votes -> reassemble.
+    Two shuffles (both keyed aggregations); oracle-reproducible.
+    """
+    w = df.select(id_col, F.explode(words(F.col(text_col))).alias("word"))
+    h = w.withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long"))
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # bit extraction via exact double arithmetic (h < 2^16 << 2^53), so the
+    # DuckDB oracle can reproduce it verbatim: floor(h / 2^bit) % 2
+    bit_of = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit")))
+              % 2).cast("long")
+    votes = (h.select(id_col, "h", bitpos)
+             .withColumn("vote", bit_of * 2 - 1)
+             .groupBy(id_col, "bit")
+             .agg(F.sum("vote").alias("s")))
+    return (votes
+            .withColumn("bitval",
+                        F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+            .groupBy(id_col)
+            .agg(F.sum((F.col("bitval")
+                        * F.pow(F.lit(2.0), F.col("bit"))).cast("long"))
+                 .alias("simhash")))

@@ -1,0 +1,240 @@
+"""Column encoders/decoders: pyarrow arrays <-> framed codec blobs.
+
+One *column chunk* = one column of one Arrow batch, mirroring the
+reference's row-group/column-chunk decode unit
+(``ParquetRowReader.java:105-118`` pulls one row group at a time and decodes
+it column chunk by column chunk). Encoders are zero-copy from Arrow buffers
+into numpy and fully vectorized; the only Python-level iteration is over
+frames (a handful per chunk), never over values.
+
+Column kinds:
+  int        frames: [validity?] [values]
+  list_i32   frames: [offsets] [values]       (tokens: array<int32> not null)
+  str_direct frames: [validity?] [offsets] [bytes]
+  str_dict   frames: [validity?] [indices] [offsets] [bytes]   (dict strings)
+
+Any frame payload may additionally be zlib-wrapped (params["z"] = 1) when
+that wins by >4% — a general-purpose outer stage on top of the lightweight
+codec, analogous to Parquet's SNAPPY/GZIP block compression on top of
+PLAIN/RLE/DICT pages (the reference reads such files:
+``compat/TestParquetCompatibility.java:52-57``).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import framing, fsst
+from ..codecs.intcodecs import INT_CODECS
+from .select import encode_best
+
+_ZLIB_GAIN = 0.96
+_ZLIB_LEVEL = 1
+
+
+def _maybe_zlib(payload: bytes, params: dict) -> tuple[bytes, dict]:
+    if len(payload) > 256:
+        z = zlib.compress(payload, _ZLIB_LEVEL)
+        if len(z) < _ZLIB_GAIN * len(payload):
+            params = dict(params)
+            params["z"] = 1
+            return z, params
+    return payload, params
+
+
+def _unzlib(frame: framing.Frame) -> bytes:
+    if frame.params.get("z"):
+        return zlib.decompress(frame.payload)
+    return frame.payload
+
+
+def _int_frame(a: np.ndarray, dtype_name: str) -> bytes:
+    codec, payload, params = encode_best(a)
+    payload, params = _maybe_zlib(payload, params)
+    return framing.write_frame(codec, dtype_name, len(a), params, payload)
+
+
+def _decode_int_frame(frame: framing.Frame) -> np.ndarray:
+    payload = _unzlib(frame)
+    _, dec = INT_CODECS[frame.codec]
+    vals = dec(payload, frame.params, frame.n)
+    np_dtype = {"int8": np.int8, "int16": np.int16, "int32": np.int32,
+                "int64": np.int64}[frame.dtype]
+    return vals.astype(np_dtype)
+
+
+def _bytes_frame(data: bytes) -> bytes:
+    payload, params = fsst.encode(data)
+    codec = "fsst"
+    if len(payload) >= len(data) and not params["syms"]:
+        codec, payload, params = "bytes_plain", data, {}
+    payload, params = _maybe_zlib(payload, params)
+    return framing.write_frame(codec, "bytes", len(data), params, payload)
+
+
+def _decode_bytes_frame(frame: framing.Frame) -> bytes:
+    payload = _unzlib(frame)
+    if frame.codec == "fsst":
+        return fsst.decode(payload, frame.params)
+    return payload
+
+
+def _validity_frame(mask_valid: np.ndarray) -> bytes:
+    packed = np.packbits(mask_valid.astype(np.uint8), bitorder="little")
+    payload, params = _maybe_zlib(packed.tobytes(), {})
+    return framing.write_frame("plain", "uint1", len(mask_valid), params,
+                               payload)
+
+
+def _decode_validity(frame: framing.Frame) -> np.ndarray:
+    payload = _unzlib(frame)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8),
+                         bitorder="little")
+    return bits[: frame.n].astype(bool)
+
+
+# --- public: per-column encode/decode ----------------------------------------
+
+_INT_DTYPES = {pa.int8(): "int8", pa.int16(): "int16",
+               pa.int32(): "int32", pa.int64(): "int64"}
+
+
+def encode_int_column(arr: pa.Array) -> tuple[str, bytes]:
+    dtype_name = _INT_DTYPES[arr.type]
+    blob = b""
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        blob += _validity_frame(valid)
+        arr = arr.fill_null(0)
+    a = arr.to_numpy(zero_copy_only=False)
+    blob += _int_frame(a, dtype_name)
+    return "int", blob
+
+
+def decode_int_column(blob: bytes) -> pa.Array:
+    frames = framing.read_frames(blob)
+    valid = None
+    if frames[0].dtype == "uint1":
+        valid = _decode_validity(frames[0])
+        frames = frames[1:]
+    vals = _decode_int_frame(frames[0])
+    if valid is None:
+        return pa.array(vals)
+    return pa.array(np.ma.masked_array(vals, mask=~valid))
+
+
+def encode_list_i32_column(arr: pa.Array) -> tuple[str, bytes]:
+    if arr.null_count:
+        raise ValueError("list_i32 encoder requires non-null lists "
+                         "(input_hint: tokens array<int32> not null)")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    vals = vals[offs[0]: offs[-1]]
+    offs = offs - offs[0]
+    blob = _int_frame(offs, "int64") + _int_frame(
+        np.ascontiguousarray(vals, dtype=np.int32), "int32")
+    return "list_i32", blob
+
+
+def decode_list_i32_column(blob: bytes) -> pa.Array:
+    off_frame, val_frame = framing.read_frames(blob)
+    offs = _decode_int_frame(off_frame).astype(np.int32)
+    vals = _decode_int_frame(val_frame)
+    return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                    pa.array(vals, type=pa.int32()))
+
+
+def encode_string_column(arr: pa.Array) -> tuple[str, bytes]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    blob = b""
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        blob += _validity_frame(valid)
+        arr = arr.fill_null("")
+    darr = arr.dictionary_encode()
+    card = len(darr.dictionary)
+    n = len(arr)
+    if card < 0.6 * n:
+        indices = darr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sub_offs, sub_bytes = _string_buffers(darr.dictionary)
+        blob += _int_frame(indices, "int64")
+        blob += _int_frame(sub_offs, "int64")
+        blob += _bytes_frame(sub_bytes)
+        return "str_dict", blob
+    offs, data = _string_buffers(arr)
+    blob += _int_frame(offs, "int64") + _bytes_frame(data)
+    return "str_direct", blob
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    arr = arr.cast(pa.large_string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = data_buf.to_pybytes()[offs[0]: offs[-1]] if data_buf else b""
+    return offs - offs[0], data
+
+
+def decode_string_column(kind: str, blob: bytes) -> pa.Array:
+    frames = framing.read_frames(blob)
+    valid = None
+    if frames[0].dtype == "uint1":
+        valid = _decode_validity(frames[0])
+        frames = frames[1:]
+    if kind == "str_dict":
+        idx_f, off_f, bytes_f = frames
+        indices = _decode_int_frame(idx_f)
+        offs = _decode_int_frame(off_f)
+        data = _decode_bytes_frame(bytes_f)
+        dictionary = pa.Array.from_buffers(
+            pa.large_string(), len(offs) - 1,
+            [None, pa.py_buffer(offs.astype(np.int64).tobytes()),
+             pa.py_buffer(data)])
+        out = dictionary.take(pa.array(indices)).cast(pa.string())
+    else:
+        off_f, bytes_f = frames
+        offs = _decode_int_frame(off_f)
+        data = _decode_bytes_frame(bytes_f)
+        out = pa.Array.from_buffers(
+            pa.large_string(), len(offs) - 1,
+            [None, pa.py_buffer(offs.astype(np.int64).tobytes()),
+             pa.py_buffer(data)]).cast(pa.string())
+    if valid is not None:
+        out = pa.compute.if_else(pa.array(valid), out,
+                                 pa.nulls(len(out), type=out.type))
+    return out
+
+
+ENCODERS = {
+    "int": encode_int_column,
+    "list_i32": encode_list_i32_column,
+    "str": encode_string_column,
+}
+
+
+def encode_column(arr: pa.Array) -> tuple[str, bytes]:
+    """Dispatch on Arrow type; returns (kind, blob)."""
+    t = arr.type
+    if t in _INT_DTYPES:
+        return encode_int_column(arr)
+    if pa.types.is_list(t) and t.value_type == pa.int32():
+        return encode_list_i32_column(arr)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return encode_string_column(arr)
+    raise NotImplementedError(f"no encoder for Arrow type {t}")
+
+
+def decode_column(kind: str, blob: bytes) -> pa.Array:
+    if kind == "int":
+        return decode_int_column(blob)
+    if kind == "list_i32":
+        return decode_list_i32_column(blob)
+    if kind in ("str_direct", "str_dict"):
+        return decode_string_column(kind, blob)
+    raise NotImplementedError(f"no decoder for kind {kind}")
