@@ -54,24 +54,24 @@ def for_encode(arr: np.ndarray) -> tuple[bytes, dict]:
     vmax = int(a.max())
     if not _range_ok(vmin, vmax):
         raise OverflowError("FOR range exceeds 63 bits")
-    deltas = (a - vmin).astype(np.uint64)
+    deltas = (a - vmin).view(np.uint64)
     w = bitpack.bit_width(vmax - vmin)
     return bitpack.pack(deltas, w), {"min": vmin, "w": w}
 
 
 def for_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     deltas = bitpack.unpack(payload, params["w"], n)
-    return (deltas.astype(np.int64) + np.int64(params["min"]))
+    return (deltas.view(np.int64) + np.int64(params["min"]))
 
 
 # --- delta: zigzag(diff) bit-packed; ideal for sorted ids / offsets ----------
 
 def _zigzag(v: np.ndarray) -> np.ndarray:
-    return ((v << np.int64(1)) ^ (v >> np.int64(63))).astype(np.uint64)
+    return ((v << np.int64(1)) ^ (v >> np.int64(63))).view(np.uint64)
 
 
 def _unzigzag(u: np.ndarray) -> np.ndarray:
-    return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
+    return ((u >> np.uint64(1)).view(np.int64)) ^ -((u & np.uint64(1)).view(np.int64))
 
 
 def delta_encode(arr: np.ndarray) -> tuple[bytes, dict]:
@@ -115,8 +115,8 @@ def rle_encode(arr: np.ndarray) -> tuple[bytes, dict]:
         raise OverflowError("RLE value range exceeds 63 bits")
     vw = bitpack.bit_width(vmax - vmin)
     rw = bitpack.bit_width(int(lengths.max()))
-    vpay = bitpack.pack((values - vmin).astype(np.uint64), vw)
-    rpay = bitpack.pack(lengths.astype(np.uint64), rw)
+    vpay = bitpack.pack((values - vmin).view(np.uint64), vw)
+    rpay = bitpack.pack(lengths.view(np.uint64), rw)
     params = {"runs": len(values), "vmin": vmin, "vw": vw, "rw": rw,
               "vlen": len(vpay)}
     return vpay + rpay, params
@@ -127,10 +127,10 @@ def rle_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     if runs == 0:
         return np.zeros(0, dtype=np.int64)
     vlen = params["vlen"]
-    values = bitpack.unpack(payload[:vlen], params["vw"], runs).astype(np.int64)
+    values = bitpack.unpack(payload[:vlen], params["vw"], runs).view(np.int64)
     values += np.int64(params["vmin"])
     lengths = bitpack.unpack(payload[vlen:], params["rw"], runs)
-    return np.repeat(values, lengths.astype(np.int64))[:n]
+    return np.repeat(values, lengths.view(np.int64))[:n]
 
 
 # --- dictionary: unique values FOR-packed + inverse indices bit-packed --------
@@ -146,9 +146,9 @@ def dict_encode(arr: np.ndarray) -> tuple[bytes, dict]:
     if not _range_ok(dmin, dmax):
         raise OverflowError("dict value range exceeds 63 bits")
     dw = bitpack.bit_width(dmax - dmin)
-    dpay = bitpack.pack((uniq - dmin).astype(np.uint64), dw)
+    dpay = bitpack.pack((uniq - dmin).view(np.uint64), dw)
     iw = bitpack.bit_width(card - 1)
-    ipay = bitpack.pack(inv.astype(np.uint64), iw)
+    ipay = bitpack.pack(inv.astype(np.int64, copy=False).view(np.uint64), iw)
     params = {"card": card, "iw": iw, "dmin": dmin, "dw": dw, "dlen": len(dpay)}
     return dpay + ipay, params
 
@@ -158,9 +158,9 @@ def dict_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     if card == 0:
         return np.zeros(0, dtype=np.int64)
     dlen = params["dlen"]
-    uniq = bitpack.unpack(payload[:dlen], params["dw"], card).astype(np.int64)
+    uniq = bitpack.unpack(payload[:dlen], params["dw"], card).view(np.int64)
     uniq += np.int64(params["dmin"])
-    inv = bitpack.unpack(payload[dlen:], params["iw"], n).astype(np.int64)
+    inv = bitpack.unpack(payload[dlen:], params["iw"], n).view(np.int64)
     return uniq[inv]
 
 

@@ -3,34 +3,42 @@
 The reference explicitly lacks resume ("Resume supported: no",
 ``/root/reference/README.md:9``); the north rule adds it. Design:
 
-- ``{out}/chunks/wave=K/``  chunk rows (blobs) — overwritten idempotently
-- ``{out}/manifest/``       append-only wave commit rows, written *after*
-  the wave's chunk data is fully written (write-ahead ordering: a wave is
-  complete iff its manifest row exists)
-- chunk-level codec metrics are derived by re-reading the wave's chunk
-  metadata with the ``blob`` column pruned — Parquet column pruning makes
-  this a metadata-sized scan, not a data re-read.
+- ``{out}/chunks/wave=K/``      chunk rows (blobs) — overwritten idempotently
+- ``{out}/manifest/wave-K.json`` one commit record per wave, written by the
+  driver via temp-file + atomic rename *after* the wave's chunk data is
+  fully written (write-ahead ordering: a wave is complete iff its manifest
+  record exists). Driver-side metadata stays a driver-side file write —
+  running a Spark job to persist one row costs seconds of fixed overhead
+  per wave and buys nothing.
+- chunk-level codec metrics are aggregated from the wave's chunk files with
+  the ``blobs`` payload column pruned at the Parquet scan (stats are
+  top-level columns — see ``pipeline.CHUNK_SPARK_SCHEMA``), so the commit
+  aggregation is metadata-sized regardless of encoded data volume.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_WAVE_RE = re.compile(r"^wave-(\d+)\.json$")
 
-def _manifest_path(out_dir: str) -> str:
+
+def _manifest_dir(out_dir: str) -> str:
     return f"{out_dir}/manifest"
 
 
 def completed_waves(spark: SparkSession, out_dir: str) -> set[int]:
-    path = _manifest_path(out_dir)
-    if not os.path.isdir(path) or not any(
-            f.endswith(".parquet") for f in os.listdir(path)):
+    path = _manifest_dir(out_dir)
+    if not os.path.isdir(path):
         return set()
-    rows = spark.read.parquet(path).select("wave_id").distinct().collect()
-    return {r.wave_id for r in rows}
+    return {int(m.group(1)) for f in os.listdir(path)
+            if (m := _WAVE_RE.match(f))}
 
 
 def _chunk_stats(chunks: DataFrame) -> DataFrame:
@@ -47,7 +55,7 @@ def _chunk_stats(chunks: DataFrame) -> DataFrame:
 
 def wave_chunk_stats(spark: SparkSession, out_dir: str,
                      wave_id: int) -> DataFrame:
-    """Per-(chunk, column) metrics for one wave; blob column pruned."""
+    """Per-(chunk, column) metrics for one wave; blobs column pruned."""
     return _chunk_stats(spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}"))
 
 
@@ -58,34 +66,45 @@ def all_chunk_stats(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
                 files: list[str], wall_s: float) -> dict:
-    """Aggregate the wave's chunk metrics and append its manifest row."""
-    stats = wave_chunk_stats(spark, out_dir, wave_id)
-    row = (stats.groupBy()
-           .agg(F.countDistinct("chunk_id").alias("n_chunks"),
-                (F.sum("raw_bytes")).alias("raw_bytes"),
-                (F.sum("enc_bytes")).alias("enc_bytes"))
+    """Aggregate the wave's chunk metrics and commit its manifest record."""
+    chunks = spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
+    row = (chunks.agg(F.count(F.lit(1)).alias("n_chunks"),
+                      F.sum("n_rows").alias("n_rows"),
+                      F.sum("n_tokens").alias("n_tokens"),
+                      F.sum("raw_bytes").alias("raw_bytes"),
+                      F.sum("enc_bytes").alias("enc_bytes"))
            .collect()[0])
-    per_chunk = (stats.select("chunk_id", "n_rows", "n_tokens").distinct()
-                 .groupBy().agg(F.sum("n_rows").alias("n_rows"),
-                                F.sum("n_tokens").alias("n_tokens"))
-                 .collect()[0])
     out = {
         "wave_id": wave_id,
+        "input_files": list(files),
         "n_chunks": int(row.n_chunks or 0),
-        "n_rows": int(per_chunk.n_rows or 0),
-        "n_tokens": int(per_chunk.n_tokens or 0),
+        "n_rows": int(row.n_rows or 0),
+        "n_tokens": int(row.n_tokens or 0),
         "raw_bytes": int(row.raw_bytes or 0),
         "enc_bytes": int(row.enc_bytes or 0),
         "wall_s": float(wall_s),
     }
-    mdf = spark.createDataFrame(
-        [(wave_id, files, out["n_chunks"], out["n_rows"], out["n_tokens"],
-          out["raw_bytes"], out["enc_bytes"], float(wall_s))],
-        "wave_id int, input_files array<string>, n_chunks long, n_rows long, "
-        "n_tokens long, raw_bytes long, enc_bytes long, wall_s double")
-    mdf.coalesce(1).write.mode("append").parquet(_manifest_path(out_dir))
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=f".wave-{wave_id}.", dir=mdir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, f"{mdir}/wave-{wave_id}.json")  # atomic commit point
     return out
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(_manifest_path(out_dir))
+    """Wave commit records as a DataFrame (lineage + metrics)."""
+    mdir = _manifest_dir(out_dir)
+    recs = []
+    for f in sorted(os.listdir(mdir)):
+        if _WAVE_RE.match(f):
+            with open(f"{mdir}/{f}") as fh:
+                recs.append(json.load(fh))
+    schema = ("wave_id int, input_files array<string>, n_chunks long, "
+              "n_rows long, n_tokens long, raw_bytes long, enc_bytes long, "
+              "wall_s double")
+    return spark.createDataFrame(
+        [(r["wave_id"], r["input_files"], r["n_chunks"], r["n_rows"],
+          r["n_tokens"], r["raw_bytes"], r["enc_bytes"], r["wall_s"])
+         for r in recs], schema)

@@ -31,11 +31,19 @@ from pyspark.sql import functions as F
 from ..operators.encode import decode_column, encode_column
 from . import manifest as mf
 
+# Stats live in top-level columns and a blob-free `cols` struct array;
+# payloads sit in the parallel `blobs` array (cols[i] describes blobs[i]).
+# Keeping the blobs OUT of the stats structs means every metadata read
+# (manifest commit, metrics roll-ups, resume checks) prunes the payload
+# column at the Parquet-scan level — a metadata-sized scan, never a data
+# re-read — without relying on nested-schema pruning through explode().
 CHUNK_SPARK_SCHEMA = (
     "chunk_id string, wave_id int, part_id int, batch_idx int, "
-    "n_rows bigint, n_tokens bigint, wall_ms double, "
+    "n_rows bigint, n_tokens bigint, raw_bytes bigint, enc_bytes bigint, "
+    "wall_ms double, "
     "cols array<struct<name:string, kind:string, n_values:bigint, "
-    "raw_bytes:bigint, enc_bytes:bigint, blob:binary>>"
+    "raw_bytes:bigint, enc_bytes:bigint>>, "
+    "blobs array<binary>"
 )
 
 _COL_STRUCT = pa.struct([
@@ -44,7 +52,6 @@ _COL_STRUCT = pa.struct([
     pa.field("n_values", pa.int64()),
     pa.field("raw_bytes", pa.int64()),
     pa.field("enc_bytes", pa.int64()),
-    pa.field("blob", pa.binary()),
 ])
 
 CHUNK_ARROW_SCHEMA = pa.schema([
@@ -54,8 +61,11 @@ CHUNK_ARROW_SCHEMA = pa.schema([
     pa.field("batch_idx", pa.int32()),
     pa.field("n_rows", pa.int64()),
     pa.field("n_tokens", pa.int64()),
+    pa.field("raw_bytes", pa.int64()),
+    pa.field("enc_bytes", pa.int64()),
     pa.field("wall_ms", pa.float64()),
     pa.field("cols", pa.list_(_COL_STRUCT)),
+    pa.field("blobs", pa.list_(pa.binary())),
 ])
 
 
@@ -68,6 +78,7 @@ def make_encode_fn(wave_id: int):
         for bidx, batch in enumerate(batches):
             t0 = time.perf_counter()
             col_rows = []
+            blobs = []
             n_tokens = 0
             for name in batch.schema.names:
                 col = batch.column(name)
@@ -83,8 +94,8 @@ def make_encode_fn(wave_id: int):
                     "n_values": len(col),
                     "raw_bytes": col.nbytes,
                     "enc_bytes": len(blob),
-                    "blob": blob,
                 })
+                blobs.append(blob)
             wall_ms = (time.perf_counter() - t0) * 1000.0
             yield pa.RecordBatch.from_arrays(
                 [
@@ -94,8 +105,13 @@ def make_encode_fn(wave_id: int):
                     pa.array([bidx], type=pa.int32()),
                     pa.array([batch.num_rows], type=pa.int64()),
                     pa.array([n_tokens], type=pa.int64()),
+                    pa.array([sum(c["raw_bytes"] for c in col_rows)],
+                             type=pa.int64()),
+                    pa.array([sum(c["enc_bytes"] for c in col_rows)],
+                             type=pa.int64()),
                     pa.array([wall_ms], type=pa.float64()),
                     pa.array([col_rows], type=pa.list_(_COL_STRUCT)),
+                    pa.array([blobs], type=pa.list_(pa.binary())),
                 ],
                 schema=CHUNK_ARROW_SCHEMA)
 
@@ -127,13 +143,16 @@ def decode_chunks(chunks_df: DataFrame, column_order: list[str],
     def decode_batches(batches):
         for batch in batches:
             cols_list = batch.column("cols")
+            blobs_list = batch.column("blobs")
             for i in range(batch.num_rows):
                 row_cols = cols_list[i].as_py()
-                by_name = {c["name"]: c for c in row_cols}
+                row_blobs = blobs_list[i].as_py()
+                by_name = {c["name"]: (c["kind"], row_blobs[j])
+                           for j, c in enumerate(row_cols)}
                 arrays = []
                 for name in column_order:
-                    c = by_name[name]
-                    arrays.append(decode_column(c["kind"], c["blob"]))
+                    kind, blob = by_name[name]
+                    arrays.append(decode_column(kind, blob))
                 yield pa.RecordBatch.from_arrays(arrays, names=column_order)
 
     return chunks_df.mapInArrow(decode_batches, spark_schema)

@@ -31,7 +31,16 @@ def get_spark(app_name: str = "columnar-encode",
         master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        py_path = f"{repo_root}{os.pathsep}{py_path}" if py_path else repo_root
     b = (SparkSession.builder.appName(app_name).master(master)
+         # pre-forking daemon: workers inherit numpy/pyarrow/codec kernels
+         # already imported + warmed (see daemon.py)
+         .config("spark.python.daemon.module",
+                 "embulk_input_parquet_hadoop_spark.daemon")
+         .config("spark.executorEnv.PYTHONPATH", py_path)
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.default.parallelism", str(cores))
          .config("spark.sql.session.timeZone", "UTC")

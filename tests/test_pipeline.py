@@ -68,13 +68,11 @@ def test_resume_after_partial_run(spark, tokens_path, tmp_path):
     files = sorted(spark.read.parquet(tokens_path).inputFiles())
     # run wave structure manually: encode full job, then delete manifest rows
     pipeline.encode_path(spark, tokens_path, out, waves=2)
-    # forge partial state: keep only wave 0 in the manifest
-    m = mf.read_manifest(spark, out).filter(F.col("wave_id") == 0)
-    rows = m.collect()
-    import shutil
-    shutil.rmtree(f"{out}/manifest")
-    spark.createDataFrame(rows, m.schema).coalesce(1).write.mode(
-        "overwrite").parquet(f"{out}/manifest")
+    # forge partial state: drop wave 1's commit record (as if the job died
+    # after writing wave 1's chunks but before its atomic manifest commit)
+    import os
+    os.remove(f"{out}/manifest/wave-1.json")
+    assert mf.completed_waves(spark, out) == {0}
     t = pipeline.encode_path(spark, tokens_path, out, waves=2, resume=True)
     assert t["waves_skipped"] == 1
     assert t["waves_run"] == 1
