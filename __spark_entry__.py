@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from embulk_input_parquet_hadoop_spark.functions.hashes import token_ids  # noqa: E402
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
-    dedup, similarity, textstats)
+    dedup, multimodal, similarity, textstats)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -263,6 +263,38 @@ def q22_srp_bucket_sizes(spark, sf_dir):
                                        n_planes=8, seed=7)
 
 
+def q23_fingerprint_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(F.col("text"))
+    return (docs.select("source", fp.alias("fp"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fp").alias("n_unique_fp")))
+
+
+def q24_embedding_neardup_pairs(spark, sf_dir):
+    return similarity.neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                    threshold=0.3)
+
+
+def q25_multimodal_features(spark, sf_dir):
+    # weak-check (no oracle): byte-level reduceat kernel over binary
+    # payloads inside mapInArrow isn't SQL-expressible in DuckDB
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return (feats.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.round(F.avg("mean_val"), 3).alias("avg_mean"),
+                 F.sum("checksum").alias("checksum_sum")))
+
+
+def q26_srp_neardup_bucketed(spark, sf_dir):
+    # weak-check (no oracle): bucket ids depend on libm sin() ulps
+    return similarity.srp_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                        threshold=0.3, n_planes=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_filter_project": q01_scan_filter_project,
@@ -287,6 +319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_cube_source_lang": q20_cube_source_lang,
         "q21_encode_roundtrip_agg": q21_encode_roundtrip_agg,
         "q22_srp_bucket_sizes": q22_srp_bucket_sizes,
+        "q23_fingerprint_dups": q23_fingerprint_dups,
+        "q24_embedding_neardup_pairs": q24_embedding_neardup_pairs,
+        "q25_multimodal_features": q25_multimodal_features,
+        "q26_srp_neardup_bucketed": q26_srp_neardup_bucketed,
     }
 
 
@@ -558,5 +594,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT)
                        AS token_sum
             FROM toks GROUP BY source
+        """,
+        "q23_fingerprint_dups": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(regexp_replace(lower(text), ' +', ' ',
+                                                     'g'))) AS n_unique_fp
+            FROM documents GROUP BY source
+        """,
+        "q24_embedding_neardup_pairs": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 4)
+                       AS cos_sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.3
         """,
     }

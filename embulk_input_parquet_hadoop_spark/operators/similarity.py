@@ -98,3 +98,51 @@ def srp_bucket_sizes(emb: DataFrame, n_planes: int = 8, seed: int = 7,
     return (srp_bucket(emb, n_planes, seed, id_col, vec_col)
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"),
                                    F.min(id_col).alias("min_id")))
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, pairwise).
+
+    The O(n^2) baseline for near-dup mining: self-join on id_a < id_b,
+    rounded cosine >= threshold. At corpus scale the same comparison runs
+    *within* SRP buckets (:func:`srp_neardup_pairs`) so the join is
+    bucket-local instead of all-pairs.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                  / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))), 4)
+    return (pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                      n_planes: int = 8, seed: int = 7,
+                      id_col: str = "vec_id", vec_col: str = "embedding"
+                      ) -> DataFrame:
+    """Bucketed near-dup mining — the scale path.
+
+    Candidate pairs come only from equal SRP buckets (equi-join on bucket:
+    a shuffle-partitionable join instead of an all-pairs cross join), then
+    the exact cosine filter verifies. Recall < 1 by construction (pairs
+    split across buckets are missed) — that is the standard LSH trade; raise
+    recall with fewer planes or multiple plane-sets.
+    """
+    with_bucket = emb.join(srp_bucket(emb, n_planes, seed, id_col, vec_col),
+                           id_col)
+    a = with_bucket.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("vec_a"), "bucket")
+    b = with_bucket.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vec_b"),
+                           F.col("bucket").alias("bucket_b"))
+    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+    cos = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
+                  / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))), 4)
+    return (pairs.select("id_a", "id_b", "bucket", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))

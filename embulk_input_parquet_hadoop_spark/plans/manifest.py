@@ -65,23 +65,41 @@ def all_chunk_stats(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
-                files: list[str], wall_s: float) -> dict:
-    """Aggregate the wave's chunk metrics and commit its manifest record."""
-    chunks = spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
-    row = (chunks.agg(F.count(F.lit(1)).alias("n_chunks"),
-                      F.sum("n_rows").alias("n_rows"),
-                      F.sum("n_tokens").alias("n_tokens"),
-                      F.sum("raw_bytes").alias("raw_bytes"),
-                      F.sum("enc_bytes").alias("enc_bytes"))
-           .collect()[0])
+                files: list[str], wall_s: float,
+                meta_table=None) -> dict:
+    """Aggregate the wave's chunk metrics and commit its manifest record.
+
+    ``meta_table``: the wave's chunk-stats pyarrow Table if the caller
+    already has it in hand (file-source path) — aggregated driver-side, no
+    Spark job; otherwise the stats are aggregated from the wave's chunk
+    files with the payload column pruned.
+    """
+    if meta_table is not None:
+        import pyarrow.compute as pc
+        agg = {c: int(pc.sum(meta_table.column(c)).as_py() or 0)
+               for c in ("n_rows", "n_tokens", "raw_bytes", "enc_bytes")}
+        agg["n_chunks"] = meta_table.num_rows
+    else:
+        chunks = spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
+        row = (chunks.agg(F.count(F.lit(1)).alias("n_chunks"),
+                          F.sum("n_rows").alias("n_rows"),
+                          F.sum("n_tokens").alias("n_tokens"),
+                          F.sum("raw_bytes").alias("raw_bytes"),
+                          F.sum("enc_bytes").alias("enc_bytes"))
+               .collect()[0])
+        agg = {"n_chunks": int(row.n_chunks or 0),
+               "n_rows": int(row.n_rows or 0),
+               "n_tokens": int(row.n_tokens or 0),
+               "raw_bytes": int(row.raw_bytes or 0),
+               "enc_bytes": int(row.enc_bytes or 0)}
     out = {
         "wave_id": wave_id,
         "input_files": list(files),
-        "n_chunks": int(row.n_chunks or 0),
-        "n_rows": int(row.n_rows or 0),
-        "n_tokens": int(row.n_tokens or 0),
-        "raw_bytes": int(row.raw_bytes or 0),
-        "enc_bytes": int(row.enc_bytes or 0),
+        "n_chunks": agg["n_chunks"],
+        "n_rows": agg["n_rows"],
+        "n_tokens": agg["n_tokens"],
+        "raw_bytes": agg["raw_bytes"],
+        "enc_bytes": agg["enc_bytes"],
         "wall_s": float(wall_s),
     }
     mdir = _manifest_dir(out_dir)

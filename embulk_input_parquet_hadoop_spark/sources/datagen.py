@@ -56,7 +56,8 @@ def _gen_batch(rng: np.random.Generator, start: int, n: int) -> pa.RecordBatch:
 
 
 def generate(out_path: str, n_docs: int, seed: int = 42,
-             batch_rows: int = 100_000, n_files: int = 8) -> str:
+             batch_rows: int = 100_000, n_files: int = 8,
+             start_doc: int = 0) -> str:
     """Write ``n_docs`` rows as ``n_files`` parquet files under ``out_path``.
 
     Multiple files mirror the reference's unit of parallelism (one task per
@@ -75,7 +76,7 @@ def generate(out_path: str, n_docs: int, seed: int = 42,
             done = 0
             while done < rows_this_file:
                 n = min(batch_rows, rows_this_file - done)
-                w.write_batch(_gen_batch(rng, written + done, n))
+                w.write_batch(_gen_batch(rng, start_doc + written + done, n))
                 done += n
         written += rows_this_file
         fidx += 1

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the columnar encode job.
+
+Cluster usage (the north rule's deployment shape):
+
+    cd repo && zip -r /tmp/engine.zip embulk_input_parquet_hadoop_spark
+    spark-submit --py-files /tmp/engine.zip \
+        --conf spark.executor.instances=$N \
+        jobs/encode_job.py \
+        --input /data/tokens --output /data/encoded \
+        --waves 16 [--resume] [--verify] [--cluster-partitions 4096]
+
+Local sandbox stand-in (N vs 4N executors -> local[N] vs local[4N]):
+
+    python jobs/encode_job.py --input ... --output ... --cores 8
+    python jobs/encode_job.py --input ... --output ... --cores 32
+
+The job prints one JSON line of totals (rows, tokens, bytes, wall, and the
+verify result when requested). Resume: rerun with --resume and the same
+--output; committed waves are skipped via the manifest
+(see plans/manifest.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
+from embulk_input_parquet_hadoop_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="token table path (parquet)")
+    p.add_argument("--output", required=True, help="encode output dir")
+    p.add_argument("--waves", type=int, default=1,
+                   help="checkpoint granularity: input files per commit")
+    p.add_argument("--resume", action="store_true",
+                   help="skip waves already committed in the manifest")
+    p.add_argument("--verify", action="store_true",
+                   help="decode + bit-identity check after encoding")
+    p.add_argument("--cluster-partitions", type=int, default=None,
+                   help="use the DataFrame path with salted clustering "
+                        "repartition into this many partitions")
+    p.add_argument("--batch-rows", type=int, default=pipeline.DEFAULT_BATCH_ROWS)
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] stand-in; omit under spark-submit with a "
+                        "real master")
+    args = p.parse_args()
+
+    if args.cores is not None:
+        spark = get_spark("encode-job", cores=args.cores)
+    else:
+        # under spark-submit the master/executors come from the submit conf
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.appName("encode-job").getOrCreate()
+
+    t0 = time.perf_counter()
+    totals = pipeline.encode_path(
+        spark, args.input, args.output, waves=args.waves,
+        resume=args.resume, cluster_partitions=args.cluster_partitions,
+        batch_rows=args.batch_rows)
+    totals["total_wall_s"] = time.perf_counter() - t0
+    if totals["wall_s"]:
+        totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]
+    if args.verify:
+        totals["verify"] = verify.verify_path(spark, args.input, args.output)
+    print(json.dumps(totals))
+    spark.stop()
+    ok = (not args.verify) or totals["verify"]["ok"]
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

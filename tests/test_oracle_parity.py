@@ -72,7 +72,8 @@ def test_query_matches_oracle(spark, duck, name):
 def test_all_queries_have_oracles_or_are_documented():
     missing = set(QUERIES) - set(ORACLES)
     # weak-check (rows-only) queries must be intentional
-    assert missing == {"q22_srp_bucket_sizes"}, missing
+    assert missing == {"q22_srp_bucket_sizes", "q25_multimodal_features",
+                       "q26_srp_neardup_bucketed"}, missing
 
 
 def test_weak_queries_run(spark):

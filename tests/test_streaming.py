@@ -1,0 +1,69 @@
+"""Structured-Streaming encode: micro-batch waves, resume via checkpoint,
+watermarked throughput monitor."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_input_parquet_hadoop_spark.plans import manifest as mf
+from embulk_input_parquet_hadoop_spark.plans import verify
+from embulk_input_parquet_hadoop_spark.sources import datagen
+from embulk_input_parquet_hadoop_spark.streaming import encode_stream
+
+
+@pytest.fixture(scope="module")
+def stream_tokens(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "tokens")
+    datagen.generate(path, n_docs=800, seed=11, n_files=4)
+    return path
+
+
+def test_encode_stream_drains_and_commits(spark, stream_tokens, tmp_path):
+    out = str(tmp_path / "enc")
+    ckpt = str(tmp_path / "ckpt")
+    q = encode_stream.encode_stream(spark, stream_tokens, out, ckpt,
+                                    max_files_per_trigger=2)
+    q.awaitTermination(120)
+    waves = mf.completed_waves(spark, out)
+    assert len(waves) >= 2  # 4 files / 2 per trigger
+    res = verify.verify_path(spark, stream_tokens, out)
+    assert res["ok"], res
+
+    # restart on the same checkpoint: nothing new -> no new waves
+    q2 = encode_stream.encode_stream(spark, stream_tokens, out, ckpt)
+    q2.awaitTermination(120)
+    assert mf.completed_waves(spark, out) == waves
+
+    # new file arrives -> exactly the new data is encoded as a new wave
+    datagen.generate(stream_tokens + "_more", n_docs=100, seed=12, n_files=1,
+                     start_doc=10_000)  # distinct doc_id range
+    import os
+    shutil.copy(f"{stream_tokens}_more/part-00000.parquet",
+                f"{stream_tokens}/part-late.parquet")
+    q3 = encode_stream.encode_stream(spark, stream_tokens, out, ckpt)
+    q3.awaitTermination(120)
+    new_waves = mf.completed_waves(spark, out)
+    assert len(new_waves) == len(waves) + 1
+    assert verify.verify_path(spark, stream_tokens, out)["ok"]
+    os.remove(f"{stream_tokens}/part-late.parquet")
+
+
+def test_token_rate_monitor_windows(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = [("2026-01-01 00:00:10", "web", 100),
+            ("2026-01-01 00:00:50", "web", 50),
+            ("2026-01-01 00:01:10", "web", 30),
+            ("2026-01-01 00:00:30", "books", 70)]
+    df = spark.createDataFrame(rows, "ts_s string, source string, n_tok int")
+    (df.select(F.to_timestamp("ts_s").alias("ts"), "source", "n_tok")
+     .write.parquet(src))
+    out = (encode_stream.token_rate_monitor(spark, src)
+           .writeStream.format("memory").queryName("rates")
+           .outputMode("complete").trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = {(r.source, r.window_start.minute): r.tokens
+           for r in spark.sql("select * from rates").collect()}
+    assert got[("web", 0)] == 150
+    assert got[("web", 1)] == 30
+    assert got[("books", 0)] == 70
