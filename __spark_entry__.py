@@ -273,8 +273,8 @@ def q23_fingerprint_dups(spark, sf_dir):
 
 
 def q24_embedding_neardup_pairs(spark, sf_dir):
-    return similarity.neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                    threshold=0.3)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    return similarity.neardup_pairs(emb, threshold=0.3)
 
 
 def q25_multimodal_features(spark, sf_dir):
@@ -602,19 +602,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "q24_embedding_neardup_pairs": """
-            WITH v AS (
+            WITH e AS (
               SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+              FROM embeddings WHERE vec_id % 3 = 0
+            ),
+            v AS (
+              SELECT vec_id,
+                     list_transform(d, x -> x / sqrt(list_dot_product(d, d)))
+                         AS u
+              FROM e
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.e, b.e)
-                         / (sqrt(list_dot_product(a.e, a.e))
-                            * sqrt(list_dot_product(b.e, b.e))), 4)
-                       AS cos_sim
+                   round(list_dot_product(a.u, b.u), 4) AS cos_sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.e, b.e)
-                        / (sqrt(list_dot_product(a.e, a.e))
-                           * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.3
+            WHERE round(list_dot_product(a.u, b.u), 4) >= 0.3
         """,
     }

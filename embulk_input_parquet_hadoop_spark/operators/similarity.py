@@ -5,13 +5,22 @@ query vector + one JVM-side pass — no shuffle until the final top-k), and an
 LSH-bucketed variant (sign-random-projection buckets) as the scale path: at
 10^9+ vectors, bucket first, then brute-force within buckets.
 
-Dot products use ``F.zip_with`` + ``F.aggregate`` over doubles — built-in
-higher-order functions, no Python UDF, sequential left-to-right summation
-(reproducible in the DuckDB oracle with list_dot_product on DOUBLE[]).
+Two kernel families, chosen per contract:
+- oracle-gated queries use ``F.zip_with`` + ``F.aggregate`` over doubles —
+  built-in higher-order functions with sequential left-to-right summation,
+  bit-reproducible in the DuckDB oracle (list_dot_product on DOUBLE[]);
+- scale-path operators (SRP bucketing, bucket-local pairwise mining) use
+  vectorized numpy matmuls inside ``mapInArrow``/``applyInPandas`` — the
+  Arrow batch boundary, no per-row Python — because an all-pairs
+  higher-order-function expression is interpreted per element and
+  dominates wall time ~100x over a matmul.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,6 +36,13 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(
         a, F.lit(0.0),
         lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def _unit(a: Column) -> Column:
+    """Per-row normalized double vector — computed once per row *before*
+    any pairwise join, so an n^2 join does only the dot product."""
+    n = _norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
 
 
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 20,
@@ -61,35 +77,51 @@ def knn_label_histogram(emb: DataFrame, query_id: int, k: int = 50,
             .select(F.col(label_col), F.col("n")))
 
 
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes, (n_planes, dim) float64.
+
+    c(p,j) = fract(sin(p*12.9898 + j*78.233 + seed) * 43758.5453) - 0.5 —
+    the classic shader-noise construction; no stored model, reproducible
+    from (dim, n_planes, seed) alone.
+    """
+    p = np.arange(n_planes, dtype=np.float64)[:, None]
+    j = np.arange(dim, dtype=np.float64)[None, :]
+    s = np.sin(p * 12.9898 + j * 78.233 + seed) * 43758.5453
+    return (s - np.floor(s)) - 0.5
+
+
+def _fixed_matrix(vec_arr: pa.Array) -> np.ndarray:
+    """(n, dim) float32 view of a list<float> Arrow column (fixed dim)."""
+    if isinstance(vec_arr, pa.ChunkedArray):
+        vec_arr = vec_arr.combine_chunks()
+    n = len(vec_arr)
+    vals = vec_arr.values.to_numpy(zero_copy_only=False)
+    offs = vec_arr.offsets.to_numpy(zero_copy_only=False)
+    vals = vals[offs[0]: offs[-1]]
+    return vals.reshape(n, -1)
+
+
 def srp_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 7,
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> DataFrame:
-    """Sign-random-projection LSH buckets (deterministic pseudo-planes).
+    """Sign-random-projection LSH buckets — one numpy matmul per Arrow
+    batch ((n, dim) @ (dim, planes)), no per-row work anywhere."""
 
-    Plane p's component j is derived arithmetically from (p, j, seed) so the
-    bucketing is reproducible anywhere (no stored model):
-    c(p,j) = fract(sin(p*12.9898 + j*78.233 + seed) * 43758.5453) - 0.5 —
-    the classic shader-noise construction; deterministic IEEE-754 double ops.
-    At scale: group by bucket, brute-force within buckets only.
-    """
-    dim = len(emb.select(vec_col).head()[0])
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        comps = [
-            (F.element_at(F.col(vec_col), j + 1).cast("double")
-             * _noise(p, j, seed)) for j in range(dim)]
-        dot = comps[0]
-        for c in comps[1:]:
-            dot = dot + c
-        bucket = bucket + F.when(dot > 0,
-                                 F.lit(1 << p).cast("long")).otherwise(0)
-    return emb.select(F.col(id_col), bucket.alias("bucket"))
+    def kernel(batches):
+        planes = None
+        for b in batches:
+            V = _fixed_matrix(b.column(vec_col)).astype(np.float64)
+            if planes is None:
+                planes = _plane_matrix(V.shape[1], n_planes, seed)
+            signs = (V @ planes.T) > 0  # (n, planes)
+            bucket = (signs.astype(np.int64)
+                      << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col).cast(pa.int64()), pa.array(bucket)],
+                names=[id_col, "bucket"])
 
-
-def _noise(p: int, j: int, seed: int) -> Column:
-    x = p * 12.9898 + j * 78.233 + seed
-    s = F.sin(F.lit(x)) * 43758.5453
-    return (s - F.floor(s)) - 0.5
+    return emb.select(id_col, vec_col).mapInArrow(
+        kernel, f"{id_col} bigint, bucket bigint")
 
 
 def srp_bucket_sizes(emb: DataFrame, n_planes: int = 8, seed: int = 7,
@@ -103,22 +135,26 @@ def srp_bucket_sizes(emb: DataFrame, n_planes: int = 8, seed: int = 7,
 def neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                   id_col: str = "vec_id", vec_col: str = "embedding"
                   ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, pairwise).
+    """Embedding-cosine near-duplicate pairs (exact, pairwise, oracle-gated).
 
-    The O(n^2) baseline for near-dup mining: self-join on id_a < id_b,
-    rounded cosine >= threshold. At corpus scale the same comparison runs
-    *within* SRP buckets (:func:`srp_neardup_pairs`) so the join is
-    bucket-local instead of all-pairs.
+    Vectors are normalized once per row *before* the self-join, so the n^2
+    stage computes only one dot product per pair. Built-in higher-order
+    functions throughout — the float semantics (sequential sum over
+    doubles) are reproducible in the DuckDB oracle.
     """
     a = emb.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("vec_a"))
+                   _unit(F.col(vec_col)).alias("ua"))
     b = emb.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("vec_b"))
+                   _unit(F.col(vec_col)).alias("ub"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
-                  / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))), 4)
+    cos = F.round(_dot_prenorm(F.col("ua"), F.col("ub")), 4)
     return (pairs.select("id_a", "id_b", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+def _dot_prenorm(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
 
 
 def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
@@ -127,22 +163,33 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                       ) -> DataFrame:
     """Bucketed near-dup mining — the scale path.
 
-    Candidate pairs come only from equal SRP buckets (equi-join on bucket:
-    a shuffle-partitionable join instead of an all-pairs cross join), then
-    the exact cosine filter verifies. Recall < 1 by construction (pairs
-    split across buckets are missed) — that is the standard LSH trade; raise
-    recall with fewer planes or multiple plane-sets.
+    Candidate pairs come only from equal SRP buckets (an equi-join keyed on
+    bucket: shuffle-partitionable, never all-pairs), and each bucket's
+    pairwise cosines are one numpy matmul inside ``applyInPandas``. Recall
+    < 1 by construction (pairs split across buckets are missed) — the
+    standard LSH trade; raise recall with fewer planes or multiple
+    plane-sets.
     """
-    with_bucket = emb.join(srp_bucket(emb, n_planes, seed, id_col, vec_col),
-                           id_col)
-    a = with_bucket.select(F.col(id_col).alias("id_a"),
-                           F.col(vec_col).alias("vec_a"), "bucket")
-    b = with_bucket.select(F.col(id_col).alias("id_b"),
-                           F.col(vec_col).alias("vec_b"),
-                           F.col("bucket").alias("bucket_b"))
-    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b"))
-                   & (F.col("id_a") < F.col("id_b")))
-    cos = F.round(_dot(F.col("vec_a"), F.col("vec_b"))
-                  / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))), 4)
-    return (pairs.select("id_a", "id_b", "bucket", cos.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold))
+    with_bucket = (emb.select(id_col, vec_col)
+                   .join(srp_bucket(emb, n_planes, seed, id_col, vec_col),
+                         id_col))
+
+    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        C = U @ U.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = np.round(C[iu, ju], 4) >= threshold
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[iu[keep]], ids[ju[keep]]),
+            "id_b": np.maximum(ids[iu[keep]], ids[ju[keep]]),
+            "bucket": np.full(int(keep.sum()), key[0], dtype=np.int64),
+            "cos_sim": np.round(C[iu, ju][keep], 4),
+        })
+
+    return with_bucket.groupBy("bucket").applyInPandas(
+        bucket_pairs,
+        "id_a bigint, id_b bigint, bucket bigint, cos_sim double")

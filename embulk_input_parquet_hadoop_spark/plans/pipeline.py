@@ -201,8 +201,13 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
             for b in batches:
                 for path in b.column("path").to_pylist():
                     pf = pq.ParquetFile(path)
+                    # single-threaded per task: one task <-> one executor
+                    # core. pyarrow would otherwise fan out to every
+                    # machine core behind Spark's back, which oversubscribes
+                    # real executors and falsifies per-core accounting
                     for batch in pf.iter_batches(batch_size=batch_rows,
-                                                 columns=columns):
+                                                 columns=columns,
+                                                 use_threads=False):
                         chunk_row, stats = _encode_one_batch(
                             batch, wave_id, pid, bidx)
                         if writer is None:
