@@ -31,34 +31,92 @@ from ..codecs import framing, fsst
 from ..codecs.intcodecs import INT_CODECS
 from .select import encode_best
 
-_ZLIB_GAIN = 0.96
-_ZLIB_LEVEL = 1
+_COMPRESS_GAIN = 0.96
+_ZSTD = pa.Codec("zstd", compression_level=3)
 
 
-def _maybe_zlib(payload: bytes, params: dict) -> tuple[bytes, dict]:
-    if len(payload) > 256:
-        z = zlib.compress(payload, _ZLIB_LEVEL)
-        if len(z) < _ZLIB_GAIN * len(payload):
-            params = dict(params)
-            params["z"] = 1
-            return z, params
-    return payload, params
+def _plane_transpose(payload: bytes, stride: int) -> bytes:
+    """Byte-plane shuffle: [v0b0 v0b1 v1b0 v1b1 ...] -> all b0s, all b1s.
+
+    For fixed-stride packed integers this groups the near-constant high
+    bytes together, which a general-purpose compressor then squeezes far
+    better — the same trick as Parquet's BYTE_STREAM_SPLIT encoding, on
+    the write side of the codecs the reference decodes."""
+    a = np.frombuffer(payload, dtype=np.uint8)
+    usable = (len(a) // stride) * stride
+    return (a[:usable].reshape(-1, stride).T.tobytes()
+            + a[usable:].tobytes())
 
 
-def _unzlib(frame: framing.Frame) -> bytes:
-    if frame.params.get("z"):
+def _plane_untranspose(data: bytes, stride: int) -> bytes:
+    a = np.frombuffer(data, dtype=np.uint8)
+    usable = (len(a) // stride) * stride
+    return (a[:usable].reshape(stride, -1).T.tobytes()
+            + a[usable:].tobytes())
+
+
+def _maybe_compress(payload: bytes, params: dict,
+                    stride: int = 1) -> tuple[bytes, dict]:
+    """Optional outer general-purpose stage on top of the lightweight codec
+    (analogous to Parquet's SNAPPY/GZIP block compression, which the
+    reference reads: ``compat/TestParquetCompatibility.java:52-57``).
+    Tries zstd on the raw payload and, for byte-aligned fixed-stride
+    payloads, on its byte-plane transposition; keeps the best if it wins
+    by >4%."""
+    if len(payload) <= 256:
+        return payload, params
+    best_tag, best = None, payload
+    z = bytes(_ZSTD.compress(payload))
+    if len(z) < len(best):
+        best_tag, best = "zs", z
+    if stride > 1:
+        zp = bytes(_ZSTD.compress(_plane_transpose(payload, stride)))
+        if len(zp) < len(best):
+            best_tag, best = "zp", zp
+    if best_tag is None or len(best) >= _COMPRESS_GAIN * len(payload):
+        return payload, params
+    params = dict(params)
+    params["z"] = best_tag
+    params["zn"] = len(payload)  # pyarrow decompress needs the size
+    if best_tag == "zp":
+        params["ps"] = stride
+    return best, params
+
+
+def _decompress(frame: framing.Frame) -> bytes:
+    z = frame.params.get("z")
+    if not z:
+        return frame.payload
+    if z == 1:  # legacy zlib frames
         return zlib.decompress(frame.payload)
-    return frame.payload
+    data = bytes(_ZSTD.decompress(frame.payload, frame.params["zn"]))
+    if z == "zp":
+        data = _plane_untranspose(data, frame.params["ps"])
+    return data
+
+
+def _codec_stride(codec: str, params: dict) -> int:
+    """Bytes per value of the packed payload, when byte-aligned."""
+    if codec in ("for", "delta"):
+        w = params.get("w", 0)
+        if w in (16, 32, 64):
+            return w // 8
+    elif codec == "plain":
+        dt = params.get("dt")
+        if dt:
+            return np.dtype(dt).itemsize
+    return 1
 
 
 def _int_frame(a: np.ndarray, dtype_name: str) -> bytes:
     codec, payload, params = encode_best(a)
-    payload, params = _maybe_zlib(payload, params)
+    payload, params = _maybe_compress(payload, params,
+                                      _codec_stride(codec, params))
     return framing.write_frame(codec, dtype_name, len(a), params, payload)
 
 
 def _decode_int_frame(frame: framing.Frame) -> np.ndarray:
-    payload = _unzlib(frame)
+    payload = _decompress(frame)
     _, dec = INT_CODECS[frame.codec]
     vals = dec(payload, frame.params, frame.n)
     np_dtype = {"int8": np.int8, "int16": np.int16, "int32": np.int32,
@@ -67,16 +125,28 @@ def _decode_int_frame(frame: framing.Frame) -> np.ndarray:
 
 
 def _bytes_frame(data: bytes) -> bytes:
-    payload, params = fsst.encode(data)
-    codec = "fsst"
-    if len(payload) >= len(data) and not params["syms"]:
-        codec, payload, params = "bytes_plain", data, {}
-    payload, params = _maybe_zlib(payload, params)
+    """Byte-payload frame: plain vs FSST, each with the optional zstd outer
+    stage, chosen by *total* frame cost — payload plus the serialized
+    symbol table (the table rides in the frame params, so an uncounted
+    table would silently inflate small chunks)."""
+    import json
+
+    plain_payload, plain_params = _maybe_compress(data, {})
+    best = ("bytes_plain", plain_payload, plain_params,
+            len(plain_payload) + len(json.dumps(plain_params)))
+    fsst_payload, fsst_params = fsst.encode(data)
+    if fsst_params["syms"]:
+        fsst_payload, fsst_params = _maybe_compress(fsst_payload,
+                                                    fsst_params)
+        cost = len(fsst_payload) + len(json.dumps(fsst_params))
+        if cost < best[3]:
+            best = ("fsst", fsst_payload, fsst_params, cost)
+    codec, payload, params, _ = best
     return framing.write_frame(codec, "bytes", len(data), params, payload)
 
 
 def _decode_bytes_frame(frame: framing.Frame) -> bytes:
-    payload = _unzlib(frame)
+    payload = _decompress(frame)
     if frame.codec == "fsst":
         return fsst.decode(payload, frame.params)
     return payload
@@ -84,13 +154,13 @@ def _decode_bytes_frame(frame: framing.Frame) -> bytes:
 
 def _validity_frame(mask_valid: np.ndarray) -> bytes:
     packed = np.packbits(mask_valid.astype(np.uint8), bitorder="little")
-    payload, params = _maybe_zlib(packed.tobytes(), {})
+    payload, params = _maybe_compress(packed.tobytes(), {})
     return framing.write_frame("plain", "uint1", len(mask_valid), params,
                                payload)
 
 
 def _decode_validity(frame: framing.Frame) -> np.ndarray:
-    payload = _unzlib(frame)
+    payload = _decompress(frame)
     bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8),
                          bitorder="little")
     return bits[: frame.n].astype(bool)
