@@ -78,7 +78,11 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
         import pyarrow.compute as pc
         agg = {c: int(pc.sum(meta_table.column(c)).as_py() or 0)
                for c in ("n_rows", "n_tokens", "raw_bytes", "enc_bytes")}
-        agg["n_chunks"] = meta_table.num_rows
+        n_bad = int(pc.sum(pc.is_valid(meta_table.column("error"))
+                           .cast("int64")).as_py() or 0) \
+            if "error" in meta_table.schema.names else 0
+        agg["n_chunks"] = meta_table.num_rows - n_bad
+        agg["n_bad_files"] = n_bad
     else:
         chunks = spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
         row = (chunks.agg(F.count(F.lit(1)).alias("n_chunks"),
@@ -91,7 +95,8 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
                "n_rows": int(row.n_rows or 0),
                "n_tokens": int(row.n_tokens or 0),
                "raw_bytes": int(row.raw_bytes or 0),
-               "enc_bytes": int(row.enc_bytes or 0)}
+               "enc_bytes": int(row.enc_bytes or 0),
+               "n_bad_files": 0}
     out = {
         "wave_id": wave_id,
         "input_files": list(files),
@@ -100,6 +105,7 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
         "n_tokens": agg["n_tokens"],
         "raw_bytes": agg["raw_bytes"],
         "enc_bytes": agg["enc_bytes"],
+        "n_bad_files": agg["n_bad_files"],
         "wall_s": float(wall_s),
     }
     mdir = _manifest_dir(out_dir)
@@ -121,8 +127,9 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
                 recs.append(json.load(fh))
     schema = ("wave_id int, input_files array<string>, n_chunks long, "
               "n_rows long, n_tokens long, raw_bytes long, enc_bytes long, "
-              "wall_s double")
+              "n_bad_files long, wall_s double")
     return spark.createDataFrame(
         [(r["wave_id"], r["input_files"], r["n_chunks"], r["n_rows"],
-          r["n_tokens"], r["raw_bytes"], r["enc_bytes"], r["wall_s"])
+          r["n_tokens"], r["raw_bytes"], r["enc_bytes"],
+          r.get("n_bad_files", 0), r["wall_s"])
          for r in recs], schema)

@@ -58,16 +58,20 @@ CHUNK_SPARK_SCHEMA = (
     "n_rows bigint, n_tokens bigint, raw_bytes bigint, enc_bytes bigint, "
     "wall_ms double, "
     "cols array<struct<name:string, kind:string, n_values:bigint, "
-    "raw_bytes:bigint, enc_bytes:bigint>>, "
+    "raw_bytes:bigint, enc_bytes:bigint, vmin:bigint, vmax:bigint>>, "
     "blobs array<binary>"
 )
 
+# vmin/vmax: zone-map stats (int columns and list<int32> values; null for
+# strings) enabling chunk-level pruning without touching payloads
 _COL_STRUCT = pa.struct([
     pa.field("name", pa.string()),
     pa.field("kind", pa.string()),
     pa.field("n_values", pa.int64()),
     pa.field("raw_bytes", pa.int64()),
     pa.field("enc_bytes", pa.int64()),
+    pa.field("vmin", pa.int64()),
+    pa.field("vmax", pa.int64()),
 ])
 
 CHUNK_ARROW_SCHEMA = pa.schema([
@@ -90,7 +94,8 @@ CHUNK_META_SPARK_SCHEMA = (
     "n_rows bigint, n_tokens bigint, raw_bytes bigint, enc_bytes bigint, "
     "wall_ms double, source_file string, chunk_file string, "
     "cols array<struct<name:string, kind:string, n_values:bigint, "
-    "raw_bytes:bigint, enc_bytes:bigint>>"
+    "raw_bytes:bigint, enc_bytes:bigint, vmin:bigint, vmax:bigint>>, "
+    "error string"
 )
 
 CHUNK_META_ARROW_SCHEMA = pa.schema([
@@ -106,6 +111,7 @@ CHUNK_META_ARROW_SCHEMA = pa.schema([
     pa.field("source_file", pa.string()),
     pa.field("chunk_file", pa.string()),
     pa.field("cols", pa.list_(_COL_STRUCT)),
+    pa.field("error", pa.string()),
 ])
 
 DEFAULT_BATCH_ROWS = 16384
@@ -123,15 +129,25 @@ def _encode_one_batch(batch: pa.RecordBatch, wave_id: int, pid: int,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         kind, blob = encode_column(col)
+        vmin = vmax = None
         if kind == "list_i32":
             n_tokens += len(col.values) if col.offset == 0 else int(
                 col.offsets[-1].as_py() - col.offsets[0].as_py())
+            mm = pa.compute.min_max(col.values)
+        elif kind == "int":
+            mm = pa.compute.min_max(col)
+        else:
+            mm = None
+        if mm is not None and mm["min"].is_valid:
+            vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
         col_rows.append({
             "name": name,
             "kind": kind,
             "n_values": len(col),
             "raw_bytes": col.nbytes,
             "enc_bytes": len(blob),
+            "vmin": vmin,
+            "vmax": vmax,
         })
         blobs.append(blob)
     wall_ms = (time.perf_counter() - t0) * 1000.0
@@ -189,6 +205,25 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
     on completion, and yields only stat rows to Spark.
     """
 
+    def meta_row(stats, path, final, cols, error=None):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([stats["chunk_id"]]),
+                pa.array([wave_id], type=pa.int32()),
+                pa.array([stats["part_id"]], type=pa.int32()),
+                pa.array([stats["batch_idx"]], type=pa.int32()),
+                pa.array([stats["n_rows"]], type=pa.int64()),
+                pa.array([stats["n_tokens"]], type=pa.int64()),
+                pa.array([stats["raw_bytes"]], type=pa.int64()),
+                pa.array([stats["enc_bytes"]], type=pa.int64()),
+                pa.array([stats["wall_ms"]], type=pa.float64()),
+                pa.array([path]),
+                pa.array([final]),
+                pa.array([cols], type=pa.list_(_COL_STRUCT)),
+                pa.array([error], type=pa.string()),
+            ],
+            schema=CHUNK_META_ARROW_SCHEMA)
+
     def encode_files(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -197,46 +232,46 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
         os.makedirs(wave_dir, exist_ok=True)
         writer = None
         bidx = 0
+        n_err = 0
         try:
             for b in batches:
                 for path in b.column("path").to_pylist():
-                    pf = pq.ParquetFile(path)
-                    # single-threaded per task: one task <-> one executor
-                    # core. pyarrow would otherwise fan out to every
-                    # machine core behind Spark's back, which oversubscribes
-                    # real executors and falsifies per-core accounting
-                    for batch in pf.iter_batches(batch_size=batch_rows,
-                                                 columns=columns,
-                                                 use_threads=False):
-                        chunk_row, stats = _encode_one_batch(
-                            batch, wave_id, pid, bidx)
-                        if writer is None:
-                            writer = pq.ParquetWriter(
-                                tmp, CHUNK_ARROW_SCHEMA,
-                                compression="none")
-                        writer.write_batch(chunk_row)
-                        yield pa.RecordBatch.from_arrays(
-                            [
-                                pa.array([stats["chunk_id"]]),
-                                pa.array([wave_id], type=pa.int32()),
-                                pa.array([pid], type=pa.int32()),
-                                pa.array([bidx], type=pa.int32()),
-                                pa.array([stats["n_rows"]], type=pa.int64()),
-                                pa.array([stats["n_tokens"]],
-                                         type=pa.int64()),
-                                pa.array([stats["raw_bytes"]],
-                                         type=pa.int64()),
-                                pa.array([stats["enc_bytes"]],
-                                         type=pa.int64()),
-                                pa.array([stats["wall_ms"]],
-                                         type=pa.float64()),
-                                pa.array([path]),
-                                pa.array([final]),
-                                pa.array([[c for c in _cols_of(chunk_row)]],
-                                         type=pa.list_(_COL_STRUCT)),
-                            ],
-                            schema=CHUNK_META_ARROW_SCHEMA)
-                        bidx += 1
+                    try:
+                        pf = pq.ParquetFile(path)
+                        # single-threaded per task: one task <-> one
+                        # executor core. pyarrow would otherwise fan out to
+                        # every machine core behind Spark's back, which
+                        # oversubscribes real executors and falsifies
+                        # per-core accounting
+                        for batch in pf.iter_batches(batch_size=batch_rows,
+                                                     columns=columns,
+                                                     use_threads=False):
+                            chunk_row, stats = _encode_one_batch(
+                                batch, wave_id, pid, bidx)
+                            if writer is None:
+                                writer = pq.ParquetWriter(
+                                    tmp, CHUNK_ARROW_SCHEMA,
+                                    compression="none")
+                            writer.write_batch(chunk_row)
+                            yield meta_row(stats, path, final,
+                                           _cols_of(chunk_row))
+                            bidx += 1
+                    except Exception as exc:  # noqa: BLE001
+                        # unmaterializable-file tolerance, the analogue of
+                        # the reference's bad-record counter
+                        # (ParquetRowReader.java:101,142-147 + the
+                        # parquet.read.bad.record.threshold knob,
+                        # README.md:25-27): record the failure, keep going;
+                        # the driver enforces the threshold per wave
+                        n_err += 1
+                        err_stats = {
+                            "chunk_id": f"w{wave_id}-p{pid}-err{n_err}",
+                            "part_id": pid, "batch_idx": -1, "n_rows": 0,
+                            "n_tokens": 0, "raw_bytes": 0, "enc_bytes": 0,
+                            "wall_ms": 0.0,
+                        }
+                        yield meta_row(err_stats, path, final, [],
+                                       f"{type(exc).__name__}: {exc}")
         finally:
             if writer is not None:
                 writer.close()
@@ -310,7 +345,10 @@ def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
 def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 waves: int = 1, resume: bool = False,
                 cluster_partitions: int | None = None,
-                batch_rows: int = DEFAULT_BATCH_ROWS) -> dict:
+                batch_rows: int = DEFAULT_BATCH_ROWS,
+                columns: list[str] | None = None,
+                expected_schema: str | None = None,
+                bad_file_threshold: float = 0.0) -> dict:
     """Run the full encode job; returns aggregate metrics.
 
     ``waves`` > 1 splits the input *file list* into that many sub-jobs, each
@@ -321,8 +359,32 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     ``cluster_partitions`` switches to the DataFrame-source path with the
     salted clustering repartition (slower: rows cross the JVM->Python
     channel) — use when chunk homogeneity is worth more than throughput.
+
+    ``columns`` projects the encode to a column subset (the reference's
+    ReadSupport always takes the full file schema,
+    ``MessagePackReadSupport.java:36-40``; ours prunes at the Parquet read).
+
+    ``expected_schema`` (DDL string) asserts the input schema before any
+    work — the write-side analogue of the reference's
+    ``strictTypeChecking`` (``ParquetRowReader.java:70,113``).
+
+    ``bad_file_threshold``: tolerated fraction of unreadable input files
+    per wave (errors are recorded in chunks_meta and the manifest); above
+    the threshold the wave fails before committing — the reference's
+    ``parquet.read.bad.record.threshold`` (``README.md:25-27``,
+    ``ParquetRowReader.java:101,142-147``) lifted to the file level at
+    which our tasks fan out.
     """
-    files = sorted(spark.read.parquet(input_path).inputFiles())
+    df0 = spark.read.parquet(input_path)
+    if expected_schema is not None:
+        expected = spark.createDataFrame([], expected_schema).schema
+        got = [(f.name, f.dataType) for f in df0.schema.fields]
+        want = [(f.name, f.dataType) for f in expected.fields]
+        if got != want:
+            raise TypeError(
+                f"input schema mismatch: got {df0.schema.simpleString()}, "
+                f"expected {expected.simpleString()}")
+    files = sorted(df0.inputFiles())
     if not files:
         # parity with the reference's empty-glob failure
         # (ParquetHadoopInputPlugin.java:92-94 -> PathNotFoundException)
@@ -349,12 +411,20 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             # round-robin: one partition per file -> reference's task unit
             enc = (paths.repartition(len(wfiles))
                    .mapInArrow(make_encode_files_fn(wave_id, wave_dir,
-                                                    batch_rows),
+                                                    batch_rows,
+                                                    columns=columns),
                                CHUNK_META_SPARK_SCHEMA))
             # one action runs the wave; the stats rows that come back are
             # O(n_chunks) — driver-side write (like the manifest record)
             # instead of a second Spark job
             meta = enc.toArrow()
+            bad = meta.filter(pa.compute.is_valid(meta.column("error")))
+            if bad.num_rows > len(wfiles) * bad_file_threshold:
+                errs = bad.select(["source_file", "error"]).to_pylist()
+                raise RuntimeError(
+                    f"wave {wave_id}: {bad.num_rows}/{len(wfiles)} input "
+                    f"files unreadable exceeds bad_file_threshold="
+                    f"{bad_file_threshold}: {errs[:3]}")
             meta_dir = f"{out_dir}/chunks_meta"
             os.makedirs(meta_dir, exist_ok=True)
             pq.write_table(meta, f"{meta_dir}/wave-{wave_id}.parquet")
@@ -374,3 +444,24 @@ def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     # partition discovery on the chunks root ('wave=K' subdirs); the wave id
     # is also stored in the data (wave_id), so we drop the partition column
     return spark.read.parquet(f"{out_dir}/chunks").drop("wave")
+
+
+def prune_chunks(chunks: DataFrame, column: str,
+                 lo: int | None = None, hi: int | None = None) -> DataFrame:
+    """Zone-map chunk pruning: keep only chunks whose [vmin, vmax] range
+    for ``column`` can intersect [lo, hi].
+
+    Works on chunk rows or chunks_meta rows (both carry ``cols``); payloads
+    of pruned chunks are never decoded — the write-side analogue of Parquet
+    row-group statistics pruning, which Spark's scan does for native
+    formats (the reference leaves its filter slot NOOP,
+    ``ParquetRowReader.java:71``).
+    """
+    c = F.element_at(
+        F.filter(F.col("cols"), lambda x: x["name"] == F.lit(column)), 1)
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (c["vmax"] >= F.lit(lo))
+    if hi is not None:
+        keep = keep & (c["vmin"] <= F.lit(hi))
+    return chunks.filter(keep)

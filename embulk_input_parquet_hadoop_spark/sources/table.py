@@ -1,0 +1,76 @@
+"""Pluggable table source: Iceberg catalog table or plain Parquet path.
+
+The north rule names Iceberg tables of pre-tokenized sequences as the
+input. The sandbox has no Iceberg runtime jar, so the reader is
+format-pluggable with identical DataFrame shape either way (the approach
+SURVEY.md §7 step 1 commits to):
+
+- ``read_tokens_table(spark, "db.tokens", fmt="iceberg")`` — catalog table
+  via the Iceberg Spark runtime when present;
+- ``read_tokens_table(spark, "/data/tokens")`` — Parquet file tree.
+
+For the file-granular encode path, ``table_files`` exposes the table's
+current data-file snapshot (``DataFrame.inputFiles`` — for Iceberg this is
+the planned file scan of the current snapshot, the same per-file unit the
+reference fans out on, ``ParquetHadoopInputPlugin.java:85-119``).
+Copy-on-write Iceberg tables' data files are plain Parquet and feed
+``encode_path`` directly; merge-on-read tables with row-level delete files
+must go through the DataFrame path (``encode_df``) so the Iceberg reader
+applies the deletes — ``table_files`` raises if it detects that case is
+possible and ``allow_mor`` is not set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TOKENS_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        # py4j resolves missing packages lazily; Class.forName is definitive
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.source.SparkTable")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def read_tokens_table(spark: SparkSession, ref: str,
+                      fmt: str | None = None) -> DataFrame:
+    """Load the tokens table from an Iceberg identifier or a Parquet path.
+
+    ``fmt``: "iceberg" | "parquet" | None (auto: path-like refs -> parquet,
+    dotted identifiers -> iceberg when the runtime is on the classpath).
+    """
+    if fmt is None:
+        looks_like_path = "/" in ref or ref.endswith(".parquet")
+        fmt = "parquet" if looks_like_path or not iceberg_available(spark) \
+            else "iceberg"
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg runtime not on the Spark classpath; add "
+                "org.apache.iceberg:iceberg-spark-runtime or pass a "
+                "parquet path")
+        return spark.read.format("iceberg").load(ref)
+    if fmt == "parquet":
+        return spark.read.parquet(ref)
+    raise ValueError(f"unknown source format {fmt!r}")
+
+
+def table_files(df: DataFrame, allow_mor: bool = False) -> list[str]:
+    """Data files of the table's current snapshot, for ``encode_path``.
+
+    Raises for Iceberg merge-on-read inputs unless ``allow_mor`` — reading
+    those data files directly would resurrect deleted rows; use
+    ``encode_df`` on the DataFrame instead.
+    """
+    files = sorted(df.inputFiles())
+    non_parquet = [f for f in files if not f.endswith(".parquet")]
+    if non_parquet and not allow_mor:
+        raise ValueError(
+            f"non-parquet data files in scan (merge-on-read deletes?): "
+            f"{non_parquet[:3]} — encode via encode_df instead")
+    return files

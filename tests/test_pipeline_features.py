@@ -1,0 +1,122 @@
+"""Reference-parity pipeline features: bad-file tolerance, strict schema,
+column projection, zone-map pruning, skew-balanced clustering."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_input_parquet_hadoop_spark.plans import manifest as mf
+from embulk_input_parquet_hadoop_spark.plans import pipeline
+from embulk_input_parquet_hadoop_spark.sources import datagen
+
+
+@pytest.fixture(scope="module")
+def tokens_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("feat") / "tokens")
+    datagen.generate(path, n_docs=2000, seed=5, n_files=4)
+    return path
+
+
+def _corrupt_copy(tokens_dir, tmp_path):
+    import shutil
+    bad_dir = str(tmp_path / "tokens_bad")
+    shutil.copytree(tokens_dir, bad_dir)
+    victim = os.path.join(bad_dir, "part-00001.parquet")
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as f:  # truncate mid-file: unreadable footer
+        f.truncate(size // 2)
+    return bad_dir
+
+
+def test_bad_file_fails_at_zero_threshold(spark, tokens_dir, tmp_path):
+    bad_dir = _corrupt_copy(tokens_dir, tmp_path)
+    with pytest.raises(RuntimeError, match="bad_file_threshold"):
+        pipeline.encode_path(spark, bad_dir, str(tmp_path / "out0"),
+                             bad_file_threshold=0.0)
+    # wave must NOT have committed (write-ahead ordering)
+    assert mf.completed_waves(spark, str(tmp_path / "out0")) == set()
+
+
+def test_bad_file_tolerated_within_threshold(spark, tokens_dir, tmp_path):
+    bad_dir = _corrupt_copy(tokens_dir, tmp_path)
+    out = str(tmp_path / "out1")
+    totals = pipeline.encode_path(spark, bad_dir, out,
+                                  bad_file_threshold=0.5)
+    assert totals["n_rows"] == 1500  # 3 of 4 files
+    rec = mf.read_manifest(spark, out).collect()[0]
+    assert rec.n_bad_files == 1
+    # the error is recorded with its source file in chunks_meta
+    meta = spark.read.parquet(f"{out}/chunks_meta")
+    errs = meta.filter(F.col("error").isNotNull()).collect()
+    assert len(errs) == 1 and "part-00001" in errs[0].source_file
+
+
+def test_strict_schema_check(spark, tokens_dir, tmp_path):
+    with pytest.raises(TypeError, match="schema mismatch"):
+        pipeline.encode_path(
+            spark, tokens_dir, str(tmp_path / "out2"),
+            expected_schema="doc_id string, tokens array<bigint>, "
+                            "n_tok int, source string")
+    # exact schema passes
+    pipeline.encode_path(
+        spark, tokens_dir, str(tmp_path / "out2"),
+        expected_schema="doc_id string, tokens array<int>, n_tok int, "
+                        "source string")
+
+
+def test_column_projection(spark, tokens_dir, tmp_path):
+    out = str(tmp_path / "out3")
+    pipeline.encode_path(spark, tokens_dir, out,
+                         columns=["doc_id", "n_tok"])
+    chunks = pipeline.read_chunks(spark, out)
+    names = chunks.select(F.explode("cols.name").alias("n")) \
+        .distinct().collect()
+    assert {r.n for r in names} == {"doc_id", "n_tok"}
+    dec = pipeline.decode_chunks(chunks, ["doc_id", "n_tok"],
+                                 "doc_id string, n_tok int")
+    src = spark.read.parquet(tokens_dir).select("doc_id", "n_tok")
+    assert dec.exceptAll(src).count() == 0
+    assert src.exceptAll(dec).count() == 0
+
+
+def test_zone_map_pruning(spark, tokens_dir, tmp_path):
+    out = str(tmp_path / "out4")
+    # clustered encode sorts by n_tok within partitions -> tight zone maps
+    pipeline.encode_path(spark, tokens_dir, out)
+    chunks = pipeline.read_chunks(spark, out)
+    total = chunks.count()
+    pruned = pipeline.prune_chunks(chunks, "n_tok", lo=100, hi=120)
+    kept = pruned.count()
+    assert 0 < kept <= total
+    # no false negatives: every row with n_tok in range survives pruning
+    dec_all = pipeline.decode_chunks(chunks, ["n_tok"], "n_tok int") \
+        .filter((F.col("n_tok") >= 100) & (F.col("n_tok") <= 120)).count()
+    dec_pruned = pipeline.decode_chunks(pruned, ["n_tok"], "n_tok int") \
+        .filter((F.col("n_tok") >= 100) & (F.col("n_tok") <= 120)).count()
+    assert dec_all == dec_pruned
+
+
+def test_clustered_encode_balances_skew(spark, tmp_path):
+    """One dominant source + heavy-tail lengths must still land balanced
+    partitions (the salted repartition's whole job)."""
+    out = str(tmp_path / "skew_out")
+    docs = spark.range(4000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array_repeat((F.col("id") % 50257).cast("int"),
+                       F.when(F.col("id") % 97 == 0, 4000)
+                       .otherwise(20).cast("int")).alias("tokens"),
+        F.when(F.col("id") % 97 == 0, 4000).otherwise(20).cast("int")
+        .alias("n_tok"),
+        F.lit("dominant").alias("source"))
+    src = str(tmp_path / "skew_tokens")
+    docs.write.parquet(src)
+    pipeline.encode_path(spark, src, out, cluster_partitions=8)
+    stats = (pipeline.read_chunks(spark, out)
+             .groupBy("part_id").agg(F.sum("n_tokens").alias("toks"))
+             .collect())
+    loads = sorted(r.toks for r in stats)
+    # max partition carries < 3x the mean (unsalted, all heavy docs of the
+    # single (source, bucket) pair would collapse into one partition)
+    mean = sum(loads) / len(loads)
+    assert loads[-1] < 3 * mean, loads
