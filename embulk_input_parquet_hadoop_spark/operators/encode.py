@@ -281,28 +281,130 @@ def decode_string_column(kind: str, blob: bytes) -> pa.Array:
     return out
 
 
+_FLOAT_DTYPES = {pa.float32(): ("f32", np.float32),
+                 pa.float64(): ("f64", np.float64)}
+
+
+def encode_float_column(arr: pa.Array) -> tuple[str, bytes]:
+    """float32/float64: byte-plane + zstd (the BYTE_STREAM_SPLIT trade for
+    floating point — exponent/sign bytes compress, mantissa bytes don't)."""
+    kind, np_dtype = _FLOAT_DTYPES[arr.type]
+    blob = b""
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        blob += _validity_frame(valid)
+        arr = arr.fill_null(0.0)
+    a = np.ascontiguousarray(arr.to_numpy(zero_copy_only=False),
+                             dtype=np_dtype)
+    payload, params = _maybe_compress(a.tobytes(), {"dt": a.dtype.str},
+                                      a.dtype.itemsize)
+    blob += framing.write_frame("plain", "bytes", len(a), params, payload)
+    return kind, blob
+
+
+def decode_float_column(kind: str, blob: bytes) -> pa.Array:
+    frames = framing.read_frames(blob)
+    valid = None
+    if frames[0].dtype == "uint1":
+        valid = _decode_validity(frames[0])
+        frames = frames[1:]
+    data = _decompress(frames[0])
+    vals = np.frombuffer(data, dtype=np.dtype(frames[0].params["dt"]))
+    if valid is None:
+        return pa.array(vals)
+    return pa.array(np.ma.masked_array(vals, mask=~valid))
+
+
+def encode_list_f32_column(arr: pa.Array) -> tuple[str, bytes]:
+    """list<float> (embedding columns): offsets frame + float payload."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("list_f32 encoder requires non-null lists")
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    vals = np.ascontiguousarray(vals[offs[0]: offs[-1]], dtype=np.float32)
+    offs = offs - offs[0]
+    payload, params = _maybe_compress(vals.tobytes(), {"dt": "<f4"}, 4)
+    blob = _int_frame(offs, "int64") + framing.write_frame(
+        "plain", "bytes", len(vals), params, payload)
+    return "list_f32", blob
+
+
+def decode_list_f32_column(blob: bytes) -> pa.Array:
+    off_frame, val_frame = framing.read_frames(blob)
+    offs = _decode_int_frame(off_frame).astype(np.int32)
+    vals = np.frombuffer(_decompress(val_frame), dtype=np.float32)
+    return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                    pa.array(vals, type=pa.float32()))
+
+
+def encode_arrow_ipc_column(arr: pa.Array) -> tuple[str, bytes]:
+    """Universal fallback: any Arrow type (structs, maps, nested lists,
+    decimals, timestamps — the reference's full §1.2 type matrix) as a
+    zstd-compressed Arrow IPC stream. Bit-exact round-trip for every type
+    Arrow can represent; no lightweight-codec wins, but never a refusal."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    sink = pa.BufferOutputStream()
+    batch = pa.RecordBatch.from_arrays([arr], names=["c"])
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    data = sink.getvalue().to_pybytes()
+    payload, params = _maybe_compress(data, {})
+    return "arrow", framing.write_frame("plain", "bytes", len(arr), params,
+                                        payload)
+
+
+def decode_arrow_ipc_column(blob: bytes) -> pa.Array:
+    frame = framing.read_frames(blob)[0]
+    data = _decompress(frame)
+    with pa.ipc.open_stream(data) as r:
+        batches = list(r)
+    return pa.concat_arrays([b.column(0) for b in batches])
+
+
 ENCODERS = {
     "int": encode_int_column,
     "list_i32": encode_list_i32_column,
     "str": encode_string_column,
+    "f32": encode_float_column,
+    "f64": encode_float_column,
+    "list_f32": encode_list_f32_column,
+    "arrow": encode_arrow_ipc_column,
 }
 
 
 def encode_column(arr: pa.Array) -> tuple[str, bytes]:
-    """Dispatch on Arrow type; returns (kind, blob)."""
+    """Dispatch on Arrow type; returns (kind, blob).
+
+    Covers the reference's type matrix (§1.2 of SURVEY.md): specialized
+    lightweight-codec paths for the shapes that dominate token corpora,
+    and the Arrow IPC fallback for everything else (struct/map/nested —
+    the converter families at ``ParquetValueConverter.java:282-337``)."""
     t = arr.type
     if t in _INT_DTYPES:
         return encode_int_column(arr)
     if pa.types.is_list(t) and t.value_type == pa.int32():
         return encode_list_i32_column(arr)
+    if pa.types.is_list(t) and t.value_type == pa.float32():
+        return encode_list_f32_column(arr)
+    if t in _FLOAT_DTYPES:
+        return encode_float_column(arr)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return encode_string_column(arr)
-    raise NotImplementedError(f"no encoder for Arrow type {t}")
+    return encode_arrow_ipc_column(arr)
 
 
 def decode_column(kind: str, blob: bytes) -> pa.Array:
     if kind == "int":
         return decode_int_column(blob)
+    if kind in ("f32", "f64"):
+        return decode_float_column(kind, blob)
+    if kind == "list_f32":
+        return decode_list_f32_column(blob)
+    if kind == "arrow":
+        return decode_arrow_ipc_column(blob)
     if kind == "list_i32":
         return decode_list_i32_column(blob)
     if kind in ("str_direct", "str_dict"):

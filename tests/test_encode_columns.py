@@ -78,6 +78,72 @@ def test_empty_arrays():
         pa.array([], type=pa.string()))
 
 
-def test_unsupported_type_raises():
-    with pytest.raises(NotImplementedError):
-        encode_column(pa.array([1.5, 2.5]))
+def test_every_type_is_encodable():
+    # no refusals: floats hit the specialized path, exotic types the
+    # arrow-ipc fallback
+    kind, _ = encode_column(pa.array([1.5, 2.5]))
+    assert kind == "f64"
+    kind, _ = encode_column(pa.array([b"x", b"yz"], type=pa.binary()))
+    assert kind == "arrow"
+
+
+# --- extended type coverage: floats, list<float>, arbitrary Arrow types ----
+
+def test_float_roundtrip():
+    import numpy as np
+    rng = np.random.default_rng(4)
+    for dt in (pa.float32(), pa.float64()):
+        vals = rng.normal(size=5000).astype(dt.to_pandas_dtype())
+        vals[17] = np.nan
+        vals[42] = np.inf
+        arr = pa.array(vals, type=dt)
+        out = _roundtrip(arr)
+        assert out.type == dt
+        a, b = np.asarray(arr), np.asarray(out)
+        assert np.array_equal(a.view("uint8"), b.view("uint8"))  # bit-exact
+
+
+def test_float_with_nulls_roundtrip():
+    arr = pa.array([1.5, None, -2.25, None, 0.0], type=pa.float32())
+    out = _roundtrip(arr)
+    assert out.to_pylist() == arr.to_pylist()
+
+
+def test_list_f32_roundtrip_embeddings_shape():
+    import numpy as np
+    rng = np.random.default_rng(9)
+    vecs = [rng.normal(size=64).astype(np.float32) for _ in range(300)]
+    arr = pa.array([v.tolist() for v in vecs],
+                   type=pa.list_(pa.float32()))
+    out = _roundtrip(arr)
+    got = np.stack([np.asarray(x) for x in out.to_pylist()],
+                   dtype=np.float32)
+    want = np.stack(vecs)
+    assert np.array_equal(got.view("uint8"), want.view("uint8"))
+
+
+def test_arrow_ipc_fallback_struct_map_nested():
+    arr = pa.array(
+        [{"a": 1, "b": [1, 2], "m": [("k", 1.5)]},
+         None,
+         {"a": 2, "b": [], "m": []}],
+        type=pa.struct([("a", pa.int64()),
+                        ("b", pa.list_(pa.int32())),
+                        ("m", pa.map_(pa.string(), pa.float64()))]))
+    kind, blob = encode_column(arr)
+    assert kind == "arrow"
+    out = decode_column(kind, blob)
+    assert out.to_pylist() == arr.to_pylist()
+
+
+def test_arrow_ipc_fallback_timestamp_decimal():
+    import datetime
+    import decimal
+    ts = pa.array([datetime.datetime(2026, 1, 1, 12, 0, 0), None],
+                  type=pa.timestamp("us"))
+    dec = pa.array([decimal.Decimal("1234.56"), None],
+                   type=pa.decimal128(10, 2))
+    for arr in (ts, dec):
+        kind, blob = encode_column(arr)
+        assert kind == "arrow"
+        assert decode_column(kind, blob).to_pylist() == arr.to_pylist()

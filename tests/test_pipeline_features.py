@@ -120,3 +120,20 @@ def test_clustered_encode_balances_skew(spark, tmp_path):
     # single (source, bucket) pair would collapse into one partition)
     mean = sum(loads) / len(loads)
     assert loads[-1] < 3 * mean, loads
+
+
+def test_encode_embeddings_table_roundtrip(spark, tmp_path):
+    """Full pipeline over a non-token table (vec_id bigint,
+    embedding array<float>, label int) — the extended type coverage."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "emb_out")
+    totals = pipeline.encode_path(spark, src, out)
+    assert totals["n_rows"] == 500
+    chunks = pipeline.read_chunks(spark, out)
+    dec = pipeline.decode_chunks(
+        chunks, ["vec_id", "embedding", "label"],
+        "vec_id bigint, embedding array<float>, label int")
+    srcdf = spark.read.parquet(src)
+    assert dec.count() == 500
+    assert dec.exceptAll(srcdf).count() == 0
+    assert srcdf.exceptAll(dec).count() == 0
