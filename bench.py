@@ -166,11 +166,17 @@ def main() -> None:
                                max(128, scale_docs // 9400))
 
     # Two N->4N pairs: 2->8 (below the host's CPU quota) and
-    # CPUS/4->CPUS (runs into it; judged against the measured ceiling)
-    low2 = run_encode(2, scale_path, "c2")
+    # CPUS/4->CPUS (runs into it; judged against the measured ceiling).
+    # Interleave the repeats across levels so the host's minute-scale
+    # CPU-steal drift doesn't bias one level against another.
     low_cores = max(2, CPUS // 4)
-    low = run_encode(low_cores, scale_path, f"c{low_cores}")
-    high_scale = run_encode(CPUS, scale_path, f"c{CPUS}")
+    runs: dict[int, dict] = {}
+    for _ in range(2):
+        for cores in (2, low_cores, CPUS):
+            r = run_encode(cores, scale_path, f"c{cores}", repeats=1)
+            if cores not in runs or r["wall_s"] < runs[cores]["wall_s"]:
+                runs[cores] = r
+    low2, low, high_scale = runs[2], runs[low_cores], runs[CPUS]
     eff = high_scale["tokens_per_sec"] / (4 * low["tokens_per_sec"])
     eff_2_8 = low["tokens_per_sec"] / (4 * low2["tokens_per_sec"]) \
         if low_cores == 8 else None
