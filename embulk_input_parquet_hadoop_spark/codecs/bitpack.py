@@ -47,7 +47,12 @@ def pack(values: np.ndarray, width: int) -> bytes:
     if width > MAX_WIDTH:
         raise ValueError(f"width {width} > {MAX_WIDTH}")
     if width in _ALIGNED:
-        return _as_u64(values).astype(_ALIGNED[width], copy=False).tobytes()
+        # direct narrowing cast from the native dtype (no uint64 detour);
+        # int64 views as uint64 first to dodge the slow signed->unsigned
+        # kernel, everything else casts straight to the target width
+        v = values.view(np.uint64) if values.dtype == np.int64 else values
+        return np.ascontiguousarray(v).astype(_ALIGNED[width],
+                                              copy=False).tobytes()
     v = _as_u64(np.ascontiguousarray(values))
     nbytes = (n * width + 7) // 8
     out = np.zeros(nbytes + 16, dtype=np.uint8)  # slack: full-u64 writes

@@ -47,15 +47,19 @@ def plain_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
 # --- frame-of-reference (FOR): subtract min, bit-pack the deltas ------------
 
 def for_encode(arr: np.ndarray) -> tuple[bytes, dict]:
-    a = _as_i64(arr)
-    if len(a) == 0:
+    if len(arr) == 0:
         return b"", {"min": 0, "w": 0}
-    vmin = int(a.min())
-    vmax = int(a.max())
+    vmin = int(arr.min())
+    vmax = int(arr.max())
     if not _range_ok(vmin, vmax):
         raise OverflowError("FOR range exceeds 63 bits")
-    deltas = (a - vmin).view(np.uint64)
     w = bitpack.bit_width(vmax - vmin)
+    if arr.dtype == np.int32 and vmax - vmin < 2 ** 31:
+        # int32 fast path: subtract in int32, reinterpret unsigned — half
+        # the memory traffic of the int64 route on the hottest input shape
+        deltas = (arr - np.int32(vmin)).view(np.uint32)
+    else:
+        deltas = (_as_i64(arr) - vmin).view(np.uint64)
     return bitpack.pack(deltas, w), {"min": vmin, "w": w}
 
 

