@@ -67,3 +67,50 @@ def test_token_rate_monitor_windows(spark, tmp_path):
     assert got[("web", 0)] == 150
     assert got[("web", 1)] == 30
     assert got[("books", 0)] == 70
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """Same fingerprint in batch 1 and batch 2 -> emitted once."""
+    from embulk_input_parquet_hadoop_spark.streaming import stateful
+    src = str(tmp_path / "dd_src")
+    rows1 = [("a", [1, 2, 3], 3, "web"), ("b", [4, 5], 2, "web")]
+    rows2 = [("c", [1, 2, 3], 3, "web"),   # dup of a (same tokens)
+             ("d", [9], 1, "books")]
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string"
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.mode("append") \
+        .parquet(src)
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = stateful.dedup_stream(stateful.with_fingerprint(stream))
+    q = (deduped.writeStream.format("memory").queryName("dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id from dd").collect()
+    ids = sorted(r.doc_id for r in got)
+    # a/c collapse to one (either file can arrive first), b and d pass
+    assert len(ids) == 3
+    assert ("a" in ids) != ("c" in ids)
+    assert "b" in ids and "d" in ids
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from embulk_input_parquet_hadoop_spark.streaming import stateful
+    src = str(tmp_path / "rt_src")
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string"
+    spark.createDataFrame([("a", [1], 10, "web"), ("b", [2], 5, "web")],
+                          ddl).coalesce(1).write.parquet(src)
+    spark.createDataFrame([("c", [3], 7, "web"), ("d", [4], 2, "books")],
+                          ddl).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    totals = stateful.running_totals_stream(stream)
+    q = (totals.writeStream.format("memory").queryName("rt")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select source, max(total_tokens) t, max(total_docs) d "
+        "from rt group by source").collect()
+    got = {r.source: (r.t, r.d) for r in rows}
+    assert got["web"] == (22, 3)
+    assert got["books"] == (2, 1)
