@@ -198,10 +198,13 @@ def main() -> None:
     ref_bytes = parquet_reference_size(tokens_path)
     enc_disk = dir_size(f"{high['out_dir']}/chunks")
 
-    # decode-verify the high run (correctness gate inside the bench)
+    # decode-verify the high run (correctness gate inside the bench);
+    # timed: decode + full-outer-join bit-identity check over every row
     spark = get_spark("bench-verify", cores=CPUS)
     try:
+        t0 = time.perf_counter()
         vres = verify.verify_path(spark, tokens_path, high["out_dir"])
+        verify_wall = time.perf_counter() - t0
     finally:
         spark.stop()
 
@@ -244,6 +247,8 @@ def main() -> None:
             "vs_parquet_zstd": round(enc_disk / ref_bytes, 4),
         },
         "verify_ok": vres["ok"],
+        "decode_verify_tokens_per_sec": round(
+            high["n_tokens"] / verify_wall, 1),
     }
     print(json.dumps(result))
 

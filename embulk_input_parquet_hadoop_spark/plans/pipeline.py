@@ -38,6 +38,7 @@ Catalyst pushdown and the salted clustering repartition apply first.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -401,6 +402,10 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             continue
         t0 = time.perf_counter()
         wave_dir = f"{out_dir}/chunks/wave={wave_id}"
+        # an uncommitted wave dir may hold parts from a previous failed
+        # attempt; a retry with a different file list would otherwise
+        # leave stale parts behind and duplicate data on decode
+        shutil.rmtree(wave_dir, ignore_errors=True)
         if cluster_partitions:
             df = spark.read.parquet(*wfiles)
             encode_df(spark, df, out_dir, wave_id, cluster_partitions)

@@ -137,3 +137,27 @@ def test_encode_embeddings_table_roundtrip(spark, tmp_path):
     assert dec.count() == 500
     assert dec.exceptAll(srcdf).count() == 0
     assert srcdf.exceptAll(dec).count() == 0
+
+
+def test_retry_cleans_stale_wave_parts(spark, tokens_dir, tmp_path):
+    """A failed attempt's leftover chunk files must not survive a retry
+    with a different partition layout (no duplicated rows on decode)."""
+    import shutil as sh
+    out = str(tmp_path / "retry_out")
+    # attempt 1: encode everything (4 files -> parts 0..3), then forge a
+    # crash-before-commit by deleting the manifest + meta
+    pipeline.encode_path(spark, tokens_dir, out)
+    sh.rmtree(f"{out}/manifest")
+    sh.rmtree(f"{out}/chunks_meta")
+    # attempt 2: same wave id but only half the files (fewer partitions)
+    files = sorted(spark.read.parquet(tokens_dir).inputFiles())[:2]
+    sub = str(tmp_path / "sub_tokens")
+    import os
+    os.makedirs(sub)
+    for f in files:
+        sh.copy(f.replace("file:", ""), sub)
+    totals = pipeline.encode_path(spark, sub, out)
+    assert totals["n_rows"] == 1000
+    dec = pipeline.decode_chunks(pipeline.read_chunks(spark, out),
+                                 ["doc_id"], "doc_id string")
+    assert dec.count() == 1000  # no stale parts from attempt 1
