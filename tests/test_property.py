@@ -1,0 +1,97 @@
+"""Property-based fuzzing of the codec layer (hypothesis).
+
+encode ∘ decode = identity for every codec on arbitrary inputs — the same
+contract the fixed adversarial arrays in test_codecs.py pin down, but
+sampled over the full input space, including pathological distributions
+hypothesis invents (shrinks to minimal counterexamples on failure).
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from embulk_input_parquet_hadoop_spark.codecs import bitpack, fsst
+from embulk_input_parquet_hadoop_spark.codecs.intcodecs import INT_CODECS
+from embulk_input_parquet_hadoop_spark.operators.encode import (
+    decode_column, encode_column)
+from embulk_input_parquet_hadoop_spark.operators.select import encode_best
+
+SETTINGS = dict(max_examples=40, deadline=None)
+
+
+@given(vals=arrays(np.uint64, st.integers(0, 300),
+                   elements=st.integers(0, 2 ** 63 - 1)),
+       width=st.integers(1, 64))
+@settings(**SETTINGS)
+def test_bitpack_roundtrip_any_width(vals, width):
+    mask = np.uint64((1 << width) - 1) if width < 64 \
+        else np.uint64(0xFFFFFFFFFFFFFFFF)
+    v = vals & mask
+    assert np.array_equal(bitpack.unpack(bitpack.pack(v, width), width,
+                                         len(v)), v)
+
+
+@given(vals=arrays(np.int64, st.integers(0, 400),
+                   elements=st.integers(-2 ** 61, 2 ** 61)))
+@settings(**SETTINGS)
+def test_every_int_codec_roundtrip(vals):
+    for name, (enc, dec) in INT_CODECS.items():
+        try:
+            payload, params = enc(vals)
+        except OverflowError:
+            continue  # documented FOR/RLE/dict range limit
+        out = dec(payload, params, len(vals))
+        assert np.array_equal(out, vals), name
+
+
+@given(vals=arrays(np.int32, st.integers(0, 400),
+                   elements=st.integers(-2 ** 31, 2 ** 31 - 1)))
+@settings(**SETTINGS)
+def test_encode_best_roundtrip_int32(vals):
+    codec, payload, params = encode_best(vals)
+    _, dec = INT_CODECS[codec]
+    assert np.array_equal(dec(payload, params, len(vals)),
+                          vals.astype(np.int64))
+
+
+@given(data=st.binary(max_size=2000))
+@settings(**SETTINGS)
+def test_fsst_roundtrip(data):
+    payload, params = fsst.encode(data)
+    assert fsst.decode(payload, params) == data
+
+
+@given(rows=st.lists(st.one_of(
+    st.none(),
+    st.lists(st.integers(-2 ** 31, 2 ** 31 - 1), max_size=30)),
+    max_size=60))
+@settings(**SETTINGS)
+def test_int_list_column_roundtrip(rows):
+    # encode_column requires non-null lists (input_hint contract)
+    rows = [r if r is not None else [] for r in rows]
+    arr = pa.array(rows, type=pa.list_(pa.field("item", pa.int32(),
+                                                nullable=False)))
+    kind, blob = encode_column(arr)
+    out = decode_column(kind, blob)
+    assert out.to_pylist() == rows
+
+
+@given(rows=st.lists(st.one_of(st.none(), st.text(max_size=40)),
+                     max_size=80))
+@settings(**SETTINGS)
+def test_string_column_roundtrip(rows):
+    arr = pa.array(rows, type=pa.string())
+    kind, blob = encode_column(arr)
+    assert decode_column(kind, blob).to_pylist() == rows
+
+
+@given(rows=st.lists(st.one_of(st.none(),
+                               st.integers(-2 ** 63, 2 ** 63 - 1)),
+                     max_size=80))
+@settings(**SETTINGS)
+def test_int64_column_with_nulls_roundtrip(rows):
+    arr = pa.array(rows, type=pa.int64())
+    kind, blob = encode_column(arr)
+    assert decode_column(kind, blob).to_pylist() == rows
