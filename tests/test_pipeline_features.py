@@ -161,3 +161,23 @@ def test_retry_cleans_stale_wave_parts(spark, tokens_dir, tmp_path):
     dec = pipeline.decode_chunks(pipeline.read_chunks(spark, out),
                                  ["doc_id"], "doc_id string")
     assert dec.count() == 1000  # no stale parts from attempt 1
+
+
+def test_compression_beats_spark_parquet_zstd(spark, tmp_path):
+    """North-star size contract: encoded bytes on disk <= Spark's own
+    df.write.parquet(zstd) of identical data (needs enough rows that
+    chunk-level dictionaries/symbol tables amortize)."""
+    src = str(tmp_path / "size_tokens")
+    datagen.generate(src, n_docs=6000, seed=21, n_files=4)
+    out = str(tmp_path / "size_out")
+    pipeline.encode_path(spark, src, out)
+    ref = str(tmp_path / "parquet_ref")
+    spark.read.parquet(src).write.option("compression", "zstd").parquet(ref)
+
+    def psize(d):
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(d) for f in fs
+                   if f.endswith(".parquet"))
+
+    ours, theirs = psize(f"{out}/chunks"), psize(ref)
+    assert ours <= theirs, (ours, theirs)
