@@ -411,14 +411,18 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             encode_df(spark, df, out_dir, wave_id, cluster_partitions)
             meta = None
         else:
-            paths = spark.createDataFrame([(f,) for f in wfiles],
-                                          "path string")
-            # round-robin: one partition per file -> reference's task unit
-            enc = (paths.repartition(len(wfiles))
-                   .mapInArrow(make_encode_files_fn(wave_id, wave_dir,
-                                                    batch_rows,
-                                                    columns=columns),
-                               CHUNK_META_SPARK_SCHEMA))
+            # exactly one file per partition -> the reference's task unit
+            # (repartition(n)'s round-robin from random starts lands 2-3
+            # files on ~1/3 of partitions and leaves the rest empty, which
+            # doubles the straggler tail; parallelize's even slicing is
+            # exact)
+            rdd = spark.sparkContext.parallelize(
+                [(f,) for f in wfiles], len(wfiles))
+            paths = spark.createDataFrame(rdd, "path string")
+            enc = paths.mapInArrow(
+                make_encode_files_fn(wave_id, wave_dir, batch_rows,
+                                     columns=columns),
+                CHUNK_META_SPARK_SCHEMA)
             # one action runs the wave; the stats rows that come back are
             # O(n_chunks) — driver-side write (like the manifest record)
             # instead of a second Spark job
