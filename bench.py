@@ -175,7 +175,7 @@ def main() -> None:
     runs: dict[int, dict] = {}
     effs_low_high: list[float] = []
     effs_2_8: list[float] = []
-    for _ in range(2):
+    for _ in range(3):
         rnd = {}
         for cores in (2, low_cores, CPUS):
             rnd[cores] = run_encode(cores, scale_path, f"c{cores}",
