@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashes import md5_long, words
+from ..functions.hashes import words
 
 
 def exact_dup_stats(df: DataFrame, id_col: str, text_col: str,

@@ -85,18 +85,24 @@ def extract_features(media: DataFrame) -> DataFrame:
             n = len(offs) - 1
             sizes = np.diff(offs)
             starts = offs[:-1]
-            data64 = data.astype(np.int64)
-            # reduceat needs strictly valid start indices; empty payloads
-            # (size 0) contribute identity values and are masked after
-            safe_starts = np.minimum(starts, max(len(data) - 1, 0))
-            if len(data):
-                sums = np.add.reduceat(data64, safe_starts)
-                mins = np.minimum.reduceat(data64, safe_starts)
-                maxs = np.maximum.reduceat(data64, safe_starts)
-            else:
-                sums = np.zeros(n, dtype=np.int64)
-                mins = np.zeros(n, dtype=np.int64)
-                maxs = np.zeros(n, dtype=np.int64)
+            # One sentinel element appended so a start index == len(data)
+            # (empty payloads at the end of the batch) stays a valid
+            # reduceat index WITHOUT clamping — clamping a start shrinks
+            # the range of the preceding non-empty payload and corrupts
+            # its stats. The sentinel also joins the LAST payload's
+            # reduction range, so each reduction gets its own identity
+            # sentinel (0 for sums, +/-2^62 for min/max).
+            d = data.astype(np.int64)
+
+            def ext(sentinel):
+                return np.concatenate(
+                    [d, np.array([sentinel], dtype=np.int64)])
+
+            sums = np.add.reduceat(ext(0), starts)
+            mins = np.minimum.reduceat(ext(1 << 62), starts)
+            maxs = np.maximum.reduceat(ext(-(1 << 62)), starts)
+            # rows with size 0 got reduceat's single-element identity
+            # (value at their start index); zero them out
             empty = sizes == 0
             sums[empty] = 0
             mins[empty] = 0
@@ -104,14 +110,13 @@ def extract_features(media: DataFrame) -> DataFrame:
             mean = np.divide(sums, sizes, out=np.zeros(n, dtype=np.float64),
                              where=sizes > 0)
             # positional checksum: sum(byte * (1 + pos_in_payload)) mod 2^31
-            pos = np.arange(len(data), dtype=np.int64)
-            pos -= np.repeat(starts, sizes.astype(np.int64))
-            weighted = data64 * (pos + 1)
-            if len(data):
-                csums = np.add.reduceat(weighted, safe_starts)
-                csums[empty] = 0
-            else:
-                csums = np.zeros(n, dtype=np.int64)
+            pos = np.zeros(len(data) + 1, dtype=np.int64)
+            pos[:-1] = np.arange(len(data), dtype=np.int64)
+            pos[:-1] -= np.repeat(starts, sizes.astype(np.int64))
+            weighted = ext(0) * (pos + 1)
+            weighted[-1] = 0  # sentinel contributes nothing
+            csums = np.add.reduceat(weighted, starts)
+            csums[empty] = 0
             yield pa.RecordBatch.from_arrays(
                 [batch.column("doc_id"), batch.column("kind"),
                  pa.array(sizes.astype(np.int32)),

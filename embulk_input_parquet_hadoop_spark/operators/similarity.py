@@ -40,9 +40,13 @@ def _norm(a: Column) -> Column:
 
 def _unit(a: Column) -> Column:
     """Per-row normalized double vector — computed once per row *before*
-    any pairwise join, so an n^2 join does only the dot product."""
+    any pairwise join, so an n^2 join does only the dot product. Zero
+    vectors normalize to themselves (divide by 1), matching the bucketed
+    path's convention — without the guard one all-zero embedding aborts
+    the whole job under Spark's default ANSI mode (DIVIDE_BY_ZERO)."""
     n = _norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    safe = F.when(n != 0.0, n).otherwise(F.lit(1.0))
+    return F.transform(a, lambda x: x.cast("double") / safe)
 
 
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 20,
@@ -56,13 +60,13 @@ def cosine_topk(emb: DataFrame, query_id: int, k: int = 20,
     """
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec"))
+    denom = _norm(F.col(vec_col)) * _norm(F.col("_qvec"))
+    cos = F.when(denom != 0.0,
+                 _dot(F.col(vec_col), F.col("_qvec")) / denom) \
+        .otherwise(F.lit(0.0))
     scored = (emb.crossJoin(F.broadcast(q))
               .filter(F.col(id_col) != query_id)
-              .select(
-                  F.col(id_col),
-                  F.round(_dot(F.col(vec_col), F.col("_qvec"))
-                          / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
-                          4).alias("cos_sim")))
+              .select(F.col(id_col), F.round(cos, 4).alias("cos_sim")))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 

@@ -132,9 +132,12 @@ def _encode_one_batch(batch: pa.RecordBatch, wave_id: int, pid: int,
         kind, blob = encode_column(col)
         vmin = vmax = None
         if kind == "list_i32":
-            n_tokens += len(col.values) if col.offset == 0 else int(
-                col.offsets[-1].as_py() - col.offsets[0].as_py())
-            mm = pa.compute.min_max(col.values)
+            # flatten() honors the array's logical window (a raw .values
+            # would span the whole child buffer for sliced arrays,
+            # overcounting tokens and widening the zone map)
+            flat = col.flatten()
+            n_tokens += len(flat)
+            mm = pa.compute.min_max(flat)
         elif kind == "int":
             mm = pa.compute.min_max(col)
         else:
@@ -466,11 +469,16 @@ def prune_chunks(chunks: DataFrame, column: str,
     formats (the reference leaves its filter slot NOOP,
     ``ParquetRowReader.java:71``).
     """
-    c = F.element_at(
-        F.filter(F.col("cols"), lambda x: x["name"] == F.lit(column)), 1)
+    # F.get is null-safe out of bounds (element_at throws under ANSI when
+    # the column is absent from a chunk); null stats (string/float/arrow
+    # kinds record no zone map) must be KEPT — pruning may only drop a
+    # chunk when its stats prove it cannot match, exactly like Parquet
+    # row-group statistics pruning
+    c = F.get(F.filter(F.col("cols"),
+                       lambda x: x["name"] == F.lit(column)), 0)
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & (c["vmax"] >= F.lit(lo))
+        keep = keep & (c["vmax"].isNull() | (c["vmax"] >= F.lit(lo)))
     if hi is not None:
-        keep = keep & (c["vmin"] <= F.lit(hi))
+        keep = keep & (c["vmin"].isNull() | (c["vmin"] <= F.lit(hi)))
     return chunks.filter(keep)

@@ -32,17 +32,27 @@ TOTALS_OUT_DDL = "source string, total_tokens long, total_docs long"
 TOTALS_STATE_DDL = "total_tokens long, total_docs long"
 
 
-def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
-                 state: GroupState) -> Iterator[pd.DataFrame]:
-    already = state.exists
-    first_emitted = False
-    for pdf in pdfs:
-        if already or first_emitted or len(pdf) == 0:
-            continue
-        yield pdf.iloc[[0]]
-        first_emitted = True
-    if first_emitted and not already:
-        state.update((1,))
+def _make_dedup_group(ttl_ms: int | None):
+    def dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # forget this fingerprint; frees the state slot
+            return
+        already = state.exists
+        first_emitted = False
+        for pdf in pdfs:
+            if already or first_emitted or len(pdf) == 0:
+                continue
+            yield pdf.iloc[[0]]
+            first_emitted = True
+        if first_emitted or already:
+            state.update((1,))
+            if ttl_ms is not None:
+                # refresh the TTL on every sighting; an expired entry may
+                # re-admit a duplicate — the standard bounded-state trade
+                state.setTimeoutDuration(ttl_ms)
+
+    return dedup_group
 
 
 def dedup_stream(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
@@ -50,13 +60,16 @@ def dedup_stream(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
 
     Input: the tokens-table stream plus a ``fp`` fingerprint column (add
     one with ``with_fingerprint``). Output: first occurrence of each
-    fingerprint only, across all micro-batches of the query.
+    fingerprint only, across all micro-batches of the query. ``ttl_ms``
+    bounds the state store: fingerprints unseen for that long are
+    forgotten (and could then be re-admitted once).
     """
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
                else GroupStateTimeout.NoTimeout)
     return (stream.groupBy("fp")
-            .applyInPandasWithState(_dedup_group, DEDUP_OUT_DDL,
-                                    DEDUP_STATE_DDL, "append", timeout))
+            .applyInPandasWithState(_make_dedup_group(ttl_ms),
+                                    DEDUP_OUT_DDL, DEDUP_STATE_DDL,
+                                    "append", timeout))
 
 
 def with_fingerprint(df: DataFrame, text_from_tokens: bool = True) -> DataFrame:

@@ -76,3 +76,24 @@ def test_decode_real_media_is_stubbed(media):
         pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_real_media(media)
+
+
+def test_extract_features_with_empty_payloads(spark):
+    """Empty payloads anywhere in the batch — including trailing — must not
+    corrupt neighbouring rows' statistics (regression: clamped reduceat
+    start indices truncated the preceding payload's range)."""
+    rows = [("a", "image", b"abc"), ("b", "image", b""),
+            ("c", "image", b"\x05\x01\x09"), ("d", "image", b""),
+            ("e", "image", b"")]
+    df = spark.createDataFrame(rows, "doc_id string, kind string, "
+                                     "payload binary")
+    got = {r.doc_id: r for r in multimodal.extract_features(df).collect()}
+    assert got["a"].n_bytes == 3
+    assert got["a"].min_val == ord("a") and got["a"].max_val == ord("c")
+    assert got["a"].mean_val == (97 + 98 + 99) / 3
+    assert got["a"].checksum == 97 * 1 + 98 * 2 + 99 * 3
+    assert got["c"].min_val == 1 and got["c"].max_val == 9
+    assert got["c"].checksum == 5 * 1 + 1 * 2 + 9 * 3
+    for d in ("b", "d", "e"):
+        assert (got[d].n_bytes, got[d].mean_val, got[d].min_val,
+                got[d].max_val, got[d].checksum) == (0, 0.0, 0, 0, 0)

@@ -181,3 +181,16 @@ def test_compression_beats_spark_parquet_zstd(spark, tmp_path):
 
     ours, theirs = psize(f"{out}/chunks"), psize(ref)
     assert ours <= theirs, (ours, theirs)
+
+
+def test_prune_chunks_keeps_statless_columns(spark, tokens_dir, tmp_path):
+    """Chunks with null zone maps (string columns) or a missing column must
+    be KEPT — pruning may only act on proof."""
+    out = str(tmp_path / "prune_null")
+    pipeline.encode_path(spark, tokens_dir, out)
+    chunks = pipeline.read_chunks(spark, out)
+    total = chunks.count()
+    # doc_id is a string column: no zone map -> nothing may be pruned
+    assert pipeline.prune_chunks(chunks, "doc_id", lo=0).count() == total
+    # unknown column: no proof -> nothing pruned, no ANSI error
+    assert pipeline.prune_chunks(chunks, "nope", lo=0, hi=1).count() == total

@@ -114,3 +114,23 @@ def test_stateful_running_totals(spark, tmp_path):
     got = {r.source: (r.t, r.d) for r in rows}
     assert got["web"] == (22, 3)
     assert got["books"] == (2, 1)
+
+
+def test_stateful_dedup_with_ttl_still_dedups(spark, tmp_path):
+    """TTL path: timeouts are registered per group, dedup still holds
+    within the TTL window across micro-batches."""
+    from embulk_input_parquet_hadoop_spark.streaming import stateful
+    src = str(tmp_path / "ttl_src")
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string"
+    spark.createDataFrame([("a", [7, 7], 2, "web")], ddl) \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame([("b", [7, 7], 2, "web")], ddl) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = stateful.dedup_stream(stateful.with_fingerprint(stream),
+                                    ttl_ms=3_600_000)
+    q = (deduped.writeStream.format("memory").queryName("ddttl")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) c from ddttl").collect()[0].c == 1
