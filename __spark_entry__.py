@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from embulk_input_parquet_hadoop_spark.functions.hashes import token_ids  # noqa: E402
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
-    dedup, multimodal, similarity, textstats)
+    asof, dedup, multimodal, similarity, textstats)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -289,6 +289,27 @@ def q25_multimodal_features(spark, sf_dir):
                  F.sum("checksum").alias("checksum_sum")))
 
 
+def q27_asof_purchase_signup(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest prior signup
+    (Spark has no ASOF JOIN; ours is a union+window composition, the
+    oracle uses DuckDB's native ASOF LEFT JOIN)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value")
+    j = asof.asof_join(purchases, signups, on="user_id",
+                       right_cols=["value"])
+    return j.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("ts_asof").isNotNull().cast("int")).alias("n_matched"),
+        F.round(F.avg(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("ts_asof").cast("timestamp"))) / 1e6), 2)
+        .alias("avg_gap_s"),
+        F.round(F.sum("value_asof"), 2).alias("sum_signup_value"))
+
+
 def q26_srp_neardup_bucketed(spark, sf_dir):
     # weak-check (no oracle): bucket ids depend on libm sin() ulps
     return similarity.srp_neardup_pairs(_t(spark, sf_dir, "embeddings"),
@@ -323,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_embedding_neardup_pairs": q24_embedding_neardup_pairs,
         "q25_multimodal_features": q25_multimodal_features,
         "q26_srp_neardup_bucketed": q26_srp_neardup_bucketed,
+        "q27_asof_purchase_signup": q27_asof_purchase_signup,
     }
 
 
@@ -594,6 +616,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT)
                        AS token_sum
             FROM toks GROUP BY source
+        """,
+        "q27_asof_purchase_signup": """
+            WITH p AS (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'purchase'),
+                 s AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'signup')
+            SELECT count(*) AS n_purchases,
+                   CAST(sum(CASE WHEN s.ts IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   round(avg(epoch(p.ts) - epoch(s.ts)), 2) AS avg_gap_s,
+                   round(sum(s.value), 2) AS sum_signup_value
+            FROM p ASOF LEFT JOIN s
+                 ON p.user_id = s.user_id AND p.ts >= s.ts
         """,
         "q23_fingerprint_dups": """
             SELECT source, count(*) AS n_docs,
