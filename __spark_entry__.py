@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from embulk_input_parquet_hadoop_spark.functions.hashes import token_ids  # noqa: E402
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
-    asof, dedup, multimodal, similarity, textstats)
+    asof, dedup, multimodal, rangejoin, similarity, textstats)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -310,6 +310,23 @@ def q27_asof_purchase_signup(spark, sf_dir):
         F.round(F.sum("value_asof"), 2).alias("sum_signup_value"))
 
 
+def q28_range_join_signup_purchase(spark, sf_dir):
+    """Bucketed range join: purchases within 1h strictly after a signup by
+    the same user (Spark lacks a native range-join optimization; ours
+    equi-joins on (user, time-bucket) and re-checks exact bounds)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    pairs = rangejoin.range_join(signups, purchases, on="user_id",
+                                 lower_us=1, upper_us=3_600_000_000)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value_r"), 2).alias("total_value"))
+
+
 def q26_srp_neardup_bucketed(spark, sf_dir):
     # weak-check (no oracle): bucket ids depend on libm sin() ulps
     return similarity.srp_neardup_pairs(_t(spark, sf_dir, "embeddings"),
@@ -345,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_multimodal_features": q25_multimodal_features,
         "q26_srp_neardup_bucketed": q26_srp_neardup_bucketed,
         "q27_asof_purchase_signup": q27_asof_purchase_signup,
+        "q28_range_join_signup_purchase": q28_range_join_signup_purchase,
     }
 
 
@@ -629,6 +647,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(s.value), 2) AS sum_signup_value
             FROM p ASOF LEFT JOIN s
                  ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        "q28_range_join_signup_purchase": """
+            WITH s AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'signup'),
+                 p AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT count(*) AS n_pairs,
+                   count(DISTINCT s.user_id) AS n_users,
+                   round(sum(p.value), 2) AS total_value
+            FROM s JOIN p ON s.user_id = p.user_id
+                 AND epoch_us(p.ts) >= epoch_us(s.ts) + 1
+                 AND epoch_us(p.ts) <= epoch_us(s.ts) + 3600000000
         """,
         "q23_fingerprint_dups": """
             SELECT source, count(*) AS n_docs,
