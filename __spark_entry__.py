@@ -173,10 +173,9 @@ def q11_lsh_band_buckets(spark, sf_dir):
 
 
 def q12_ngram_jaccard_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 11 == 0)
+    docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3,
-                                     threshold=0.2)
+                                     threshold=0.2, max_df=100)
 
 
 def q13_simhash_histogram(spark, sf_dir):
@@ -461,9 +460,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_ngram_jaccard_pairs": f"""
             WITH docs AS (
               SELECT doc_id, {WORDS} AS ws FROM documents
-              WHERE doc_id % 11 = 0
             ),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT doc_id,
                      unnest(list_transform(
                         range(1, greatest(len(ws) - 1, 1)),
@@ -471,6 +469,9 @@ def oracle_sql() -> dict[str, str]:
                         AS shingle
               FROM docs
             ),
+            keep AS (SELECT shingle FROM sh0
+                     GROUP BY shingle HAVING count(*) <= 100),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -561,8 +562,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q16_token_counts": f"""
             SELECT source,
-                   sum(len({WORDS})) AS total_tokens,
-                   sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS total_bpe_est,
+                   CAST(sum(len({WORDS})) AS BIGINT) AS total_tokens,
+                   CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+                       AS total_bpe_est,
                    count(*) AS n_docs
             FROM documents GROUP BY source
         """,
@@ -618,7 +620,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q20_cube_source_lang": """
             SELECT source, lang, count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY CUBE (source, lang)
         """,
         "q21_encode_roundtrip_agg": f"""
@@ -630,7 +632,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT source, count(*) AS n_docs,
-                   sum(len(tokens)) AS n_tokens,
+                   CAST(sum(len(tokens)) AS BIGINT) AS n_tokens,
                    CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT)
                        AS token_sum
             FROM toks GROUP BY source

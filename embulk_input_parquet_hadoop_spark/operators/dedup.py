@@ -88,15 +88,30 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 3, threshold: float = 0.2) -> DataFrame:
+                        k: int = 3, threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle inverted index.
 
     join on shingle -> per-pair intersection counts -> union by
     inclusion-exclusion. Counts are exact integers; jaccard is a single
     division, rounded at the caller. At scale, feed this the LSH candidate
     pairs instead of the full inverted index.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    *before* the self-join (standard inverted-index hygiene): one
+    boilerplate shingle shared by f documents alone contributes f^2/2
+    candidate pairs, so without the cap a single hot shingle makes the
+    join quadratic in corpus size. Set sizes are computed on the capped
+    shingle sets, so the jaccard stays a consistent inclusion-exclusion
+    on the filtered universe.
     """
     sh = word_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        keep = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -60,12 +60,22 @@ def synth_media(docs: DataFrame, payload_reps: int = 8) -> DataFrame:
 
 
 def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(offsets int64[n+1], values uint8) views of an Arrow binary array."""
+    """(offsets int64[n+1], values uint8) views of an Arrow binary array.
+
+    The values are sliced to the logical window [offs[0], offs[-1]) and the
+    offsets rebased to 0: a sliced/offset input array (or one with trailing
+    buffer bytes) would otherwise mismatch ``np.repeat(starts, sizes)``
+    against ``len(data)`` and let ``reduceat``'s last range span stray
+    bytes (ADVICE r1, multimodal.py:115).
+    """
     arr = arr.cast(pa.large_binary())
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
         arr.offset: arr.offset + len(arr) + 1]
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return offs, data
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.zeros(0, dtype=np.uint8))
+    data = data[offs[0]: offs[-1]] if len(offs) else data
+    return offs - (offs[0] if len(offs) else 0), data
 
 
 def extract_features(media: DataFrame) -> DataFrame:

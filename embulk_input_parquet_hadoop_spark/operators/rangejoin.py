@@ -28,12 +28,18 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
     """Pairs (l, r) with same ``on`` key and
     ``l.ts + lower_us <= r.ts <= l.ts + upper_us`` (microseconds).
 
-    Returns left columns + right columns suffixed. Bucket width = window
-    span (so each left interval spans <= 2 buckets).
+    Returns left columns + right columns suffixed. Bucket width = the next
+    power of two >= the window span (so each left interval spans <= 2
+    buckets, 3 at the exact-boundary edge). Power-of-two widths let bucket
+    ids be computed with an arithmetic right shift — exact floor division
+    on the full int64 domain, where ``floor(ts / width)`` in float64 is
+    only exact below 2^52 and can misbucket a boundary row differently on
+    the two join sides (silently dropping a qualifying pair).
     """
     if upper_us < lower_us:
         raise ValueError("upper_us < lower_us")
-    width = max(upper_us - lower_us, 1)
+    span = max(upper_us - lower_us, 1)
+    shift = (span - 1).bit_length()  # 2**shift >= span, minimal
 
     lts = F.unix_micros(F.col(left_ts).cast("timestamp"))
     rts = F.unix_micros(F.col(right_ts).cast("timestamp"))
@@ -42,11 +48,11 @@ def range_join(left: DataFrame, right: DataFrame, on: str,
     hi = lts + F.lit(upper_us)
     lhs = (left.withColumn("_lo", lo).withColumn("_hi", hi)
            .withColumn("_b", F.explode(F.sequence(
-               F.floor(F.col("_lo") / width),
-               F.floor(F.col("_hi") / width)))))
+               F.shiftright(F.col("_lo"), shift),
+               F.shiftright(F.col("_hi"), shift)))))
     rhs = right.select(
         F.col(on).alias(f"{on}{suffix}"),
-        F.floor(rts / width).alias("_rb"),
+        F.shiftright(rts, shift).alias("_rb"),
         rts.alias("_rts"),
         *[F.col(c).alias(f"{c}{suffix}")
           for c in right.columns if c != on])

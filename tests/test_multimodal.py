@@ -97,3 +97,14 @@ def test_extract_features_with_empty_payloads(spark):
     for d in ("b", "d", "e"):
         assert (got[d].n_bytes, got[d].mean_val, got[d].min_val,
                 got[d].max_val, got[d].checksum) == (0, 0.0, 0, 0, 0)
+
+
+def test_binary_buffers_sliced_and_offset():
+    """ADVICE r1: a sliced/offset binary array (offs[0] > 0, trailing
+    buffer bytes) must slice+rebase, not span stray bytes."""
+    import pyarrow as pa
+    arr = pa.array([b"abc", b"de", b"", b"fghi", b"zz"]).slice(1, 3)
+    offs, data = multimodal._binary_buffers(arr)
+    assert offs[0] == 0 and offs[-1] == len(data) == 6
+    parts = [bytes(data[offs[i]:offs[i + 1]]) for i in range(len(offs) - 1)]
+    assert parts == [b"de", b"", b"fghi"]

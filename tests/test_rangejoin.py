@@ -38,3 +38,23 @@ def test_range_join_bucket_boundaries(spark):
                                upper_us=3_600_000_000)
     pairs = {(r.tag, r.value_r) for r in got.collect()}
     assert pairs == {("a", 5.0), ("b", 5.0)}
+
+
+def test_range_join_large_epoch_exact(spark):
+    """Bucket ids past float64's 2^52 exact-integer range (ADVICE r1):
+    arithmetic-shift bucketing must keep boundary pairs exact."""
+    base = 221_845_392_000_000_007  # epoch micros ~year 9000, past 2^52
+    span = 3_600_000_000
+    L = spark.range(1).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.lit(base)).alias("ts"))
+    rvals = [base + 1, base + span,          # inclusive bounds: in
+             base, base + span + 1]          # just outside: out
+    R = (spark.createDataFrame(
+        [(1, v, float(i)) for i, v in enumerate(rvals)],
+        "user_id bigint, us bigint, value double")
+        .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                "value"))
+    got = rangejoin.range_join(L, R, on="user_id", lower_us=1,
+                               upper_us=span)
+    assert sorted(r.value_r for r in got.collect()) == [0.0, 1.0]
