@@ -60,8 +60,13 @@ def wave_chunk_stats(spark: SparkSession, out_dir: str,
 
 
 def all_chunk_stats(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Per-(chunk, column) metrics across all committed waves."""
-    return _chunk_stats(spark.read.parquet(f"{out_dir}/chunks"))
+    """Per-(chunk, column) metrics across all committed waves (manifest-
+    gated: an aborted wave's chunk parts are invisible here too)."""
+    from .pipeline import _committed_wave_paths
+    paths = _committed_wave_paths(spark, out_dir)
+    if not paths:
+        raise FileNotFoundError(f"no committed waves under {out_dir}")
+    return _chunk_stats(spark.read.parquet(*paths))
 
 
 def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
@@ -78,11 +83,20 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
         import pyarrow.compute as pc
         agg = {c: int(pc.sum(meta_table.column(c)).as_py() or 0)
                for c in ("n_rows", "n_tokens", "raw_bytes", "enc_bytes")}
+        names = meta_table.schema.names
         n_bad = int(pc.sum(pc.is_valid(meta_table.column("error"))
                            .cast("int64")).as_py() or 0) \
-            if "error" in meta_table.schema.names else 0
-        agg["n_chunks"] = meta_table.num_rows - n_bad
+            if "error" in names else 0
+        # error rows and per-file skipped-row summaries (batch_idx == -1)
+        # are bookkeeping, not chunks
+        n_meta_rows = int(pc.sum(
+            pc.equal(meta_table.column("batch_idx"), -1)
+            .cast("int64")).as_py() or 0) if "batch_idx" in names else n_bad
+        agg["n_chunks"] = meta_table.num_rows - n_meta_rows
         agg["n_bad_files"] = n_bad
+        agg["n_bad_rows"] = int(pc.sum(
+            meta_table.column("n_bad_rows")).as_py() or 0) \
+            if "n_bad_rows" in names else 0
     else:
         chunks = spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
         row = (chunks.agg(F.count(F.lit(1)).alias("n_chunks"),
@@ -96,7 +110,7 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
                "n_tokens": int(row.n_tokens or 0),
                "raw_bytes": int(row.raw_bytes or 0),
                "enc_bytes": int(row.enc_bytes or 0),
-               "n_bad_files": 0}
+               "n_bad_files": 0, "n_bad_rows": 0}
     out = {
         "wave_id": wave_id,
         "input_files": list(files),
@@ -106,6 +120,7 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
         "raw_bytes": agg["raw_bytes"],
         "enc_bytes": agg["enc_bytes"],
         "n_bad_files": agg["n_bad_files"],
+        "n_bad_rows": agg["n_bad_rows"],
         "wall_s": float(wall_s),
     }
     mdir = _manifest_dir(out_dir)
@@ -127,9 +142,9 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
                 recs.append(json.load(fh))
     schema = ("wave_id int, input_files array<string>, n_chunks long, "
               "n_rows long, n_tokens long, raw_bytes long, enc_bytes long, "
-              "n_bad_files long, wall_s double")
+              "n_bad_files long, n_bad_rows long, wall_s double")
     return spark.createDataFrame(
         [(r["wave_id"], r["input_files"], r["n_chunks"], r["n_rows"],
           r["n_tokens"], r["raw_bytes"], r["enc_bytes"],
-          r.get("n_bad_files", 0), r["wall_s"])
+          r.get("n_bad_files", 0), r.get("n_bad_rows", 0), r["wall_s"])
          for r in recs], schema)

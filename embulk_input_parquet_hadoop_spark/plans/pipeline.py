@@ -89,14 +89,17 @@ CHUNK_ARROW_SCHEMA = pa.schema([
     pa.field("blobs", pa.list_(pa.binary())),
 ])
 
-# what the encode tasks yield back to Spark: chunk stats, no payloads
+# what the encode tasks yield back to Spark: chunk stats, no payloads.
+# n_bad_rows: rows lost to corrupt row groups of an otherwise-kept file
+# (error stays NULL — the file succeeded within bad_record_threshold);
+# error non-NULL marks a *failed* file, none of whose chunks committed.
 CHUNK_META_SPARK_SCHEMA = (
     "chunk_id string, wave_id int, part_id int, batch_idx int, "
     "n_rows bigint, n_tokens bigint, raw_bytes bigint, enc_bytes bigint, "
     "wall_ms double, source_file string, chunk_file string, "
     "cols array<struct<name:string, kind:string, n_values:bigint, "
     "raw_bytes:bigint, enc_bytes:bigint, vmin:bigint, vmax:bigint>>, "
-    "error string"
+    "n_bad_rows bigint, error string"
 )
 
 CHUNK_META_ARROW_SCHEMA = pa.schema([
@@ -112,6 +115,7 @@ CHUNK_META_ARROW_SCHEMA = pa.schema([
     pa.field("source_file", pa.string()),
     pa.field("chunk_file", pa.string()),
     pa.field("cols", pa.list_(_COL_STRUCT)),
+    pa.field("n_bad_rows", pa.int64()),
     pa.field("error", pa.string()),
 ])
 
@@ -200,16 +204,31 @@ def make_encode_fn(wave_id: int):
 
 def make_encode_files_fn(wave_id: int, wave_dir: str,
                          batch_rows: int = DEFAULT_BATCH_ROWS,
-                         columns: list[str] | None = None):
+                         columns: list[str] | None = None,
+                         bad_record_threshold: float = 0.0):
     """mapInArrow fn for the file-source path: paths in, chunk *stats* out.
 
-    The task reads its files with pyarrow (row-group/batch iteration like
-    the reference's ``ParquetRowReader``), encodes each batch, streams chunk
-    rows into one uncompressed Parquet file per task, atomically renames it
-    on completion, and yields only stat rows to Spark.
+    The task reads its files with pyarrow (row-group iteration like the
+    reference's ``ParquetRowReader``, one group at a time,
+    ``ParquetRowReader.java:105-118``), encodes each batch, and streams
+    chunk rows into one uncompressed Parquet chunk file *per source file*,
+    atomically renamed only when that source file finishes cleanly. A
+    mid-file failure discards the partial chunk file (and its pending stat
+    rows), so no partially-processed input is ever visible — reprocessing
+    a failed file in a later wave cannot duplicate rows, and an aborted
+    wave leaves nothing a manifest-gated reader can see.
+
+    ``bad_record_threshold``: tolerated fraction of rows per file lost to
+    corrupt row groups — the reference's per-record tolerance
+    (``ParquetRowReader.java:101,142-147``, knob ``README.md:25-27``)
+    at Arrow's row-group decode granularity. A corrupt row group is
+    skipped; readable row groups — and the already-decoded batches of a
+    partially-corrupt one — are kept. Above the threshold the whole file
+    fails (none of its chunks commit) and the driver's per-wave
+    ``bad_file_threshold`` takes over.
     """
 
-    def meta_row(stats, path, final, cols, error=None):
+    def meta_row(stats, path, final, cols, error=None, n_bad_rows=0):
         return pa.RecordBatch.from_arrays(
             [
                 pa.array([stats["chunk_id"]]),
@@ -224,32 +243,60 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                 pa.array([path]),
                 pa.array([final]),
                 pa.array([cols], type=pa.list_(_COL_STRUCT)),
+                pa.array([n_bad_rows], type=pa.int64()),
                 pa.array([error], type=pa.string()),
             ],
             schema=CHUNK_META_ARROW_SCHEMA)
 
+    def _zero_stats(chunk_id, pid):
+        return {"chunk_id": chunk_id, "part_id": pid, "batch_idx": -1,
+                "n_rows": 0, "n_tokens": 0, "raw_bytes": 0, "enc_bytes": 0,
+                "wall_ms": 0.0}
+
     def encode_files(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        final = os.path.join(wave_dir, f"part-{pid:05d}.parquet")
-        tmp = os.path.join(wave_dir, f".part-{pid:05d}.{uuid.uuid4().hex}.tmp")
         os.makedirs(wave_dir, exist_ok=True)
-        writer = None
         bidx = 0
-        n_err = 0
-        try:
-            for b in batches:
-                for path in b.column("path").to_pylist():
-                    try:
-                        pf = pq.ParquetFile(path)
+        fseq = 0
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                final = os.path.join(
+                    wave_dir, f"part-{pid:05d}-f{fseq:04d}.parquet")
+                tmp = os.path.join(
+                    wave_dir,
+                    f".part-{pid:05d}-f{fseq:04d}.{uuid.uuid4().hex}.tmp")
+                fseq += 1
+                writer = None
+                pending = []  # stat rows held until the file commits
+                bad_rows = 0
+                bad_groups = 0
+                try:
+                    pf = pq.ParquetFile(path)
+                    total_rows = pf.metadata.num_rows
+                    for rg in range(pf.metadata.num_row_groups):
+                        rg_rows = pf.metadata.row_group(rg).num_rows
+                        rows_read = 0
                         # single-threaded per task: one task <-> one
-                        # executor core. pyarrow would otherwise fan out to
-                        # every machine core behind Spark's back, which
-                        # oversubscribes real executors and falsifies
+                        # executor core. pyarrow would otherwise fan out
+                        # to every machine core behind Spark's back,
+                        # oversubscribing real executors and falsifying
                         # per-core accounting
-                        for batch in pf.iter_batches(batch_size=batch_rows,
-                                                     columns=columns,
-                                                     use_threads=False):
+                        it = pf.iter_batches(batch_size=batch_rows,
+                                             row_groups=[rg],
+                                             columns=columns,
+                                             use_threads=False)
+                        while True:
+                            try:
+                                batch = next(it)
+                            except StopIteration:
+                                break
+                            except Exception:  # noqa: BLE001
+                                # corrupt pages: skip the rest of this row
+                                # group, keep its already-decoded batches
+                                bad_rows += rg_rows - rows_read
+                                bad_groups += 1
+                                break
                             chunk_row, stats = _encode_one_batch(
                                 batch, wave_id, pid, bidx)
                             if writer is None:
@@ -257,29 +304,42 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                                     tmp, CHUNK_ARROW_SCHEMA,
                                     compression="none")
                             writer.write_batch(chunk_row)
-                            yield meta_row(stats, path, final,
-                                           _cols_of(chunk_row))
+                            pending.append(meta_row(stats, path, final,
+                                                    _cols_of(chunk_row)))
+                            rows_read += batch.num_rows
                             bidx += 1
-                    except Exception as exc:  # noqa: BLE001
-                        # unmaterializable-file tolerance, the analogue of
-                        # the reference's bad-record counter
-                        # (ParquetRowReader.java:101,142-147 + the
-                        # parquet.read.bad.record.threshold knob,
-                        # README.md:25-27): record the failure, keep going;
-                        # the driver enforces the threshold per wave
-                        n_err += 1
-                        err_stats = {
-                            "chunk_id": f"w{wave_id}-p{pid}-err{n_err}",
-                            "part_id": pid, "batch_idx": -1, "n_rows": 0,
-                            "n_tokens": 0, "raw_bytes": 0, "enc_bytes": 0,
-                            "wall_ms": 0.0,
-                        }
-                        yield meta_row(err_stats, path, final, [],
-                                       f"{type(exc).__name__}: {exc}")
-        finally:
-            if writer is not None:
-                writer.close()
-                os.replace(tmp, final)  # atomic; retries overwrite same name
+                    if total_rows and bad_rows > (bad_record_threshold
+                                                  * total_rows):
+                        raise RuntimeError(
+                            f"{bad_rows}/{total_rows} rows in {bad_groups} "
+                            f"corrupt row groups exceeds "
+                            f"bad_record_threshold={bad_record_threshold}")
+                    if writer is not None:
+                        writer.close()
+                        writer = None
+                        os.replace(tmp, final)  # per-file commit point
+                    yield from pending
+                    if bad_rows:
+                        yield meta_row(
+                            _zero_stats(f"w{wave_id}-p{pid}-skip{fseq - 1}",
+                                        pid),
+                            path, final, [], n_bad_rows=bad_rows)
+                except Exception as exc:  # noqa: BLE001
+                    # file-level failure (unreadable footer, over-threshold
+                    # corruption, encode error): discard the partial chunk
+                    # file; record the failure and keep going — the driver
+                    # enforces bad_file_threshold per wave
+                    if writer is not None:
+                        writer.close()
+                        writer = None
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
+                    yield meta_row(
+                        _zero_stats(f"w{wave_id}-p{pid}-err{fseq - 1}", pid),
+                        path, "", [],
+                        error=f"{type(exc).__name__}: {exc}")
 
     return encode_files
 
@@ -352,7 +412,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 batch_rows: int = DEFAULT_BATCH_ROWS,
                 columns: list[str] | None = None,
                 expected_schema: str | None = None,
-                bad_file_threshold: float = 0.0) -> dict:
+                bad_file_threshold: float = 0.0,
+                bad_record_threshold: float = 0.0) -> dict:
     """Run the full encode job; returns aggregate metrics.
 
     ``waves`` > 1 splits the input *file list* into that many sub-jobs, each
@@ -372,12 +433,16 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     work — the write-side analogue of the reference's
     ``strictTypeChecking`` (``ParquetRowReader.java:70,113``).
 
-    ``bad_file_threshold``: tolerated fraction of unreadable input files
-    per wave (errors are recorded in chunks_meta and the manifest); above
-    the threshold the wave fails before committing — the reference's
-    ``parquet.read.bad.record.threshold`` (``README.md:25-27``,
-    ``ParquetRowReader.java:101,142-147``) lifted to the file level at
-    which our tasks fan out.
+    ``bad_file_threshold``: tolerated fraction of failed input files per
+    wave (errors are recorded in chunks_meta and the manifest); above the
+    threshold the wave fails before committing.
+
+    ``bad_record_threshold``: tolerated fraction of rows *within* a file
+    lost to corrupt row groups before that file counts as failed — the
+    reference's ``parquet.read.bad.record.threshold`` semantics
+    (``README.md:25-27``, ``ParquetRowReader.java:101,142-147``): skip the
+    corrupt unit, keep the rest, fail only past the fraction. Both knobs
+    default to 0.0 (strict).
     """
     df0 = spark.read.parquet(input_path)
     if expected_schema is not None:
@@ -424,7 +489,9 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             paths = spark.createDataFrame(rdd, "path string")
             enc = paths.mapInArrow(
                 make_encode_files_fn(wave_id, wave_dir, batch_rows,
-                                     columns=columns),
+                                     columns=columns,
+                                     bad_record_threshold=(
+                                         bad_record_threshold)),
                 CHUNK_META_SPARK_SCHEMA)
             # one action runs the wave; the stats rows that come back are
             # O(n_chunks) — driver-side write (like the manifest record)
@@ -435,7 +502,7 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 errs = bad.select(["source_file", "error"]).to_pylist()
                 raise RuntimeError(
                     f"wave {wave_id}: {bad.num_rows}/{len(wfiles)} input "
-                    f"files unreadable exceeds bad_file_threshold="
+                    f"files failed exceeds bad_file_threshold="
                     f"{bad_file_threshold}: {errs[:3]}")
             meta_dir = f"{out_dir}/chunks_meta"
             os.makedirs(meta_dir, exist_ok=True)
@@ -452,10 +519,30 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     return totals
 
 
-def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
-    # partition discovery on the chunks root ('wave=K' subdirs); the wave id
-    # is also stored in the data (wave_id), so we drop the partition column
-    return spark.read.parquet(f"{out_dir}/chunks").drop("wave")
+def read_chunks(spark: SparkSession, out_dir: str,
+                committed_only: bool = True) -> DataFrame:
+    """Chunk rows of the output, gated through the manifest.
+
+    A wave is visible iff ``{out}/manifest/wave-K.json`` exists (the
+    atomic commit point) — an aborted wave's renamed chunk parts must
+    never be served (ADVICE r1: uncommitted-wave visibility). The wave id
+    lives in the data (``wave_id``), so no partition-discovery column is
+    needed. ``committed_only=False`` bypasses the gate for debugging.
+    """
+    if not committed_only:
+        return spark.read.parquet(f"{out_dir}/chunks").drop("wave")
+    paths = _committed_wave_paths(spark, out_dir)
+    if not paths:
+        return spark.createDataFrame([], CHUNK_SPARK_SCHEMA)
+    return spark.read.parquet(*paths)
+
+
+def _committed_wave_paths(spark: SparkSession, out_dir: str) -> list[str]:
+    """Committed wave dirs that contain chunk parts (a committed wave whose
+    files all failed is legitimately empty — unreadable for schema)."""
+    import glob as _glob
+    return [p for w in sorted(mf.completed_waves(spark, out_dir))
+            if _glob.glob((p := f"{out_dir}/chunks/wave={w}") + "/*.parquet")]
 
 
 def prune_chunks(chunks: DataFrame, column: str,

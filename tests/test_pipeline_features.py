@@ -194,3 +194,72 @@ def test_prune_chunks_keeps_statless_columns(spark, tokens_dir, tmp_path):
     assert pipeline.prune_chunks(chunks, "doc_id", lo=0).count() == total
     # unknown column: no proof -> nothing pruned, no ANSI error
     assert pipeline.prune_chunks(chunks, "nope", lo=0, hi=1).count() == total
+
+
+def _corrupt_row_group(path, rg=0):
+    """Clobber data pages of one row group, leaving footer + other groups
+    intact (zstd/thrift decode of that group then raises)."""
+    import pyarrow.parquet as pq
+    col = pq.ParquetFile(path).metadata.row_group(rg).column(0)
+    with open(path, "r+b") as f:
+        f.seek(col.data_page_offset + 8)
+        f.write(b"\xff" * min(64, col.total_compressed_size - 16))
+
+
+def test_bad_row_group_tolerated_within_threshold(spark, tmp_path):
+    """Reference semantics (ParquetRowReader.java:142-147): a corrupt row
+    group inside a multi-group file skips only that group's rows."""
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "rg_tokens")
+    datagen.generate(src, n_docs=2000, seed=9, n_files=1, batch_rows=500)
+    victim = os.path.join(src, "part-00000.parquet")
+    assert pq.ParquetFile(victim).metadata.num_row_groups == 4
+    _corrupt_row_group(victim)
+    out = str(tmp_path / "rg_out")
+    totals = pipeline.encode_path(spark, src, out, bad_record_threshold=0.3)
+    assert totals["n_rows"] == 1500  # 3 of 4 row groups survive
+    rec = mf.read_manifest(spark, out).collect()[0]
+    assert rec.n_bad_files == 0
+    assert rec.n_bad_rows == 500
+    # surviving rows decode bit-identical to a clean regeneration
+    clean = str(tmp_path / "rg_clean")
+    datagen.generate(clean, n_docs=2000, seed=9, n_files=1, batch_rows=500)
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id", "tokens"],
+        "doc_id string, tokens array<int>")
+    srcdf = spark.read.parquet(clean).select("doc_id", "tokens")
+    assert dec.count() == 1500
+    assert dec.exceptAll(srcdf).count() == 0
+
+
+def test_bad_row_group_strict_fails_whole_file(spark, tmp_path):
+    """At bad_record_threshold=0.0 a corrupt row group fails the file, and
+    NONE of the file's chunks commit (no partial-file data visible)."""
+    src = str(tmp_path / "rg_strict")
+    datagen.generate(src, n_docs=2000, seed=9, n_files=1, batch_rows=500)
+    _corrupt_row_group(os.path.join(src, "part-00000.parquet"))
+    out0 = str(tmp_path / "rg_strict_out0")
+    with pytest.raises(RuntimeError, match="bad_file_threshold"):
+        pipeline.encode_path(spark, src, out0)
+    assert pipeline.read_chunks(spark, out0).count() == 0
+    # tolerated at the file level: wave commits, file recorded failed,
+    # zero of its rows present
+    out1 = str(tmp_path / "rg_strict_out1")
+    totals = pipeline.encode_path(spark, src, out1, bad_file_threshold=1.0)
+    assert totals["n_rows"] == 0
+    rec = mf.read_manifest(spark, out1).collect()[0]
+    assert rec.n_bad_files == 1
+    assert pipeline.read_chunks(spark, out1).count() == 0
+
+
+def test_uncommitted_wave_invisible(spark, tokens_dir, tmp_path):
+    """ADVICE r1: an aborted wave's already-renamed chunk parts must not be
+    served — a wave is visible iff its manifest record exists."""
+    bad_dir = _corrupt_copy(tokens_dir, tmp_path)
+    out = str(tmp_path / "out_inv")
+    with pytest.raises(RuntimeError, match="bad_file_threshold"):
+        pipeline.encode_path(spark, bad_dir, out, bad_file_threshold=0.0)
+    # the three good files' parts exist on disk, but no manifest record
+    assert pipeline.read_chunks(spark, out).count() == 0
+    with pytest.raises(FileNotFoundError):
+        mf.all_chunk_stats(spark, out)
