@@ -354,6 +354,30 @@ def q29_mixed_schema_union(spark, sf_dir):
         F.countDistinct("source").alias("n_sources"))
 
 
+def q30_events_encode_roundtrip(spark, sf_dir):
+    """Events-table encode->decode roundtrip through the temporal codec
+    path (timestamps ride the int cascade via a type-descriptor frame),
+    oracle-gated: matching the oracle — computed directly from events —
+    proves the roundtrip is the identity on ts/value/ids. tod_sum uses
+    time-of-day micros so integer sums cannot overflow int64."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = _t(spark, sf_dir, "events").select(*cols)
+    enc = ev.mapInArrow(pipeline.make_encode_fn(0),
+                        pipeline.CHUNK_SPARK_SCHEMA)
+    dec = pipeline.decode_chunks(
+        enc, cols,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double")
+    return (dec.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(F.unix_micros("ts")).alias("ts_min"),
+                 F.max(F.unix_micros("ts")).alias("ts_max"),
+                 F.sum(F.unix_micros("ts") % F.lit(86_400_000_000))
+                 .alias("tod_sum"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("value_sum")))
+
+
 def q26_srp_neardup_bucketed(spark, sf_dir):
     # weak-check (no oracle): bucket ids depend on libm sin() ulps
     return similarity.srp_neardup_pairs(_t(spark, sf_dir, "embeddings"),
@@ -391,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_asof_purchase_signup": q27_asof_purchase_signup,
         "q28_range_join_signup_purchase": q28_range_join_signup_purchase,
         "q29_mixed_schema_union": q29_mixed_schema_union,
+        "q30_events_encode_roundtrip": q30_events_encode_roundtrip,
     }
 
 
@@ -711,6 +736,16 @@ def oracle_sql() -> dict[str, str]:
                    count(source) AS n_with_source,
                    count(DISTINCT source) AS n_sources
             FROM u
+        """,
+        "q30_events_encode_roundtrip": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS ts_min,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS ts_max,
+                   CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+                       AS tod_sum,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY event_type
         """,
         "q24_embedding_neardup_pairs": """
             WITH e AS (

@@ -196,8 +196,7 @@ def encode_int_column(arr: pa.Array) -> tuple[str, bytes]:
     return "int", blob
 
 
-def decode_int_column(blob: bytes) -> pa.Array:
-    frames = framing.read_frames(blob)
+def _decode_int_frames(frames: list[framing.Frame]) -> pa.Array:
     valid = None
     if frames[0].dtype == "uint1":
         valid = _decode_validity(frames[0])
@@ -206,6 +205,134 @@ def decode_int_column(blob: bytes) -> pa.Array:
     if valid is None:
         return pa.array(vals)
     return pa.array(np.ma.masked_array(vals, mask=~valid))
+
+
+def decode_int_column(blob) -> pa.Array:
+    return _decode_int_frames(framing.read_frames(blob))
+
+
+# --- temporal (date/time/timestamp/duration) via the int cascade ------------
+
+def _temporal_token(t: pa.DataType) -> dict:
+    if pa.types.is_timestamp(t):
+        return {"t": "timestamp", "u": t.unit, "tz": t.tz}
+    if pa.types.is_date32(t):
+        return {"t": "date32"}
+    if pa.types.is_date64(t):
+        return {"t": "date64"}
+    if pa.types.is_time32(t):
+        return {"t": "time32", "u": t.unit}
+    if pa.types.is_time64(t):
+        return {"t": "time64", "u": t.unit}
+    if pa.types.is_duration(t):
+        return {"t": "duration", "u": t.unit}
+    raise TypeError(f"not a temporal type: {t}")
+
+
+def _temporal_type(tok: dict) -> pa.DataType:
+    k = tok["t"]
+    if k == "timestamp":
+        return pa.timestamp(tok["u"], tz=tok.get("tz"))
+    if k == "date32":
+        return pa.date32()
+    if k == "date64":
+        return pa.date64()
+    if k == "time32":
+        return pa.time32(tok["u"])
+    if k == "time64":
+        return pa.time64(tok["u"])
+    if k == "duration":
+        return pa.duration(tok["u"])
+    raise ValueError(f"bad temporal token: {tok}")
+
+
+def _temporal_storage(t: pa.DataType) -> pa.DataType:
+    return (pa.int32() if pa.types.is_date32(t) or pa.types.is_time32(t)
+            else pa.int64())
+
+
+def temporal_int_view(arr: pa.Array) -> pa.Array:
+    """Zero-copy reinterpretation of a temporal array as storage ints
+    (also used for zone-map stats on temporal columns)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.view(_temporal_storage(arr.type))
+
+
+def encode_temporal_column(arr: pa.Array) -> tuple[str, bytes]:
+    """Dates/timestamps/durations are epoch integers under the hood: route
+    them through the int codec cascade (FOR/delta compress time-ordered
+    data heavily) instead of the opaque IPC fallback, with the exact Arrow
+    type in a leading descriptor frame. Write-side inversion of the
+    reference's dedicated temporal decode paths
+    (``ParquetValueConverter.java:170-234``, INT96 handling included —
+    pyarrow surfaces INT96 as ``timestamp[ns]``, which lands here)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tok = _temporal_token(arr.type)
+    head = framing.write_frame("plain", "bytes", 0, {"tt": tok}, b"")
+    _, int_blob = encode_int_column(temporal_int_view(arr))
+    return "temporal", head + int_blob
+
+
+def decode_temporal_column(blob) -> pa.Array:
+    frames = framing.read_frames(blob)
+    tok = frames[0].params["tt"]
+    return _decode_int_frames(frames[1:]).view(_temporal_type(tok))
+
+
+# --- decimal128 with int64-range unscaled values via the int cascade --------
+
+def encode_decimal_column(arr: pa.Array) -> tuple[str, bytes] | None:
+    """decimal128 whose unscaled values all fit in 64 bits: low words
+    through the int cascade, (precision, scale) in a descriptor frame —
+    the write-side inversion of ``ParquetDecimalConverter.java:34-177``
+    (int32/int64/binary-backed decimal decode). Returns ``None`` when any
+    value genuinely needs the upper 64 bits; the caller falls back to the
+    bit-exact Arrow-IPC path."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    valid = None
+    work = arr
+    if arr.null_count:
+        import decimal as _dec
+        valid = np.asarray(arr.is_valid())
+        work = arr.fill_null(_dec.Decimal(0))
+    # decimal128 storage: per value 16 bytes little-endian two's complement
+    # -> int64 pairs (lo, hi); the value fits 64 bits iff hi is lo's sign
+    # extension
+    buf = np.frombuffer(work.buffers()[1], dtype=np.int64)
+    lo = buf[2 * work.offset::2][: len(work)]
+    hi = buf[2 * work.offset + 1::2][: len(work)]
+    if not np.array_equal(hi, lo >> 63):
+        return None
+    blob = framing.write_frame("plain", "bytes", 0,
+                               {"p": t.precision, "s": t.scale}, b"")
+    if valid is not None:
+        blob += _validity_frame(valid)
+    blob += _int_frame(np.ascontiguousarray(lo), "int64")
+    return "dec64", blob
+
+
+def decode_decimal_column(blob) -> pa.Array:
+    frames = framing.read_frames(blob)
+    p, s = frames[0].params["p"], frames[0].params["s"]
+    frames = frames[1:]
+    valid = None
+    if frames[0].dtype == "uint1":
+        valid = _decode_validity(frames[0])
+        frames = frames[1:]
+    lo = _decode_int_frame(frames[0])
+    inter = np.empty(2 * len(lo), dtype=np.int64)
+    inter[0::2] = lo
+    inter[1::2] = lo >> 63
+    vbuf = None
+    if valid is not None:
+        vbuf = pa.py_buffer(np.packbits(valid.astype(np.uint8),
+                                        bitorder="little").tobytes())
+    return pa.Array.from_buffers(pa.decimal128(p, s), len(lo),
+                                 [vbuf, pa.py_buffer(inter.tobytes())])
 
 
 def encode_list_i32_column(arr: pa.Array) -> tuple[str, bytes]:
@@ -383,6 +510,8 @@ ENCODERS = {
     "f32": encode_float_column,
     "f64": encode_float_column,
     "list_f32": encode_list_f32_column,
+    "temporal": encode_temporal_column,
+    "dec64": encode_decimal_column,
     "arrow": encode_arrow_ipc_column,
 }
 
@@ -405,6 +534,13 @@ def encode_column(arr: pa.Array) -> tuple[str, bytes]:
         return encode_float_column(arr)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return encode_string_column(arr)
+    if (pa.types.is_date(t) or pa.types.is_time(t)
+            or pa.types.is_timestamp(t) or pa.types.is_duration(t)):
+        return encode_temporal_column(arr)
+    if pa.types.is_decimal128(t):
+        enc = encode_decimal_column(arr)
+        if enc is not None:
+            return enc
     return encode_arrow_ipc_column(arr)
 
 
@@ -421,4 +557,8 @@ def decode_column(kind: str, blob: bytes) -> pa.Array:
         return decode_list_i32_column(blob)
     if kind in ("str_direct", "str_dict"):
         return decode_string_column(kind, blob)
+    if kind == "temporal":
+        return decode_temporal_column(blob)
+    if kind == "dec64":
+        return decode_decimal_column(blob)
     raise NotImplementedError(f"no decoder for kind {kind}")

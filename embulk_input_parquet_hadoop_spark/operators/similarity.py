@@ -163,16 +163,22 @@ def _dot_prenorm(a: Column, b: Column) -> Column:
 
 def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                       n_planes: int = 8, seed: int = 7,
-                      id_col: str = "vec_id", vec_col: str = "embedding"
-                      ) -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      block_rows: int = 2048) -> DataFrame:
     """Bucketed near-dup mining — the scale path.
 
     Candidate pairs come only from equal SRP buckets (an equi-join keyed on
     bucket: shuffle-partitionable, never all-pairs), and each bucket's
-    pairwise cosines are one numpy matmul inside ``applyInPandas``. Recall
+    pairwise cosines are numpy matmuls inside ``applyInPandas``. Recall
     < 1 by construction (pairs split across buckets are missed) — the
-    standard LSH trade; raise recall with fewer planes or multiple
-    plane-sets.
+    standard LSH trade, measured against the exact oracle in
+    ``tests/test_similarity_scale.py`` (tracks E[(1-theta/pi)^k]); raise
+    recall with fewer planes or multiple plane-sets.
+
+    A mega-bucket (adversarially similar corpus) is processed in
+    ``block_rows``-sized block pairs, so peak memory is O(block_rows^2)
+    regardless of bucket size — the within-bucket O(n^2) compute is
+    inherent, but it can never OOM (VERDICT r1 #8).
     """
     with_bucket = (emb.select(id_col, vec_col)
                    .join(srp_bucket(emb, n_planes, seed, id_col, vec_col),
@@ -184,14 +190,34 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         U = V / norms[:, None]
-        C = U @ U.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = np.round(C[iu, ju], 4) >= threshold
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for p0 in range(0, n, block_rows):
+            Up = U[p0:p0 + block_rows]
+            for q0 in range(p0, n, block_rows):
+                Uq = U[q0:q0 + block_rows]
+                C = Up @ Uq.T
+                keep = np.round(C, 4) >= threshold
+                if p0 == q0:
+                    keep &= np.triu(np.ones(C.shape, dtype=bool), k=1)
+                iu, ju = np.nonzero(keep)
+                if len(iu) == 0:
+                    continue
+                ia, jb = ids[iu + p0], ids[ju + q0]
+                out_a.append(np.minimum(ia, jb))
+                out_b.append(np.maximum(ia, jb))
+                out_c.append(np.round(C[iu, ju], 4))
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": np.zeros(0, np.int64), "id_b": np.zeros(0, np.int64),
+                "bucket": np.zeros(0, np.int64),
+                "cos_sim": np.zeros(0, np.float64)})
+        id_a = np.concatenate(out_a)
         return pd.DataFrame({
-            "id_a": np.minimum(ids[iu[keep]], ids[ju[keep]]),
-            "id_b": np.maximum(ids[iu[keep]], ids[ju[keep]]),
-            "bucket": np.full(int(keep.sum()), key[0], dtype=np.int64),
-            "cos_sim": np.round(C[iu, ju][keep], 4),
+            "id_a": id_a,
+            "id_b": np.concatenate(out_b),
+            "bucket": np.full(len(id_a), key[0], dtype=np.int64),
+            "cos_sim": np.concatenate(out_c),
         })
 
     return with_bucket.groupBy("bucket").applyInPandas(

@@ -48,7 +48,8 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.encode import decode_column, encode_column
+from ..operators.encode import (decode_column, encode_column,
+                                temporal_int_view)
 from . import manifest as mf
 
 # Chunk rows: stats in top-level columns and a blob-free `cols` struct
@@ -144,6 +145,11 @@ def _encode_one_batch(batch: pa.RecordBatch, wave_id: int, pid: int,
             mm = pa.compute.min_max(flat)
         elif kind == "int":
             mm = pa.compute.min_max(col)
+        elif kind == "temporal":
+            # zone maps on the storage ints (epoch days/micros): prunable
+            # exactly like Parquet row-group stats on time columns
+            mm = pa.compute.min_max(
+                temporal_int_view(col).cast(pa.int64()))
         else:
             mm = None
         if mm is not None and mm["min"].is_valid:

@@ -136,14 +136,76 @@ def test_arrow_ipc_fallback_struct_map_nested():
     assert out.to_pylist() == arr.to_pylist()
 
 
-def test_arrow_ipc_fallback_timestamp_decimal():
+def test_temporal_roundtrip_all_units():
     import datetime
-    import decimal
-    ts = pa.array([datetime.datetime(2026, 1, 1, 12, 0, 0), None],
-                  type=pa.timestamp("us"))
-    dec = pa.array([decimal.Decimal("1234.56"), None],
-                   type=pa.decimal128(10, 2))
-    for arr in (ts, dec):
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    arrays = [
+        pa.array([base, base + datetime.timedelta(hours=i)]
+                 if i else [base, None], type=t)
+        for i, t in enumerate([pa.timestamp("us"), pa.timestamp("ns"),
+                               pa.timestamp("ms"),
+                               pa.timestamp("us", tz="UTC"),
+                               pa.timestamp("s", tz="America/New_York")])
+    ]
+    arrays += [
+        pa.array([datetime.date(2026, 1, 1), None, datetime.date(1969, 7, 20)],
+                 type=pa.date32()),
+        pa.array([1000, None, 2 ** 40], type=pa.date64()),
+        pa.array([datetime.time(12, 30), None], type=pa.time32("s")),
+        pa.array([datetime.time(12, 30, 1, 5)], type=pa.time64("us")),
+        pa.array([datetime.timedelta(seconds=5), None],
+                 type=pa.duration("us")),
+    ]
+    for arr in arrays:
         kind, blob = encode_column(arr)
-        assert kind == "arrow"
-        assert decode_column(kind, blob).to_pylist() == arr.to_pylist()
+        assert kind == "temporal", arr.type
+        out = decode_column(kind, blob)
+        assert out.type == arr.type
+        assert out.equals(arr), arr.type
+
+
+def test_decimal_roundtrip_and_wide_fallback():
+    import decimal
+    dec = pa.array([decimal.Decimal("1234.56"), None,
+                    decimal.Decimal("-0.01"),
+                    decimal.Decimal("92233720368547758.07")],  # lo64 edge
+                   type=pa.decimal128(20, 2))
+    kind, blob = encode_column(dec)
+    assert kind == "dec64"
+    out = decode_column(kind, blob)
+    assert out.type == dec.type
+    assert out.equals(dec)
+    # values needing the upper 64 bits fall back to the bit-exact IPC path
+    wide = pa.array([decimal.Decimal(2 ** 70), decimal.Decimal(-3)],
+                    type=pa.decimal128(38, 0))
+    kind, blob = encode_column(wide)
+    assert kind == "arrow"
+    assert decode_column(kind, blob).equals(wide)
+
+
+def test_decimal_sliced_offset():
+    import decimal
+    base = pa.array([decimal.Decimal(i) for i in range(10)],
+                    type=pa.decimal128(12, 0)).slice(3, 4)
+    kind, blob = encode_column(base)
+    assert kind == "dec64"
+    assert decode_column(kind, blob).equals(base)
+
+
+def test_temporal_codec_beats_ipc_fallback():
+    """The point of the dedicated path: hourly event times compress far
+    better through FOR/delta than through the generic IPC+zstd fallback."""
+    import numpy as np
+    from embulk_input_parquet_hadoop_spark.operators.encode import (
+        encode_arrow_ipc_column)
+    rng = np.random.default_rng(11)
+    # an ordered event stream with second-granularity timestamps stored in
+    # microseconds (typical log/event data): small structured deltas
+    us = (1_700_000_000_000_000
+          + np.cumsum(rng.integers(0, 10, 20_000)) * 1_000_000)
+    arr = pa.array(us, type=pa.int64()).view(pa.timestamp("us"))
+    kind, blob = encode_column(arr)
+    assert kind == "temporal"
+    _, ipc_blob = encode_arrow_ipc_column(arr)
+    assert len(blob) < 0.5 * len(ipc_blob), (len(blob), len(ipc_blob))
+    assert decode_column(kind, blob).equals(arr)
