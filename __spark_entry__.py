@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from embulk_input_parquet_hadoop_spark.functions.hashes import token_ids  # noqa: E402
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
-    asof, dedup, multimodal, rangejoin, similarity, textstats)
+    asof, dedup, ivf, multimodal, rangejoin, similarity, textstats)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -384,6 +384,14 @@ def q26_srp_neardup_bucketed(spark, sf_dir):
                                         threshold=0.3, n_planes=4)
 
 
+def q31_ivf_topk(spark, sf_dir):
+    """IVF ANN search (weak-check: k-means isn't SQL-expressible; the
+    in-repo gate `tests/test_ivf.py` proves full-probe == exact top-k
+    bit-for-bit and measures partial-probe recall)."""
+    return ivf.ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0,
+                        k=20, n_centroids=8, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_filter_project": q01_scan_filter_project,
@@ -416,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_range_join_signup_purchase": q28_range_join_signup_purchase,
         "q29_mixed_schema_union": q29_mixed_schema_union,
         "q30_events_encode_roundtrip": q30_events_encode_roundtrip,
+        "q31_ivf_topk": q31_ivf_topk,
     }
 
 

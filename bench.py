@@ -198,18 +198,22 @@ def main() -> None:
     ref_bytes = parquet_reference_size(tokens_path)
     enc_disk = dir_size(f"{high['out_dir']}/chunks")
 
-    # decode-verify the high run (correctness gate inside the bench).
+    # decode-verify (correctness gate inside the bench).
     # Timed leg: the channel-free positional verify (decode + compare in
-    # the workers, one task per source file — the path that scales).
-    # Untimed: the full-outer-join bit-identity check as an independent
-    # second gate; both must pass.
+    # the workers, one task per source file — the path that scales), on
+    # the SAME 716M-token table the encode metric uses; the sf-sized
+    # table is too small to measure anything but Spark's per-job floor.
+    # Untimed: full-outer-join bit-identity + positional verify on the
+    # sf table as independent gates; all must pass.
     spark = get_spark("bench-verify", cores=CPUS)
     try:
         t0 = time.perf_counter()
-        vfres = verify.verify_files(spark, high["out_dir"])
+        vf_scale = verify.verify_files(spark, high_scale["out_dir"])
         verify_wall = time.perf_counter() - t0
+        decode_tokens = vf_scale["tokens_compared"]
         vres = verify.verify_path(spark, tokens_path, high["out_dir"])
-        vres["ok"] = bool(vres["ok"] and vfres["ok"])
+        vf_sf = verify.verify_files(spark, high["out_dir"])
+        vres["ok"] = bool(vres["ok"] and vf_scale["ok"] and vf_sf["ok"])
     finally:
         spark.stop()
 
@@ -253,7 +257,7 @@ def main() -> None:
         },
         "verify_ok": vres["ok"],
         "decode_verify_tokens_per_sec": round(
-            high["n_tokens"] / verify_wall, 1),
+            decode_tokens / verify_wall, 1),
     }
     print(json.dumps(result))
 

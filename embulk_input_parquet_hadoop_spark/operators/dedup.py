@@ -73,8 +73,16 @@ def lsh_band_groups(sigs: DataFrame, id_col: str, rows_per_band: int = 2,
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
                   k: int = 3) -> DataFrame:
-    """(id, shingle) pairs of k-word shingles, distinct per doc."""
-    ws = words(F.col(text_col))
+    """(id, shingle) pairs of k-word shingles, distinct per doc.
+
+    The word array is materialized in its own projection BEFORE the
+    shingle transform: inlined, every ``element_at(ws, i)`` inside the
+    lambda re-evaluates the full split/filter, making shingling O(len^2)
+    per document (measured 6x wall on the sf0.1 corpus). The explode
+    generator keeps Catalyst from collapsing the projection back in.
+    """
+    ws_df = df.select(id_col, words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
     # guard: Spark sequence(1, 0) DESCENDS; short docs need an empty array
     idx = F.when(F.size(ws) >= k,
                  F.sequence(F.lit(1), F.size(ws) - (k - 1))
@@ -83,7 +91,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + j).cast("int"))
                    for j in range(k)]))
-    return (df.select(id_col, F.explode(shingles).alias("shingle"))
+    return (ws_df.select(id_col, F.explode(shingles).alias("shingle"))
             .distinct())
 
 
@@ -105,7 +113,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingle sets, so the jaccard stays a consistent inclusion-exclusion
     on the filtered universe.
     """
-    sh = word_shingles(df, id_col, text_col, k)
+    # the shingle set feeds four plan branches (df-cap, sizes, both join
+    # sides); persist it so the explode+distinct shuffle runs once —
+    # AQE does not reliably reuse the exchange across the branches
+    sh = word_shingles(df, id_col, text_col, k).persist()
     if max_df is not None:
         keep = (sh.groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("_df"))
@@ -134,25 +145,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
             bits: int = 16) -> DataFrame:
     """SimHash over the word multiset: 16-bit md5-derived fingerprint.
 
-    explode(words) x bit positions -> signed bit votes -> reassemble.
-    Two shuffles (both keyed aggregations); oracle-reproducible.
+    ONE keyed aggregation: per document, ``bits`` bit-population sums as
+    separate agg columns (vote s_b = 2*sum_b - n, bit set iff 2*sum_b > n)
+    — no bits-fold row explosion and one shuffle instead of two (the r1
+    plan exploded every word x 16 bit positions; at 100 TB that 16x'd the
+    shuffle for no information gain). Arithmetic stays in exact integer
+    range (h < 2^16), so the DuckDB oracle reproduces it verbatim.
     """
     w = df.select(id_col, F.explode(words(F.col(text_col))).alias("word"))
     h = w.withColumn(
         "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long"))
-    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # bit extraction via exact double arithmetic (h < 2^16 << 2^53), so the
-    # DuckDB oracle can reproduce it verbatim: floor(h / 2^bit) % 2
-    bit_of = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit")))
-              % 2).cast("long")
-    votes = (h.select(id_col, "h", bitpos)
-             .withColumn("vote", bit_of * 2 - 1)
-             .groupBy(id_col, "bit")
-             .agg(F.sum("vote").alias("s")))
-    return (votes
-            .withColumn("bitval",
-                        F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-            .groupBy(id_col)
-            .agg(F.sum((F.col("bitval")
-                        * F.pow(F.lit(2.0), F.col("bit"))).cast("long"))
-                 .alias("simhash")))
+    bit_sums = [F.sum(F.shiftright(F.col("h"), b) % 2).alias(f"_s{b}")
+                for b in range(bits)]
+    agg = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(2 * F.col(f"_s{b}") > F.col("_n"),
+                      F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.cast("long").alias("simhash"))

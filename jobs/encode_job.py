@@ -49,6 +49,21 @@ def main() -> int:
                    help="use the DataFrame path with salted clustering "
                         "repartition into this many partitions")
     p.add_argument("--batch-rows", type=int, default=pipeline.DEFAULT_BATCH_ROWS)
+    p.add_argument("--columns", default=None,
+                   help="comma-separated column projection")
+    p.add_argument("--schema-mode", choices=("single", "mixed"),
+                   default="single",
+                   help="'mixed' accepts trees with incompatible per-file "
+                        "schemas (one wave sequence per footer schema)")
+    p.add_argument("--bad-file-threshold", type=float, default=0.0,
+                   help="tolerated fraction of failed input files per wave")
+    p.add_argument("--bad-record-threshold", type=float, default=0.0,
+                   help="tolerated fraction of rows per file lost to "
+                        "corrupt row groups (the reference's "
+                        "parquet.read.bad.record.threshold)")
+    p.add_argument("--verify-files", action="store_true",
+                   help="channel-free positional verify (one task per "
+                        "source file) instead of the global join")
     p.add_argument("--cores", type=int, default=None,
                    help="local[N] stand-in; omit under spark-submit with a "
                         "real master")
@@ -65,15 +80,22 @@ def main() -> int:
     totals = pipeline.encode_path(
         spark, args.input, args.output, waves=args.waves,
         resume=args.resume, cluster_partitions=args.cluster_partitions,
-        batch_rows=args.batch_rows)
+        batch_rows=args.batch_rows,
+        columns=args.columns.split(",") if args.columns else None,
+        schema_mode=args.schema_mode,
+        bad_file_threshold=args.bad_file_threshold,
+        bad_record_threshold=args.bad_record_threshold)
     totals["total_wall_s"] = time.perf_counter() - t0
     if totals["wall_s"]:
         totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]
-    if args.verify:
+    if args.verify_files:
+        totals["verify"] = verify.verify_files(spark, args.output,
+                                               batch_rows=args.batch_rows)
+    elif args.verify:
         totals["verify"] = verify.verify_path(spark, args.input, args.output)
     print(json.dumps(totals))
     spark.stop()
-    ok = (not args.verify) or totals["verify"]["ok"]
+    ok = "verify" not in totals or totals["verify"]["ok"]
     return 0 if ok else 1
 
 
