@@ -139,15 +139,28 @@ def dir_size(path: str) -> int:
 
 
 def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    """Per-query walls, best of 2 passes in a warmed session.
+
+    The hypervisor's CPU steal spikes on a minute scale (observed 5-15x
+    inflation of an entire query leg); a single-shot timing measures the
+    host's bad minute, not the plan. Best-of-2 with a warmup pass bounds
+    that, mirroring the scaling leg's best-of-rounds discipline.
+    """
     import __spark_entry__ as entrymod
     spark = get_spark("bench-queries", cores=CPUS)
     timings, counts = {}, {}
     try:
+        # absorb JVM/codegen start so q01 isn't charged for it
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         qs = entrymod.queries()
         for name, fn in qs.items():
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                wall = time.perf_counter() - t0
+                best = wall if best is None else min(best, wall)
+            timings[name] = round(best, 3)
             counts[name] = n
     finally:
         spark.stop()
@@ -175,6 +188,8 @@ def main() -> None:
     runs: dict[int, dict] = {}
     effs_low_high: list[float] = []
     effs_2_8: list[float] = []
+    ceilings: list[float] = []
+    effs_vs_ceiling: list[float] = []
     for _ in range(3):
         rnd = {}
         for cores in (2, low_cores, CPUS):
@@ -183,15 +198,23 @@ def main() -> None:
             if (cores not in runs
                     or rnd[cores]["wall_s"] < runs[cores]["wall_s"]):
                 runs[cores] = rnd[cores]
-        effs_low_high.append(rnd[CPUS]["tokens_per_sec"]
-                             / (4 * rnd[low_cores]["tokens_per_sec"]))
+        eff_r = (rnd[CPUS]["tokens_per_sec"]
+                 / (4 * rnd[low_cores]["tokens_per_sec"]))
+        effs_low_high.append(eff_r)
+        # the host ceiling drifts minute to minute; pair each engine
+        # round with its own Spark-free control so the engine/ceiling
+        # ratio compares the same minutes, never adjacent ones
+        ceil_r = host_compute_ceiling(low_cores, CPUS, seconds=4.0)
+        ceilings.append(ceil_r)
+        effs_vs_ceiling.append(eff_r / ceil_r)
         if low_cores == 8:
             effs_2_8.append(rnd[8]["tokens_per_sec"]
                             / (4 * rnd[2]["tokens_per_sec"]))
     low2, low, high_scale = runs[2], runs[low_cores], runs[CPUS]
     eff = max(effs_low_high)
     eff_2_8 = max(effs_2_8) if effs_2_8 else None
-    ceiling = max(host_compute_ceiling(low_cores, CPUS) for _ in range(2))
+    ceiling = max(ceilings)
+    eff_vs_ceiling = max(effs_vs_ceiling)
 
     # Compression + verify leg on the sf-sized table
     high = run_encode(CPUS, tokens_path, f"sf-c{CPUS}")
@@ -236,13 +259,17 @@ def main() -> None:
                                   if eff_2_8 is not None else None),
             "efficiency_low_to_high": round(eff, 3),
             "efficiency_per_round": [round(e, 3) for e in effs_low_high],
+            "host_ceiling_per_round": [round(c, 3) for c in ceilings],
             "host_compute_ceiling_low_to_high": round(ceiling, 3),
-            "efficiency_vs_host_ceiling": round(eff / ceiling, 3),
+            "efficiency_vs_host_ceiling": round(eff_vs_ceiling, 3),
+            "efficiency_vs_ceiling_per_round":
+                [round(e, 3) for e in effs_vs_ceiling],
             # criterion: >=0.8 from N to 4N at a pair the host can supply
             # (2->8), or at the machine's own measured ceiling for 8->32
+            # (engine and control paired within the same minutes)
             "criterion_met": bool(
                 (eff_2_8 is not None and eff_2_8 >= 0.8)
-                or eff >= 0.8 or eff / ceiling >= 0.8),
+                or eff >= 0.8 or eff_vs_ceiling >= 0.8),
         },
         "compression": {
             "n_tokens": high["n_tokens"],

@@ -305,3 +305,36 @@ def test_mixed_schema_resume(spark, tmp_path):
     t2 = pipeline.encode_path(spark, src, out, schema_mode="mixed",
                               resume=True)
     assert t2["waves_run"] == 0 and t2["waves_skipped"] == 2
+
+
+def test_zone_map_pruning_temporal(spark, tmp_path):
+    """Temporal columns carry zone maps on their storage ints, so chunk
+    pruning works on timestamp ranges like Parquet row-group stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "ts_src")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000
+    hour = 3_600_000_000
+    for fi in range(3):  # three files, three disjoint hour ranges
+        us = pa.array([base + fi * 24 * hour + i * hour
+                       for i in range(24)], pa.int64())
+        pq.write_table(
+            pa.table({"event_id": pa.array(range(fi * 24, fi * 24 + 24),
+                                           type=pa.int64()),
+                      "ts": us.view(pa.timestamp("us"))}),
+            f"{src}/f{fi}.parquet")
+    out = str(tmp_path / "ts_out")
+    pipeline.encode_path(spark, src, out)
+    chunks = pipeline.read_chunks(spark, out)
+    total = chunks.count()
+    # prune to day 1 only
+    pruned = pipeline.prune_chunks(chunks, "ts", lo=base + 24 * hour,
+                                   hi=base + 47 * hour)
+    kept = pruned.count()
+    assert 0 < kept < total
+    dec = pipeline.decode_chunks(pruned, ["event_id", "ts"],
+                                 "event_id bigint, ts timestamp")
+    ids = sorted(r.event_id for r in dec.collect())
+    assert set(range(24, 48)).issubset(ids)  # no false negatives
+    assert all(i < 48 for i in ids)  # day-2 file's chunks pruned

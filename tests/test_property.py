@@ -95,3 +95,35 @@ def test_int64_column_with_nulls_roundtrip(rows):
     arr = pa.array(rows, type=pa.int64())
     kind, blob = encode_column(arr)
     assert decode_column(kind, blob).to_pylist() == rows
+
+
+@given(rows=st.lists(st.one_of(st.none(),
+                               st.integers(-2 ** 62, 2 ** 62 - 1)),
+                     max_size=80),
+       unit=st.sampled_from(["s", "ms", "us", "ns"]),
+       tz=st.sampled_from([None, "UTC", "America/New_York"]))
+@settings(**SETTINGS)
+def test_temporal_column_roundtrip(rows, unit, tz):
+    ints = pa.array(rows, type=pa.int64())
+    arr = ints.view(pa.timestamp(unit, tz=tz))
+    kind, blob = encode_column(arr)
+    out = decode_column(kind, blob)
+    assert out.type == arr.type
+    assert out.view(pa.int64()).to_pylist() == rows
+
+
+@given(rows=st.lists(st.one_of(st.none(),
+                               st.integers(-10 ** 17, 10 ** 17)),
+                     max_size=80),
+       scale=st.integers(0, 6))
+@settings(**SETTINGS)
+def test_decimal_column_roundtrip(rows, scale):
+    import decimal
+    t = pa.decimal128(25, scale)
+    vals = [None if r is None
+            else decimal.Decimal(r).scaleb(-scale) for r in rows]
+    arr = pa.array(vals, type=t)
+    kind, blob = encode_column(arr)
+    assert kind in ("dec64", "arrow")
+    out = decode_column(kind, blob)
+    assert out.cast(t).to_pylist() == vals
