@@ -384,6 +384,18 @@ def q26_srp_neardup_bucketed(spark, sf_dir):
                                         threshold=0.3, n_planes=4)
 
 
+def q32_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling k-gram hash, per-window minima) fingerprints
+    rolled up per source — the MOSS-style near-copy detection signal."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = textstats.winnow_fingerprints(docs, "doc_id", "text", k=4, w=5)
+    j = docs.select("doc_id", "source").join(fps, "doc_id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_fps"),
+                 F.countDistinct("fp").alias("n_distinct_fp"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
 def q31_ivf_topk(spark, sf_dir):
     """IVF ANN search (weak-check: k-means isn't SQL-expressible; the
     in-repo gate `tests/test_ivf.py` proves full-probe == exact top-k
@@ -425,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_mixed_schema_union": q29_mixed_schema_union,
         "q30_events_encode_roundtrip": q30_events_encode_roundtrip,
         "q31_ivf_topk": q31_ivf_topk,
+        "q32_winnow_fingerprints": q32_winnow_fingerprints,
     }
 
 
@@ -755,6 +768,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY event_type
+        """,
+        "q32_winnow_fingerprints": f"""
+            WITH d AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                        range(1, greatest(len(ws) - 3, 0) + 1),
+                        i -> {{'pos': i,
+                              'h': CAST('0x' || substr(md5(
+                                     ws[i] || ' ' || ws[i+1] || ' ' ||
+                                     ws[i+2] || ' ' || ws[i+3]), 1, 8)
+                                   AS BIGINT)}})) AS u
+              FROM d
+            ),
+            hh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sh),
+            wins AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 4 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 4 FOLLOWING) AS n
+              FROM hh
+            ),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE n = 5)
+            SELECT source, count(*) AS n_fps,
+                   count(DISTINCT fp) AS n_distinct_fp,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM fps JOIN documents USING (doc_id)
+            GROUP BY source
         """,
         "q24_embedding_neardup_pairs": """
             WITH e AS (

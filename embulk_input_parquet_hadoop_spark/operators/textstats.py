@@ -73,3 +73,39 @@ def fingerprint(text: Column) -> Column:
     match fingerprint used for dedup clustering.)
     """
     return F.md5(F.regexp_replace(F.lower(text), " +", " "))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 4, w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    scheme, simplified to distinct per-window minima): rolling k-gram
+    hash -> min over every w-window -> distinct (doc, fingerprint).
+
+    The rolling-hash fingerprint family the reference-era pipelines use
+    for near-copy detection at corpus scale: two documents sharing any
+    run of >= w+k-1 words share a fingerprint, so candidate pairs come
+    from an equi-join on ``fp`` — never an all-pairs scan. Hashes are
+    md5-derived (32-bit prefix), reproducible in the DuckDB oracle.
+
+    One shuffle (window by doc) + one distinct; the word array is
+    materialized behind the explode barrier (see ``dedup.word_shingles``
+    for why inlining it is O(len^2) per doc).
+    """
+    from pyspark.sql import Window
+
+    ws_df = df.select(id_col, words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    n_sh = F.size(ws) - (k - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)) \
+        .otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int"))
+                   for j in range(k)]))
+    sh = ws_df.select(id_col, F.posexplode(shingle).alias("pos", "shingle"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    m = sh.select(F.col(id_col), F.min(h).over(win).alias("fp"),
+                  F.count(F.lit(1)).over(win).alias("_n"))
+    return m.filter(F.col("_n") == w).select(id_col, "fp").distinct()

@@ -42,3 +42,21 @@ def test_q12_emits_rows_at_smallest_sf(spark):
     n = entrymod.q12_ngram_jaccard_pairs(
         spark, "/root/testdata/sf0.001").count()
     assert n > 0
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (MOSS): documents sharing a word run of length
+    >= w+k-1 share at least one fingerprint; disjoint docs share none."""
+    from embulk_input_parquet_hadoop_spark.operators import textstats
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 5+4-1
+    docs = [(1, f"intro words here {run} tail one"),
+            (2, f"different prefix {run} other ending words"),
+            (3, "completely unrelated vocabulary set with many terms")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    fps = textstats.winnow_fingerprints(df, "doc_id", "text", k=4, w=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert not (by_doc[2] & by_doc.get(3, set()))
