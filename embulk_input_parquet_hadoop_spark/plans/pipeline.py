@@ -590,19 +590,33 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     return totals
 
 
+def _is_hidden(path: str) -> bool:
+    """Any path component starting with '.' or '_' — the reference filters
+    these everywhere (``HiddenFileFilter.INSTANCE``,
+    ``ParquetHadoopInputPlugin.java:208,:230``): a ``_temporary`` straggler
+    or a dot-file in the tree must never be encoded. Checking every
+    component also skips files *under* hidden directories."""
+    return any(part and part[0] in "._" for part in path.split("/"))
+
+
 def _list_parquet_files(input_path: str) -> list[str]:
     """Recursive parquet listing via pyarrow.fs (works for local paths and
     file:/s3:/hdfs: URIs) — used when the tree's schemas are incompatible
-    and ``spark.read.parquet`` would refuse to infer one."""
+    and ``spark.read.parquet`` would refuse to infer one. Hidden files and
+    files under hidden directories are skipped, matching both the
+    reference's ``HiddenFileFilter`` and ``spark.read.parquet``'s behavior
+    on the single-schema path."""
     from pyarrow import fs as pafs
     filesystem, root = pafs.FileSystem.from_uri(input_path)
     info = filesystem.get_file_info(root)
     if info.type == pafs.FileType.File:
         return [root]
     sel = pafs.FileSelector(root, recursive=True)
+    rootlen = len(root.rstrip("/")) + 1
     return sorted(f.path for f in filesystem.get_file_info(sel)
                   if f.type == pafs.FileType.File
-                  and f.path.endswith(".parquet"))
+                  and f.path.endswith(".parquet")
+                  and not _is_hidden(f.path[rootlen:]))
 
 
 def _schema_groups(files: list[str]) -> list[list[str]]:
@@ -640,10 +654,12 @@ def read_chunks(spark: SparkSession, out_dir: str,
 
 def _committed_wave_paths(spark: SparkSession, out_dir: str) -> list[str]:
     """Committed wave dirs that contain chunk parts (a committed wave whose
-    files all failed is legitimately empty — unreadable for schema)."""
-    import glob as _glob
+    files all failed is legitimately empty — unreadable for schema).
+    URI-aware via pyarrow.fs, matching ``_list_parquet_files`` (ADVICE r2:
+    the two halves of the pipeline must agree on supported filesystems)."""
+    from . import fsutil
     return [p for w in sorted(mf.completed_waves(spark, out_dir))
-            if _glob.glob((p := f"{out_dir}/chunks/wave={w}") + "/*.parquet")]
+            if fsutil.has_parquet_files(p := f"{out_dir}/chunks/wave={w}")]
 
 
 def prune_chunks(chunks: DataFrame, column: str,

@@ -44,6 +44,21 @@ def test_q12_emits_rows_at_smallest_sf(spark):
     assert n > 0
 
 
+def test_ngram_jaccard_leaves_no_cached_rdds(spark):
+    """VERDICT r2 #4 / ADVICE r2: the r2 implementation persisted the
+    shingle set and never released it — repeated calls in a long-lived
+    session accumulated cached partitions until shutdown. The window-based
+    plan has no cached intermediate at all."""
+    docs = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "q r s t u v")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3,
+                              max_df=10).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (
+        f"ngram_jaccard_pairs leaked cached RDDs: {before} -> {after}")
+
+
 def test_winnow_shared_run_shares_fingerprint(spark):
     """Winnowing guarantee (MOSS): documents sharing a word run of length
     >= w+k-1 share at least one fingerprint; disjoint docs share none."""

@@ -291,6 +291,32 @@ def test_mixed_schema_tree_encodes_to_union(spark, tmp_path):
                     (None, "x", True), (None, "y", False)}
 
 
+def test_mixed_tree_skips_hidden_files(spark, tmp_path):
+    """Reference parity (HiddenFileFilter.INSTANCE,
+    ParquetHadoopInputPlugin.java:208,:230): a `_temporary` straggler or a
+    dot-file in a mixed tree must never be encoded — and its (possibly
+    garbage) schema must not fail the listing. VERDICT r2 #5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "mixed_h")
+    os.makedirs(f"{src}/_temporary")
+    pq.write_table(pa.table({"c_int": pa.array([1, 2, 3], pa.int32())}),
+                   f"{src}/a.parquet")
+    # stragglers: under a hidden dir, a leading-underscore file, a dot-file
+    pq.write_table(pa.table({"c_int": pa.array([99], pa.int32())}),
+                   f"{src}/_temporary/part.parquet")
+    pq.write_table(pa.table({"junk": ["zzz"]}), f"{src}/_stray.parquet")
+    with open(f"{src}/.hidden.parquet", "wb") as f:
+        f.write(b"not parquet at all")
+    assert pipeline._list_parquet_files(src) == [f"{src}/a.parquet"]
+    out = str(tmp_path / "mixed_h_out")
+    totals = pipeline.encode_path(spark, src, out, schema_mode="mixed")
+    assert totals["n_rows"] == 3 and totals["waves_run"] == 1
+    dec = pipeline.decode_chunks(pipeline.read_chunks(spark, out),
+                                 ["c_int"], "c_int int")
+    assert sorted(r.c_int for r in dec.collect()) == [1, 2, 3]
+
+
 def test_mixed_schema_resume(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
