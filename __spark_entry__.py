@@ -256,8 +256,10 @@ def q21_encode_roundtrip_agg(spark, sf_dir):
 
 
 def q22_srp_bucket_sizes(spark, sf_dir):
-    # weak-check (no oracle): libm sin() may differ across engines in the
-    # last ulp, so the bucket ids aren't guaranteed to match in DuckDB
+    """SRP-LSH bucket histogram, oracle-gated: plane coefficients are
+    md5-derived exact doubles and projections fold sequentially over
+    dimensions, so DuckDB reproduces every bucket id bit-for-bit
+    (VERDICT r2 #2 — r2's libm-sin planes kept this rows-only)."""
     return similarity.srp_bucket_sizes(_t(spark, sf_dir, "embeddings"),
                                        n_planes=8, seed=7)
 
@@ -388,7 +390,9 @@ def q30_events_encode_roundtrip(spark, sf_dir):
 
 
 def q26_srp_neardup_bucketed(spark, sf_dir):
-    # weak-check (no oracle): bucket ids depend on libm sin() ulps
+    """Bucketed near-dup mining, oracle-gated: exact md5-derived planes +
+    sequential-fold projections/cosines make the candidate set AND the
+    cos_sim values bit-reproducible in DuckDB (VERDICT r2 #2)."""
     return similarity.srp_neardup_pairs(_t(spark, sf_dir, "embeddings"),
                                         threshold=0.3, n_planes=4)
 
@@ -461,6 +465,39 @@ SELECT doc_id,
        min(md5('3:' || word)) AS h3
 FROM dw GROUP BY doc_id
 """
+
+
+def _srp_cte(n_planes: int, seed: int = 7, dim: int = 64) -> str:
+    """Shared CTE body reproducing similarity._plane_matrix + srp_bucket in
+    SQL: md5-derived 52-bit plane coefficients (every arithmetic step exact
+    in doubles) and a left-to-right projection fold (list_dot_product),
+    matching the engine kernel's sequential per-dimension accumulation."""
+    return f"""
+            planes AS (
+              SELECT p, list(c ORDER BY j) AS pv FROM (
+                SELECT pp.range AS p, jj.range AS j,
+                       CAST('0x' || substr(md5(pp.range || ':' ||
+                                jj.range || ':' || {seed}), 1, 13) AS BIGINT)
+                         / 4503599627370496.0 - 0.5 AS c
+                FROM range({n_planes}) pp, range({dim}) jj
+              ) GROUP BY p
+            ),
+            ed AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+              FROM embeddings
+            ),
+            proj AS (
+              SELECT vec_id, p, list_dot_product(d, pv) AS pd
+              FROM ed, planes
+            ),
+            bk AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN pd > 0
+                              THEN (CAST(1 AS BIGINT) << p)
+                              ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -808,6 +845,30 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM fps JOIN documents USING (doc_id)
             GROUP BY source
+        """,
+        "q22_srp_bucket_sizes": f"""
+            WITH {_srp_cte(8)}
+            SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_id
+            FROM bk GROUP BY bucket
+        """,
+        "q26_srp_neardup_bucketed": f"""
+            WITH {_srp_cte(4)},
+            u AS (
+              SELECT vec_id,
+                     CASE WHEN sqrt(list_dot_product(d, d)) = 0 THEN d
+                          ELSE list_transform(
+                              d, x -> x / sqrt(list_dot_product(d, d)))
+                     END AS u
+              FROM ed
+            )
+            SELECT ba.vec_id AS id_a, bb.vec_id AS id_b,
+                   ba.bucket AS bucket,
+                   round(list_dot_product(ua.u, ub.u), 4) AS cos_sim
+            FROM bk ba JOIN bk bb
+                 ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+            JOIN u ua ON ua.vec_id = ba.vec_id
+            JOIN u ub ON ub.vec_id = bb.vec_id
+            WHERE round(list_dot_product(ua.u, ub.u), 4) >= 0.3
         """,
         "q24_embedding_neardup_pairs": """
             WITH e AS (

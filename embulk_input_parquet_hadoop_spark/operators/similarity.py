@@ -5,21 +5,23 @@ query vector + one JVM-side pass — no shuffle until the final top-k), and an
 LSH-bucketed variant (sign-random-projection buckets) as the scale path: at
 10^9+ vectors, bucket first, then brute-force within buckets.
 
-Two kernel families, chosen per contract:
-- oracle-gated queries use ``F.zip_with`` + ``F.aggregate`` over doubles —
-  built-in higher-order functions with sequential left-to-right summation,
-  bit-reproducible in the DuckDB oracle (list_dot_product on DOUBLE[]);
+Two kernel families, BOTH bit-reproducible in the DuckDB oracle:
+- JVM-expression kernels use ``F.zip_with`` + ``F.aggregate`` over doubles
+  — built-in higher-order functions with sequential left-to-right
+  summation, matching ``list_dot_product`` on DOUBLE[];
 - scale-path operators (SRP bucketing, bucket-local pairwise mining) use
-  vectorized numpy matmuls inside ``mapInArrow``/``applyInPandas`` — the
-  Arrow batch boundary, no per-row Python — because an all-pairs
-  higher-order-function expression is interpreted per element and
-  dominates wall time ~100x over a matmul.
+  numpy kernels inside ``mapInArrow``/``applyInArrow`` — the Arrow batch
+  boundary, no per-row Python — because an all-pairs higher-order-function
+  expression is interpreted per element and dominates wall time ~100x.
+  Since r3 these accumulate *sequentially over dimensions* (vectorized
+  over rows/pairs — see ``_seq_dot``), so they produce the identical IEEE
+  doubles as the expression kernels and the oracle: same semantics at
+  both scales, one oracle for all paths (VERDICT r2 #2).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -84,14 +86,37 @@ def knn_label_histogram(emb: DataFrame, query_id: int, k: int = 50,
 def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes, (n_planes, dim) float64.
 
-    c(p,j) = fract(sin(p*12.9898 + j*78.233 + seed) * 43758.5453) - 0.5 —
-    the classic shader-noise construction; no stored model, reproducible
-    from (dim, n_planes, seed) alone.
+    c(p,j) = md5_52bit(p:j:seed) / 2^52 - 0.5: the first 13 hex digits of
+    ``md5(f"{p}:{j}:{seed}")`` as a 52-bit integer, scaled to [-0.5, 0.5).
+    Every step is EXACT in IEEE doubles (52-bit int -> double lossless,
+    division by 2^52 exact, subtraction of 0.5 exact), so any engine with
+    md5 reproduces the coefficients bit-for-bit — the DuckDB oracle
+    computes the same planes in SQL (VERDICT r2 #2; the r1/r2 libm-sin
+    construction differed across engines in the last ulp, which kept
+    q22/q26 rows-only). No stored model: reproducible from
+    (dim, n_planes, seed) alone.
     """
-    p = np.arange(n_planes, dtype=np.float64)[:, None]
-    j = np.arange(dim, dtype=np.float64)[None, :]
-    s = np.sin(p * 12.9898 + j * 78.233 + seed) * 43758.5453
-    return (s - np.floor(s)) - 0.5
+    import hashlib
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for j in range(dim):
+            h = hashlib.md5(f"{p}:{j}:{seed}".encode()).hexdigest()
+            out[p, j] = int(h[:13], 16) / 4503599627370496.0 - 0.5
+    return out
+
+
+def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot products accumulated *sequentially over dimensions*
+    (vectorized over rows): acc_j+1 = acc_j + A[:,j]*B[:,j] — the exact
+    IEEE operation order of a left-to-right fold, i.e. what Spark's
+    ``F.aggregate(F.zip_with(...))`` and DuckDB's ``list_dot_product``
+    compute. A numpy matmul uses pairwise/SIMD summation and can differ in
+    the last ulp, which would flip near-zero hyperplane signs between the
+    engine and the oracle."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return acc
 
 
 def _fixed_matrix(vec_arr: pa.Array) -> np.ndarray:
@@ -108,8 +133,15 @@ def _fixed_matrix(vec_arr: pa.Array) -> np.ndarray:
 def srp_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 7,
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> DataFrame:
-    """Sign-random-projection LSH buckets — one numpy matmul per Arrow
-    batch ((n, dim) @ (dim, planes)), no per-row work anywhere."""
+    """Sign-random-projection LSH buckets — vectorized per Arrow batch,
+    no per-row Python anywhere.
+
+    The projection accumulates sequentially over dimensions (``_seq_dot``
+    order) on md5-derived exact plane coefficients, so bucket ids are
+    bit-reproducible by any engine that folds left-to-right over doubles —
+    the DuckDB oracle gates this operator directly (VERDICT r2 #2). Cost
+    vs the plain matmul: dim extra kernel launches per batch, all
+    row-vectorized; the map stays shuffle-free."""
 
     def kernel(batches):
         planes = None
@@ -117,9 +149,12 @@ def srp_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 7,
             V = _fixed_matrix(b.column(vec_col)).astype(np.float64)
             if planes is None:
                 planes = _plane_matrix(V.shape[1], n_planes, seed)
-            signs = (V @ planes.T) > 0  # (n, planes)
-            bucket = (signs.astype(np.int64)
-                      << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            bucket = np.zeros(len(V), dtype=np.int64)
+            for p in range(n_planes):
+                acc = np.zeros(len(V), dtype=np.float64)
+                for j in range(V.shape[1]):
+                    acc += V[:, j] * planes[p, j]
+                bucket |= (acc > 0).astype(np.int64) << p
             yield pa.RecordBatch.from_arrays(
                 [b.column(id_col).cast(pa.int64()), pa.array(bucket)],
                 names=[id_col, "bucket"])
@@ -179,15 +214,25 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     ``block_rows``-sized block pairs, so peak memory is O(block_rows^2)
     regardless of bucket size — the within-bucket O(n^2) compute is
     inherent, but it can never OOM (VERDICT r1 #8).
+
+    Float semantics match the DuckDB oracle exactly (VERDICT r2 #2): unit
+    norms and pairwise cosines accumulate sequentially over dimensions
+    (``_seq_dot`` order, vectorized over row/pair blocks), identical to
+    ``list_dot_product``'s left-to-right fold. The kernel runs over Arrow
+    batches via ``applyInArrow`` — zero-copy column access, no pandas
+    object-array detour (VERDICT r2 #9).
     """
     with_bucket = (emb.select(id_col, vec_col)
                    .join(srp_bucket(emb, n_planes, seed, id_col, vec_col),
                          id_col))
 
-    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        ids = pdf[id_col].to_numpy()
-        norms = np.linalg.norm(V, axis=1)
+    def bucket_pairs(key: tuple, tbl: pa.Table) -> pa.Table:
+        V = _fixed_matrix(tbl.column(vec_col)).astype(np.float64)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        sq = np.zeros(len(V), dtype=np.float64)
+        for j in range(V.shape[1]):
+            sq += V[:, j] * V[:, j]
+        norms = np.sqrt(sq)
         norms[norms == 0] = 1.0
         U = V / norms[:, None]
         n = len(ids)
@@ -196,7 +241,9 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
             Up = U[p0:p0 + block_rows]
             for q0 in range(p0, n, block_rows):
                 Uq = U[q0:q0 + block_rows]
-                C = Up @ Uq.T
+                C = np.zeros((len(Up), len(Uq)), dtype=np.float64)
+                for j in range(U.shape[1]):
+                    C += Up[:, j, None] * Uq[None, :, j]
                 keep = np.round(C, 4) >= threshold
                 if p0 == q0:
                     keep &= np.triu(np.ones(C.shape, dtype=bool), k=1)
@@ -208,18 +255,20 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                 out_b.append(np.maximum(ia, jb))
                 out_c.append(np.round(C[iu, ju], 4))
         if not out_a:
-            return pd.DataFrame({
-                "id_a": np.zeros(0, np.int64), "id_b": np.zeros(0, np.int64),
-                "bucket": np.zeros(0, np.int64),
-                "cos_sim": np.zeros(0, np.float64)})
-        id_a = np.concatenate(out_a)
-        return pd.DataFrame({
-            "id_a": id_a,
-            "id_b": np.concatenate(out_b),
-            "bucket": np.full(len(id_a), key[0], dtype=np.int64),
-            "cos_sim": np.concatenate(out_c),
-        })
+            id_a = np.zeros(0, np.int64)
+            id_b = np.zeros(0, np.int64)
+            cos = np.zeros(0, np.float64)
+        else:
+            id_a = np.concatenate(out_a)
+            id_b = np.concatenate(out_b)
+            cos = np.concatenate(out_c)
+        return pa.Table.from_arrays(
+            [pa.array(id_a.astype(np.int64)),
+             pa.array(id_b.astype(np.int64)),
+             pa.array(np.full(len(id_a), key[0].as_py(), dtype=np.int64)),
+             pa.array(cos)],
+            names=["id_a", "id_b", "bucket", "cos_sim"])
 
-    return with_bucket.groupBy("bucket").applyInPandas(
+    return with_bucket.groupBy("bucket").applyInArrow(
         bucket_pairs,
         "id_a bigint, id_b bigint, bucket bigint, cos_sim double")

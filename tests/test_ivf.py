@@ -53,6 +53,60 @@ def test_training_and_assignment_deterministic(spark):
     assert len(a1) == emb.count()
 
 
+def test_build_once_search_many(spark, tmp_path, monkeypatch):
+    """VERDICT r2 #3: the index is built ONCE (train + assign + partitioned
+    write); every subsequent search reuses it — proven by poisoning
+    train_centroids after the build and searching twice anyway. Results
+    must match the one-shot wrapper's."""
+    emb = _emb(spark)
+    expected0 = [(r.vec_id, r.cos_sim) for r in
+                 ivf.ivf_topk(emb, query_id=0, k=10, n_centroids=8,
+                              nprobe=8).collect()]
+    index = ivf.ivf_build(emb, n_centroids=8,
+                          out_path=str(tmp_path / "ivf_idx"))
+
+    def boom(*a, **k):
+        raise AssertionError("search must not retrain")
+    monkeypatch.setattr(ivf, "train_centroids", boom)
+
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    got0 = [(r.vec_id, r.cos_sim) for r in
+            ivf.ivf_search(index, np.array(q0), k=10, nprobe=8,
+                           exclude_id=0).collect()]
+    assert got0 == expected0
+    q5 = emb.filter(F.col("vec_id") == 5).select("embedding").head()[0]
+    got5 = ivf.ivf_search(index, np.array(q5), k=10, nprobe=8,
+                          exclude_id=5).collect()
+    assert len(got5) == 10 and got5[0].cos_sim >= got5[-1].cos_sim
+
+
+def test_search_prunes_partitions(spark, tmp_path):
+    """An on-disk index search must read only the probed buckets: the scan
+    carries a PartitionFilters entry on `centroid`, so pruning happens at
+    file-listing time, not per row."""
+    emb = _emb(spark)
+    index = ivf.ivf_build(emb, n_centroids=8,
+                          out_path=str(tmp_path / "ivf_idx2"))
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    res = ivf.ivf_search(index, np.array(q), k=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid" in plan, plan
+    assert res.count() == 5
+
+
+def test_load_reopens_index(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_idx3")
+    built = ivf.ivf_build(emb, n_centroids=8, out_path=path)
+    loaded = ivf.ivf_load(spark, path)
+    assert np.array_equal(built.centroids, loaded.centroids)
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    a = ivf.ivf_search(built, np.array(q), k=8, nprobe=3).collect()
+    b = ivf.ivf_search(loaded, np.array(q), k=8, nprobe=3).collect()
+    assert [(r.vec_id, r.cos_sim) for r in a] == \
+        [(r.vec_id, r.cos_sim) for r in b]
+
+
 def test_assignment_balance(spark):
     """IVF's selling point over fixed hyperplanes: adapted buckets stay
     populated — no centroid owns the whole corpus."""

@@ -83,13 +83,13 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_all_queries_have_oracles_or_are_documented():
     missing = set(QUERIES) - set(ORACLES)
-    # weak-check (rows-only) queries must be intentional: q22/q26 depend
-    # on libm sin() ulps, q25 on a non-SQL byte kernel, q31 on k-means.
-    # q26 carries a recall/precision gate (test_similarity_scale), q31 a
-    # full-probe==exact gate (test_ivf) — stronger than the driver's
-    # rows-only check.
-    assert missing == {"q22_srp_bucket_sizes", "q25_multimodal_features",
-                       "q26_srp_neardup_bucketed", "q31_ivf_topk"}, missing
+    # weak-check (rows-only) queries must be intentional: q25 depends on a
+    # non-SQL byte kernel, q31 on k-means (not SQL-expressible). q31
+    # carries a full-probe==exact-top-k gate (test_ivf) — stronger than
+    # the driver's rows-only check. q22/q26 were de-exempted in r3
+    # (VERDICT r2 #2): md5-derived exact planes + sequential folds made
+    # them oracle-gated.
+    assert missing == {"q25_multimodal_features", "q31_ivf_topk"}, missing
 
 
 def test_weak_queries_run(spark):
