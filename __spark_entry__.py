@@ -409,6 +409,41 @@ def q32_winnow_fingerprints(spark, sf_dir):
                  F.countDistinct("doc_id").alias("n_docs")))
 
 
+def q33_nested_encode_roundtrip(spark, sf_dir):
+    """Nested-type encode->decode roundtrip, oracle-gated (VERDICT r2 #1):
+    a struct column (with a nullable field) and an array<double> column
+    ride the recursive shred — validity/offsets/leaves through the real
+    codecs — and decode back; the oracle computes the same aggregate
+    directly from events, so matching it proves the shred is the identity
+    on every struct/list value."""
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.when(F.col("value") > 0.5, F.col("value")).alias("big"))
+        .alias("attrs"),
+        F.array(F.col("value"), F.col("value") * 2).alias("vals"))
+    enc = nested.mapInArrow(pipeline.make_encode_fn(0),
+                            pipeline.CHUNK_SPARK_SCHEMA)
+    dec = pipeline.decode_chunks(
+        enc, ["event_id", "attrs", "vals"],
+        "event_id bigint, "
+        "attrs struct<user_id:bigint,event_type:string,big:double>, "
+        "vals array<double>")
+    return (dec.groupBy(F.col("attrs.event_type").alias("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct(F.col("attrs.user_id")).alias("n_users"),
+                 F.sum(F.col("attrs.big").isNotNull().cast("int"))
+                 .alias("n_big"),
+                 F.round(F.sum("attrs.big"), 2).alias("big_sum"),
+                 F.round(F.sum(F.element_at("vals", 1)), 2).alias("v0_sum"),
+                 F.round(F.sum(F.aggregate(
+                     "vals", F.lit(0.0), lambda acc, x: acc + x)), 2)
+                 .alias("vsum")))
+
+
 def q31_ivf_topk(spark, sf_dir):
     """IVF ANN search (weak-check: k-means isn't SQL-expressible; the
     in-repo gate `tests/test_ivf.py` proves full-probe == exact top-k
@@ -451,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_events_encode_roundtrip": q30_events_encode_roundtrip,
         "q31_ivf_topk": q31_ivf_topk,
         "q32_winnow_fingerprints": q32_winnow_fingerprints,
+        "q33_nested_encode_roundtrip": q33_nested_encode_roundtrip,
     }
 
 
@@ -845,6 +881,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM fps JOIN documents USING (doc_id)
             GROUP BY source
+        """,
+        "q33_nested_encode_roundtrip": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_big,
+                   round(sum(CASE WHEN value > 0.5 THEN value END), 2)
+                       AS big_sum,
+                   round(sum(value), 2) AS v0_sum,
+                   round(sum((0.0 + value) + value * 2), 2) AS vsum
+            FROM events GROUP BY event_type
         """,
         "q22_srp_bucket_sizes": f"""
             WITH {_srp_cte(8)}

@@ -225,6 +225,30 @@ def main() -> None:
     eff_2_8_vs_ceiling = (max(effs_2_8_vs_ceiling)
                           if effs_2_8_vs_ceiling else None)
 
+    def _median(xs):
+        if not xs:
+            return None
+        s = sorted(xs)
+        mid = len(s) // 2
+        return (s[mid] if len(s) % 2
+                else (s[mid - 1] + s[mid]) / 2)
+
+    # ADVICE r2: record HOW the criterion passed, on best AND median per
+    # round, so the artifact shows whether the pass was marginal (one
+    # favorable minute) or robust across rounds
+    clauses = {
+        "raw_2_to_8": (eff_2_8, _median(effs_2_8)),
+        "raw_low_to_high": (eff, _median(effs_low_high)),
+        "vs_ceiling_low_to_high": (eff_vs_ceiling,
+                                   _median(effs_vs_ceiling)),
+        "vs_ceiling_2_to_8": (eff_2_8_vs_ceiling,
+                              _median(effs_2_8_vs_ceiling)),
+    }
+    met_by_best = [k for k, (b, _) in clauses.items()
+                   if b is not None and b >= 0.8]
+    met_by_median = [k for k, (_, m) in clauses.items()
+                     if m is not None and m >= 0.8]
+
     # Compression + verify leg on the sf-sized table
     high = run_encode(CPUS, tokens_path, f"sf-c{CPUS}")
     ref_bytes = parquet_reference_size(tokens_path)
@@ -283,12 +307,22 @@ def main() -> None:
             # criterion: >=0.8 from N to 4N raw at either pair, or at the
             # machine's own measured ceiling (engine and Spark-free
             # control paired within the same minutes — the quota clamps
-            # any multi-process workload identically)
-            "criterion_met": bool(
-                (eff_2_8 is not None and eff_2_8 >= 0.8)
-                or eff >= 0.8 or eff_vs_ceiling >= 0.8
-                or (eff_2_8_vs_ceiling is not None
-                    and eff_2_8_vs_ceiling >= 0.8)),
+            # any multi-process workload identically). criterion_met_by
+            # names the clauses that reached 0.8 on the best round;
+            # *_median shows which still pass on per-round medians, so a
+            # pass carried by one favorable minute is visible as such
+            "criterion_met": bool(met_by_best),
+            "criterion_met_by": met_by_best,
+            "criterion_met_by_median": met_by_median,
+            "efficiency_2_to_8_median": (
+                round(_median(effs_2_8), 3) if effs_2_8 else None),
+            "efficiency_low_to_high_median":
+                round(_median(effs_low_high), 3),
+            "efficiency_vs_ceiling_median":
+                round(_median(effs_vs_ceiling), 3),
+            "efficiency_2_to_8_vs_ceiling_median": (
+                round(_median(effs_2_8_vs_ceiling), 3)
+                if effs_2_8_vs_ceiling else None),
         },
         "compression": {
             "n_tokens": high["n_tokens"],

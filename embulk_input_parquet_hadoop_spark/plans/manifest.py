@@ -86,12 +86,18 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
         n_bad = int(pc.sum(pc.is_valid(meta_table.column("error"))
                            .cast("int64")).as_py() or 0) \
             if "error" in names else 0
-        # error rows and per-file skipped-row summaries (batch_idx == -1)
-        # are bookkeeping, not chunks
-        n_meta_rows = int(pc.sum(
-            pc.equal(meta_table.column("batch_idx"), -1)
-            .cast("int64")).as_py() or 0) if "batch_idx" in names else n_bad
-        agg["n_chunks"] = meta_table.num_rows - n_meta_rows
+        if "n_chunks" in names:
+            # distributed-meta mode: one summary row per source file
+            agg["n_chunks"] = int(pc.sum(
+                meta_table.column("n_chunks")).as_py() or 0)
+        else:
+            # error rows and per-file skipped-row summaries
+            # (batch_idx == -1) are bookkeeping, not chunks
+            n_meta_rows = int(pc.sum(
+                pc.equal(meta_table.column("batch_idx"), -1)
+                .cast("int64")).as_py() or 0) \
+                if "batch_idx" in names else n_bad
+            agg["n_chunks"] = meta_table.num_rows - n_meta_rows
         agg["n_bad_files"] = n_bad
         agg["n_bad_rows"] = int(pc.sum(
             meta_table.column("n_bad_rows")).as_py() or 0) \

@@ -122,6 +122,37 @@ CHUNK_META_ARROW_SCHEMA = pa.schema([
 
 DEFAULT_BATCH_ROWS = 16384
 
+# distributed-meta mode: tasks yield one summary row per source file
+# (O(files) to the driver, never O(chunks)); the full per-chunk meta rows
+# land as task-written parquet sidecars next to the chunk data
+FILE_SUMMARY_SPARK_SCHEMA = (
+    "source_file string, n_chunks bigint, n_rows bigint, n_tokens bigint, "
+    "raw_bytes bigint, enc_bytes bigint, n_bad_rows bigint, error string"
+)
+
+FILE_SUMMARY_ARROW_SCHEMA = pa.schema([
+    pa.field("source_file", pa.string()),
+    pa.field("n_chunks", pa.int64()),
+    pa.field("n_rows", pa.int64()),
+    pa.field("n_tokens", pa.int64()),
+    pa.field("raw_bytes", pa.int64()),
+    pa.field("enc_bytes", pa.int64()),
+    pa.field("n_bad_rows", pa.int64()),
+    pa.field("error", pa.string()),
+])
+
+
+def meta_files(out_dir: str, wave_id: int) -> list[str]:
+    """chunks_meta parquet paths for a wave, either layout: the driver-mode
+    single file (``wave-K.parquet``) or the distributed-mode sidecar dir
+    (``wave-K/part-*.parquet``)."""
+    import glob as _glob
+    single = f"{out_dir}/chunks_meta/wave-{wave_id}.parquet"
+    if os.path.exists(single):
+        return [single]
+    return sorted(_glob.glob(f"{out_dir}/chunks_meta/wave-{wave_id}/"
+                             f"*.parquet"))
+
 
 def _encode_one_batch(batch: pa.RecordBatch, wave_id: int, pid: int,
                       bidx: int) -> tuple[pa.RecordBatch, dict]:
@@ -211,7 +242,8 @@ def make_encode_fn(wave_id: int):
 def make_encode_files_fn(wave_id: int, wave_dir: str,
                          batch_rows: int = DEFAULT_BATCH_ROWS,
                          columns: list[str] | None = None,
-                         bad_record_threshold: float = 0.0):
+                         bad_record_threshold: float = 0.0,
+                         meta_dir: str | None = None):
     """mapInArrow fn for the file-source path: paths in, chunk *stats* out.
 
     The task reads its files with pyarrow (row-group iteration like the
@@ -232,6 +264,15 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
     partially-corrupt one — are kept. Above the threshold the whole file
     fails (none of its chunks commit) and the driver's per-wave
     ``bad_file_threshold`` takes over.
+
+    ``meta_dir`` (distributed-meta mode, VERDICT r2 #7 / SCALE.md
+    break-order #2): each file's per-chunk meta rows are written as a
+    parquet sidecar under it — atomically renamed at the *same commit
+    point* as the chunk file, so lineage and data commit together — and
+    the task yields only one O(1) summary row per source file
+    (``FILE_SUMMARY_SPARK_SCHEMA``). The driver-side materialization is
+    then O(files), never O(chunks): at a 10^6-chunk wave the r2 driver
+    collected every chunk's column stats through ``toArrow``.
     """
 
     def meta_row(stats, path, final, cols, error=None, n_bad_rows=0):
@@ -259,10 +300,31 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                 "n_rows": 0, "n_tokens": 0, "raw_bytes": 0, "enc_bytes": 0,
                 "wall_ms": 0.0}
 
+    def summary_row(path, pending, n_bad_rows=0, error=None):
+        metas = pa.Table.from_batches(pending, CHUNK_META_ARROW_SCHEMA) \
+            if pending else None
+        import pyarrow.compute as pc
+
+        def tot(col):
+            return int(pc.sum(metas.column(col)).as_py() or 0) \
+                if metas is not None else 0
+        return pa.RecordBatch.from_arrays(
+            [pa.array([path]),
+             pa.array([len(pending)], type=pa.int64()),
+             pa.array([tot("n_rows")], type=pa.int64()),
+             pa.array([tot("n_tokens")], type=pa.int64()),
+             pa.array([tot("raw_bytes")], type=pa.int64()),
+             pa.array([tot("enc_bytes")], type=pa.int64()),
+             pa.array([n_bad_rows], type=pa.int64()),
+             pa.array([error], type=pa.string())],
+            schema=FILE_SUMMARY_ARROW_SCHEMA)
+
     def encode_files(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(wave_dir, exist_ok=True)
+        if meta_dir is not None:
+            os.makedirs(meta_dir, exist_ok=True)
         bidx = 0
         fseq = 0
         for b in batches:
@@ -324,12 +386,30 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                         writer.close()
                         writer = None
                         os.replace(tmp, final)  # per-file commit point
-                    yield from pending
-                    if bad_rows:
-                        yield meta_row(
-                            _zero_stats(f"w{wave_id}-p{pid}-skip{fseq - 1}",
-                                        pid),
-                            path, final, [], n_bad_rows=bad_rows)
+                    if meta_dir is not None:
+                        # sidecar commits WITH the chunk file: same
+                        # tmp+rename discipline, so meta never describes
+                        # uncommitted data
+                        if pending:
+                            mfinal = os.path.join(
+                                meta_dir,
+                                f"part-{pid:05d}-f{fseq - 1:04d}.parquet")
+                            mtmp = f"{mfinal}.{uuid.uuid4().hex}.tmp"
+                            pq.write_table(
+                                pa.Table.from_batches(
+                                    pending, CHUNK_META_ARROW_SCHEMA),
+                                mtmp)
+                            os.replace(mtmp, mfinal)
+                        yield summary_row(path, pending,
+                                          n_bad_rows=bad_rows)
+                    else:
+                        yield from pending
+                        if bad_rows:
+                            yield meta_row(
+                                _zero_stats(
+                                    f"w{wave_id}-p{pid}-skip{fseq - 1}",
+                                    pid),
+                                path, final, [], n_bad_rows=bad_rows)
                 except Exception as exc:  # noqa: BLE001
                     # file-level failure (unreadable footer, over-threshold
                     # corruption, encode error): discard the partial chunk
@@ -342,10 +422,14 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                         os.remove(tmp)
                     except OSError:
                         pass
-                    yield meta_row(
-                        _zero_stats(f"w{wave_id}-p{pid}-err{fseq - 1}", pid),
-                        path, "", [],
-                        error=f"{type(exc).__name__}: {exc}")
+                    err = f"{type(exc).__name__}: {exc}"
+                    if meta_dir is not None:
+                        yield summary_row(path, [], error=err)
+                    else:
+                        yield meta_row(
+                            _zero_stats(f"w{wave_id}-p{pid}-err{fseq - 1}",
+                                        pid),
+                            path, "", [], error=err)
 
     return encode_files
 
@@ -461,7 +545,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 expected_schema: str | None = None,
                 bad_file_threshold: float = 0.0,
                 bad_record_threshold: float = 0.0,
-                schema_mode: str = "single") -> dict:
+                schema_mode: str = "single",
+                meta_mode: str = "driver") -> dict:
     """Run the full encode job; returns aggregate metrics.
 
     ``waves`` > 1 splits the input *file list* into that many sub-jobs, each
@@ -502,9 +587,19 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     runs its own wave sequence; ``decode_chunks`` reads the union, filling
     columns a chunk lacks with nulls. ``expected_schema`` applies per
     group only if given as ``None`` (meaningless across groups).
+
+    ``meta_mode="distributed"`` keeps every per-chunk meta row OUT of the
+    driver: tasks write parquet sidecars (committed atomically with their
+    chunk file) and yield one summary row per source file, so the
+    driver-side materialization is O(files) instead of O(chunks) — the
+    documented scale fallback for waves whose chunk count outgrows driver
+    memory (VERDICT r2 #7, SCALE.md break-order #2). Manifest totals are
+    identical in both modes (tested).
     """
     if schema_mode not in ("single", "mixed"):
         raise ValueError(f"unknown schema_mode {schema_mode!r}")
+    if meta_mode not in ("driver", "distributed"):
+        raise ValueError(f"unknown meta_mode {meta_mode!r}")
     if schema_mode == "single":
         df0 = spark.read.parquet(input_path)
         if expected_schema is not None:
@@ -558,15 +653,23 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             rdd = spark.sparkContext.parallelize(
                 [(f,) for f in wfiles], len(wfiles))
             paths = spark.createDataFrame(rdd, "path string")
+            distributed = meta_mode == "distributed"
+            wave_meta_dir = (f"{out_dir}/chunks_meta/wave-{wave_id}"
+                             if distributed else None)
+            if distributed:
+                # stale sidecars from a failed attempt would double-count
+                shutil.rmtree(wave_meta_dir, ignore_errors=True)
             enc = paths.mapInArrow(
                 make_encode_files_fn(wave_id, wave_dir, batch_rows,
                                      columns=columns,
                                      bad_record_threshold=(
-                                         bad_record_threshold)),
-                CHUNK_META_SPARK_SCHEMA)
-            # one action runs the wave; the stats rows that come back are
-            # O(n_chunks) — driver-side write (like the manifest record)
-            # instead of a second Spark job
+                                         bad_record_threshold),
+                                     meta_dir=wave_meta_dir),
+                FILE_SUMMARY_SPARK_SCHEMA if distributed
+                else CHUNK_META_SPARK_SCHEMA)
+            # one action runs the wave; what comes back to the driver is
+            # O(n_chunks) stat rows (driver mode) or O(n_files) summaries
+            # (distributed mode) — never payloads
             meta = enc.toArrow()
             bad = meta.filter(pa.compute.is_valid(meta.column("error")))
             if bad.num_rows > len(wfiles) * bad_file_threshold:
@@ -575,9 +678,10 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                     f"wave {wave_id}: {bad.num_rows}/{len(wfiles)} input "
                     f"files failed exceeds bad_file_threshold="
                     f"{bad_file_threshold}: {errs[:3]}")
-            meta_dir = f"{out_dir}/chunks_meta"
-            os.makedirs(meta_dir, exist_ok=True)
-            pq.write_table(meta, f"{meta_dir}/wave-{wave_id}.parquet")
+            if not distributed:
+                meta_dir = f"{out_dir}/chunks_meta"
+                os.makedirs(meta_dir, exist_ok=True)
+                pq.write_table(meta, f"{meta_dir}/wave-{wave_id}.parquet")
         wall_s = time.perf_counter() - t0
         stats = mf.commit_wave(spark, out_dir, wave_id, wfiles, wall_s,
                                meta_table=meta)

@@ -195,15 +195,14 @@ def verify_files(spark: SparkSession, out_dir: str,
     """
     pairs = set()
     for w in sorted(mf.completed_waves(spark, out_dir)):
-        p = f"{out_dir}/chunks_meta/wave-{w}.parquet"
-        if not os.path.exists(p):
-            continue
-        t = pq.read_table(p, columns=["source_file", "chunk_file", "error"])
-        for s, c, e in zip(t.column("source_file").to_pylist(),
-                           t.column("chunk_file").to_pylist(),
-                           t.column("error").to_pylist()):
-            if e is None and c:
-                pairs.add((s, c))
+        for p in pipeline.meta_files(out_dir, w):
+            t = pq.read_table(p,
+                              columns=["source_file", "chunk_file", "error"])
+            for s, c, e in zip(t.column("source_file").to_pylist(),
+                               t.column("chunk_file").to_pylist(),
+                               t.column("error").to_pylist()):
+                if e is None and c:
+                    pairs.add((s, c))
     if not pairs:
         raise FileNotFoundError(
             f"no chunks_meta lineage under {out_dir} (verify_files needs "

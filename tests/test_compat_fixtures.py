@@ -19,8 +19,11 @@ import os
 import pyarrow.parquet as pq
 import pytest
 
+import pyarrow as pa
+
 from embulk_input_parquet_hadoop_spark.operators.encode import (
-    decode_column, encode_column)
+    decode_column, encode_arrow_ipc_column, encode_column,
+    encode_nested_column)
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "compat")
 FIXTURES = sorted(glob.glob(f"{FIXTURE_DIR}/*.parquet"))
@@ -44,3 +47,52 @@ def test_column_roundtrip_bit_identical(path):
             dec = dec.cast(col.type)
         assert dec.equals(col), \
             f"{os.path.basename(path)}:{name} (kind={kind})"
+
+
+def _nested_columns():
+    """Every nested-typed column across the whole compat corpus."""
+    out = []
+    checks = (pa.types.is_struct, pa.types.is_list, pa.types.is_large_list,
+              pa.types.is_map, pa.types.is_fixed_size_list)
+    for path in FIXTURES:
+        t = pq.read_table(path)
+        for name in t.schema.names:
+            col = t.column(name).combine_chunks()
+            if any(chk(col.type) for chk in checks):
+                out.append((os.path.basename(path), name, col))
+    return out
+
+
+def test_nested_shred_beats_ipc_on_corpus():
+    """VERDICT r2 #1 done-criterion: on the reference corpus's nested
+    column *shapes* at realistic chunk sizes, the recursive shred must
+    measurably beat the r2 Arrow-IPC fallback in total encoded size (it
+    reaches the leaf codecs that IPC's opaque stream cannot), while
+    staying bit-identical. The raw fixtures are a handful of rows each —
+    there, fixed framing overhead dominates and the per-chunk pick-best
+    keeps IPC (see test_nested_dispatch_never_worse_than_ipc) — so each
+    column is tiled to >= 4096 rows, the engine's actual chunk scale."""
+    cols = _nested_columns()
+    assert len(cols) >= 5, "corpus must exercise nested shapes"
+    shred_total = ipc_total = 0
+    for path, name, col in cols:
+        reps = max(1, -(-4096 // len(col)))
+        big = pa.concat_arrays([col] * reps)
+        _, nblob = encode_nested_column(big)
+        _, iblob = encode_arrow_ipc_column(big)
+        shred_total += len(nblob)
+        ipc_total += len(iblob)
+        dec = decode_column("nested", nblob)
+        if dec.type != big.type:
+            dec = dec.cast(big.type)
+        assert dec.equals(big), f"{path}:{name}"
+    assert shred_total < ipc_total, (shred_total, ipc_total)
+
+
+def test_nested_dispatch_never_worse_than_ipc():
+    """encode_column keeps IPC as a per-chunk competitor for nested types,
+    so no nested chunk can regress below the r2 fallback size."""
+    for path, name, col in _nested_columns():
+        kind, blob = encode_column(col)
+        _, iblob = encode_arrow_ipc_column(col)
+        assert len(blob) <= len(iblob), (path, name, kind)

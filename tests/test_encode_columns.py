@@ -79,12 +79,12 @@ def test_empty_arrays():
 
 
 def test_every_type_is_encodable():
-    # no refusals: floats hit the specialized path, exotic types the
-    # arrow-ipc fallback
+    # no refusals: floats and binaries hit specialized paths, exotic types
+    # (unions, dictionaries, ...) the arrow-ipc fallback
     kind, _ = encode_column(pa.array([1.5, 2.5]))
     assert kind == "f64"
     kind, _ = encode_column(pa.array([b"x", b"yz"], type=pa.binary()))
-    assert kind == "arrow"
+    assert kind == "bin"
 
 
 # --- extended type coverage: floats, list<float>, arbitrary Arrow types ----
@@ -123,6 +123,9 @@ def test_list_f32_roundtrip_embeddings_shape():
 
 
 def test_arrow_ipc_fallback_struct_map_nested():
+    """Tiny nested chunks: fixed framing overhead dominates, so the
+    per-chunk pick-best keeps the IPC competitor — either kind must
+    round-trip; at 3 rows the winner is IPC."""
     arr = pa.array(
         [{"a": 1, "b": [1, 2], "m": [("k", 1.5)]},
          None,
@@ -131,9 +134,66 @@ def test_arrow_ipc_fallback_struct_map_nested():
                         ("b", pa.list_(pa.int32())),
                         ("m", pa.map_(pa.string(), pa.float64()))]))
     kind, blob = encode_column(arr)
-    assert kind == "arrow"
+    assert kind in ("arrow", "nested")
     out = decode_column(kind, blob)
     assert out.to_pylist() == arr.to_pylist()
+
+
+def test_nested_shred_roundtrips():
+    """VERDICT r2 #1: struct/map/list-of-anything shred recursively so
+    leaves hit the real codecs; roundtrips stay bit-identical (Arrow
+    equals) at every nesting shape, including slices and nulls."""
+    cases = [
+        pa.array([{"a": i, "b": f"s{i % 5}"} for i in range(2000)] + [None]),
+        pa.array([[f"w{i % 7}", "x"] for i in range(1000)] + [None, []],
+                 type=pa.list_(pa.string())),
+        pa.array([[("k%d" % (i % 3), i)] for i in range(500)],
+                 type=pa.map_(pa.string(), pa.int32())),
+        pa.array([[float(i), i + 0.5] for i in range(500)],
+                 type=pa.list_(pa.float32(), 2)),
+        pa.array([{"tags": ["a", "b"], "meta": {"n": i}} for i in range(800)],
+                 type=pa.struct([("tags", pa.list_(pa.string())),
+                                 ("meta", pa.struct([("n", pa.int64())]))])),
+        pa.array([[[1, 2], [3]], None, [[4]]] * 300,
+                 type=pa.list_(pa.list_(pa.int64()))),
+        pa.array([[1, 2], None, [3]] * 400, type=pa.list_(pa.int32())),
+    ]
+    from embulk_input_parquet_hadoop_spark.operators.encode import (
+        encode_nested_column)
+    for arr in cases:
+        kind, blob = encode_nested_column(arr)
+        assert kind == "nested"
+        out = decode_column(kind, blob)
+        if out.type != arr.type:
+            out = out.cast(arr.type)
+        assert out.equals(arr), arr.type
+    # sliced nested arrays rebase offsets/validity correctly
+    s = pa.array([{"a": i, "b": "x"} for i in range(100)]).slice(7, 50)
+    kind, blob = encode_nested_column(s)
+    assert decode_column(kind, blob).to_pylist() == s.to_pylist()
+    sl = pa.array([[i, i + 1] for i in range(100)],
+                  type=pa.list_(pa.int64())).slice(5, 60)
+    kind, blob = encode_nested_column(sl)
+    assert decode_column(kind, blob).to_pylist() == sl.to_pylist()
+
+
+def test_bool_uint_binary_roundtrips():
+    cases = [
+        (pa.array([True, False, None] * 100), "bool"),
+        (pa.array([True] * 50), "bool"),
+        (pa.array([b"abc" * i for i in range(200)] + [None],
+                  type=pa.binary()), "bin"),
+        (pa.array([1, 2, None, 255], type=pa.uint8()), "uint"),
+        (pa.array([0, 65535, 7], type=pa.uint16()), "uint"),
+        (pa.array([0, 2 ** 32 - 1, None], type=pa.uint32()), "uint"),
+        (pa.array([0, 2 ** 64 - 1, None, 12345], type=pa.uint64()), "uint"),
+    ]
+    for arr, want_kind in cases:
+        kind, blob = encode_column(arr)
+        assert kind == want_kind, arr.type
+        out = decode_column(kind, blob)
+        assert out.type == arr.type
+        assert out.equals(arr), arr.type
 
 
 def test_temporal_roundtrip_all_units():
@@ -175,12 +235,29 @@ def test_decimal_roundtrip_and_wide_fallback():
     out = decode_column(kind, blob)
     assert out.type == dec.type
     assert out.equals(dec)
-    # values needing the upper 64 bits fall back to the bit-exact IPC path
-    wide = pa.array([decimal.Decimal(2 ** 70), decimal.Decimal(-3)],
+    # values needing the upper 64 bits encode both planes (VERDICT r2 #8;
+    # the r2 engine fell back to IPC here)
+    wide = pa.array([decimal.Decimal(2 ** 70), decimal.Decimal(-3), None],
                     type=pa.decimal128(38, 0))
     kind, blob = encode_column(wide)
-    assert kind == "arrow"
+    assert kind == "dec128"
     assert decode_column(kind, blob).equals(wide)
+
+
+def test_wide_decimal_two_plane_beats_ipc():
+    """The dec128 point: realistic wide decimals (hi plane low-entropy)
+    compress through FOR/delta + zstd where IPC stores 16 raw bytes."""
+    import decimal
+    from embulk_input_parquet_hadoop_spark.operators.encode import (
+        encode_arrow_ipc_column)
+    base = 2 ** 70
+    vals = [decimal.Decimal(base + i * 1000) for i in range(20_000)]
+    arr = pa.array(vals, type=pa.decimal128(38, 0))
+    kind, blob = encode_column(arr)
+    assert kind == "dec128"
+    _, ipc_blob = encode_arrow_ipc_column(arr)
+    assert len(blob) < 0.6 * len(ipc_blob), (len(blob), len(ipc_blob))
+    assert decode_column(kind, blob).equals(arr)
 
 
 def test_decimal_sliced_offset():

@@ -333,6 +333,33 @@ def test_mixed_schema_resume(spark, tmp_path):
     assert t2["waves_run"] == 0 and t2["waves_skipped"] == 2
 
 
+def test_distributed_meta_mode_identical_totals(spark, tokens_dir, tmp_path):
+    """VERDICT r2 #7: meta_mode='distributed' writes per-chunk meta as
+    task-side sidecars (committed with the chunk file) and sends only
+    O(files) summary rows to the driver; manifest totals, decoded data,
+    and the channel-free verify must be identical to driver mode."""
+    from embulk_input_parquet_hadoop_spark.plans import verify
+    out_drv = str(tmp_path / "out_drv")
+    out_dst = str(tmp_path / "out_dst")
+    t1 = pipeline.encode_path(spark, tokens_dir, out_drv, waves=2)
+    t2 = pipeline.encode_path(spark, tokens_dir, out_dst, waves=2,
+                              meta_mode="distributed")
+    for k in ("n_rows", "n_tokens", "raw_bytes", "enc_bytes", "waves_run"):
+        assert t1[k] == t2[k], k
+    m1 = mf.read_manifest(spark, out_drv).collect()
+    m2 = mf.read_manifest(spark, out_dst).collect()
+    tot1 = {(r.wave_id, r.n_chunks, r.n_rows, r.n_tokens) for r in m1}
+    tot2 = {(r.wave_id, r.n_chunks, r.n_rows, r.n_tokens) for r in m2}
+    assert tot1 == tot2
+    # sidecar layout exists and carries per-chunk lineage + col stats
+    assert pipeline.meta_files(out_dst, 0)
+    meta = spark.read.parquet(*pipeline.meta_files(out_dst, 0))
+    assert {"source_file", "chunk_file", "cols"} <= set(meta.columns)
+    # the channel-free verify consumes the sidecar lineage
+    res = verify.verify_files(spark, out_dst)
+    assert res["ok"] and res["rows_compared"] == t2["n_rows"]
+
+
 def test_zone_map_pruning_temporal(spark, tmp_path):
     """Temporal columns carry zone maps on their storage ints, so chunk
     pruning works on timestamp ranges like Parquet row-group stats."""

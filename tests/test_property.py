@@ -124,6 +124,49 @@ def test_decimal_column_roundtrip(rows, scale):
             else decimal.Decimal(r).scaleb(-scale) for r in rows]
     arr = pa.array(vals, type=t)
     kind, blob = encode_column(arr)
-    assert kind in ("dec64", "arrow")
+    assert kind in ("dec64", "dec128")
     out = decode_column(kind, blob)
     assert out.cast(t).to_pylist() == vals
+
+
+_nested_scalars = st.one_of(
+    st.none(), st.integers(-2 ** 31, 2 ** 31 - 1), st.text(max_size=12),
+    st.booleans())
+
+
+@given(rows=st.lists(
+    st.one_of(st.none(),
+              st.fixed_dictionaries(
+                  {"a": st.one_of(st.none(),
+                                  st.integers(-2 ** 63, 2 ** 63 - 1)),
+                   "b": st.one_of(st.none(), st.text(max_size=20)),
+                   "c": st.one_of(st.none(),
+                                  st.lists(st.integers(-100, 100),
+                                           max_size=5))})),
+    max_size=60))
+@settings(**SETTINGS)
+def test_nested_struct_roundtrip(rows):
+    t = pa.struct([("a", pa.int64()), ("b", pa.string()),
+                   ("c", pa.list_(pa.int32()))])
+    arr = pa.array(rows, type=t)
+    from embulk_input_parquet_hadoop_spark.operators.encode import (
+        encode_nested_column)
+    kind, blob = encode_nested_column(arr)
+    assert decode_column(kind, blob).cast(t).to_pylist() == arr.to_pylist()
+    # the dispatcher (pick-best vs IPC) must roundtrip identically too
+    kind2, blob2 = encode_column(arr)
+    assert decode_column(kind2, blob2).cast(t).to_pylist() == arr.to_pylist()
+
+
+@given(rows=st.lists(st.one_of(st.none(),
+                               st.lists(_nested_scalars, max_size=6)),
+                     max_size=60))
+@settings(**SETTINGS)
+def test_nested_list_of_struct_free_values_roundtrip(rows):
+    # list<string|null> with nullable outer lists
+    vals = [None if r is None else [None if isinstance(v, bool) or v is None
+                                    else str(v) for v in r] for r in rows]
+    t = pa.list_(pa.string())
+    arr = pa.array(vals, type=t)
+    kind, blob = encode_column(arr)
+    assert decode_column(kind, blob).cast(t).to_pylist() == vals
