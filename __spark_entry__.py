@@ -444,6 +444,21 @@ def q33_nested_encode_roundtrip(spark, sf_dir):
                  .alias("vsum")))
 
 
+def q34_minhash_jaccard_dedup(spark, sf_dir):
+    """The full industrial near-dup chain, oracle-gated end to end:
+    shingle -> minhash -> LSH bands -> candidate pairs (capped buckets) ->
+    exact jaccard verified ONLY on candidates. Every hash is md5-derived,
+    so DuckDB reproduces the entire pipeline — candidates included —
+    bit-for-bit. This is q12's documented scale path made real: the
+    quadratic inverted-index self-join is replaced by LSH proposal +
+    per-candidate verification."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_jaccard_dedup(docs, "doc_id", "text", k=3,
+                                       n_hashes=4, rows_per_band=1,
+                                       threshold=0.2, max_bucket=50,
+                                       max_df=100)
+
+
 def q31_ivf_topk(spark, sf_dir):
     """IVF ANN search (weak-check: k-means isn't SQL-expressible; the
     in-repo gate `tests/test_ivf.py` proves full-probe == exact top-k
@@ -487,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_ivf_topk": q31_ivf_topk,
         "q32_winnow_fingerprints": q32_winnow_fingerprints,
         "q33_nested_encode_roundtrip": q33_nested_encode_roundtrip,
+        "q34_minhash_jaccard_dedup": q34_minhash_jaccard_dedup,
     }
 
 
@@ -881,6 +897,53 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM fps JOIN documents USING (doc_id)
             GROUP BY source
+        """,
+        "q34_minhash_jaccard_dedup": f"""
+            WITH sigs AS ({_MINHASH_SIGS}),
+            bands AS (
+              SELECT 0 AS band, md5(h0) AS bucket, doc_id FROM sigs
+              UNION ALL SELECT 1, md5(h1), doc_id FROM sigs
+              UNION ALL SELECT 2, md5(h2), doc_id FROM sigs
+              UNION ALL SELECT 3, md5(h3), doc_id FROM sigs
+            ),
+            bc AS (
+              SELECT band, bucket, doc_id FROM (
+                SELECT band, bucket, doc_id,
+                       count(*) OVER (PARTITION BY band, bucket) AS bn
+                FROM bands) WHERE bn <= 50
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bc a JOIN bc b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+            ),
+            docs AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            sh0 AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                        range(1, greatest(len(ws) - 1, 1)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                        AS shingle
+              FROM docs
+            ),
+            keep AS (SELECT shingle FROM sh0
+                     GROUP BY shingle HAVING count(*) <= 100),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b, inter,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
         """,
         "q33_nested_encode_roundtrip": """
             SELECT event_type, count(*) AS n_events,

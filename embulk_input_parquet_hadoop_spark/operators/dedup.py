@@ -71,6 +71,44 @@ def lsh_band_groups(sigs: DataFrame, id_col: str, rows_per_band: int = 2,
             .filter(F.col("n_docs") >= min_docs))
 
 
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        rows_per_band: int = 2,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from shared LSH band buckets.
+
+    The pair-generation half of the classic minhash-LSH pipeline: docs
+    sharing ANY band bucket become a candidate. Within-bucket pairing is a
+    self-equi-join on (band, bucket) — shuffle-partitionable, never
+    all-pairs. ``max_bucket`` drops over-full buckets before pairing
+    (standard LSH hygiene, same reasoning as ``ngram_jaccard_pairs``'s
+    ``max_df``): a bucket holding f docs alone contributes f^2/2 pairs,
+    and a bucket that large is boilerplate collision, not near-duplicate
+    signal.
+    """
+    hash_cols = [c for c in sigs.columns if c != id_col]
+    bands = [hash_cols[i:i + rows_per_band]
+             for i in range(0, len(hash_cols), rows_per_band)]
+    parts = []
+    for band_idx, cols in enumerate(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
+        parts.append(
+            sigs.select(F.lit(band_idx).alias("band"), key.alias("bucket"),
+                        F.col(id_col)))
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionAll(p)
+    if max_bucket is not None:
+        allb = (allb.withColumn(
+            "_bn", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "bucket")))
+            .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = allb.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = allb.select("band", "bucket", F.col(id_col).alias("id_b"))
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
                   k: int = 3) -> DataFrame:
     """(id, shingle) pairs of k-word shingles, distinct per doc.
@@ -97,7 +135,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.2,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        candidates: DataFrame | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle inverted index.
 
     join on shingle -> per-pair intersection counts -> union by
@@ -125,6 +164,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     rides through the join and is functionally determined by the id, so
     the final aggregation reads it with ``first`` instead of two extra
     size-joins.
+
+    ``candidates`` ((id_a, id_b) DataFrame, e.g. from
+    ``lsh_candidate_pairs``) restricts the exact-jaccard computation to
+    those pairs — the LSH -> verify pipeline that replaces the full
+    inverted-index self-join at scale: the shingle join then touches only
+    docs appearing in some candidate pair, and the pair space is the
+    candidate set, not shingle co-occurrence.
     """
     sh = word_shingles(df, id_col, text_col, k)
     if max_df is not None:
@@ -133,16 +179,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
               .filter(F.col("_df") <= max_df).drop("_df"))
     sh = sh.withColumn("sz", F.count(F.lit(1)).over(
         Window.partitionBy(id_col)))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle",
-                  F.col("sz").alias("sz_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle",
-                  F.col("sz").alias("sz_b"))
-    inter = (a.join(b, "shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("inter"),
-                  F.first("sz_a").alias("sz_a"),
-                  F.first("sz_b").alias("sz_b")))
+    if candidates is not None:
+        cand = candidates.select("id_a", "id_b")
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle",
+                      F.col("sz").alias("sz_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle",
+                      F.col("sz").alias("sz_b"))
+        inter = (cand.join(a, "id_a")
+                 .join(b, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("inter"),
+                      F.first("sz_a").alias("sz_a"),
+                      F.first("sz_b").alias("sz_b")))
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle",
+                      F.col("sz").alias("sz_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle",
+                      F.col("sz").alias("sz_b"))
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("inter"),
+                      F.first("sz_a").alias("sz_a"),
+                      F.first("sz_b").alias("sz_b")))
     return (inter
             .withColumn("jaccard",
                         F.round(F.col("inter") /
@@ -175,3 +234,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                       F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def minhash_jaccard_dedup(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 3, n_hashes: int = 4,
+                          rows_per_band: int = 2,
+                          threshold: float = 0.2,
+                          max_bucket: int | None = None,
+                          max_df: int | None = None) -> DataFrame:
+    """The full industrial near-dup pipeline in one call:
+    shingle -> minhash -> LSH band buckets -> candidate pairs -> exact
+    n-gram jaccard verification on candidates only.
+
+    This is the shape that runs at 100 TB: every stage is an equi-join or
+    keyed aggregation (no all-pairs anywhere), the quadratic risks are
+    capped (``max_bucket`` for hot LSH buckets, ``max_df`` for hot
+    shingles), and the expensive exact-jaccard only touches pairs LSH
+    proposed. Recall < 1 by the standard LSH trade (pairs missed by every
+    band are never verified); raise ``n_hashes``/lower ``rows_per_band``
+    to trade compute for recall.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, rows_per_band, max_bucket)
+    return ngram_jaccard_pairs(df, id_col, text_col, k, threshold,
+                               max_df=max_df, candidates=cand)

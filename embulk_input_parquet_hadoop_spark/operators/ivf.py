@@ -182,3 +182,60 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 20,
         raise ValueError(f"query id {query_id} not found")
     return ivf_search(index, np.array(qrow[0], dtype=np.float64), k,
                       nprobe, exclude_id=query_id)
+
+
+def ivf_search_many(index: IvfIndex, queries: DataFrame, k: int = 20,
+                    nprobe: int = 4, qid_col: str = "query_id",
+                    qvec_col: str = "qvec") -> DataFrame:
+    """Batched ANN: top-k for EVERY query in one pass over the index.
+
+    The per-query loop of repeated ``ivf_search`` calls would scan the
+    index Q times; this runs the whole workload as one plan:
+
+    1. map-only: each query row expands to its ``nprobe`` nearest
+       centroids (numpy argsort against the broadcast centroid matrix —
+       (Q x nprobe) rows, no shuffle);
+    2. equi-join probes with the index vectors on ``centroid`` — the same
+       shuffle key the index is partitioned by, so candidate generation
+       is bucket-local and a vector in an unprobed bucket is never read;
+    3. per-(query, vector) cosine with the JVM expression kernel
+       (sequential fold — identical semantics to the exact path);
+    4. per-query top-k via a rank window partitioned by query id.
+
+    Ties broken by vector id (same as ``cosine_topk``). With
+    ``nprobe == n_centroids`` this reproduces the exact per-query top-k
+    bit-for-bit (tested).
+    """
+    import pyarrow as pa
+
+    id_col, vec_col = index.id_col, index.vec_col
+    C = index.centroids
+
+    def probe_kernel(batches):
+        for b in batches:
+            V = _unit_rows(_fixed_matrix(b.column(qvec_col))
+                           .astype(np.float64))
+            order = np.argsort(-(V @ C.T), axis=1)[:, :nprobe]
+            n, p = order.shape
+            qids = b.column(qid_col).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [qids.take(pa.array(np.repeat(np.arange(n), p))),
+                 pa.array(order.reshape(-1).astype(np.int64))],
+                names=[qid_col, "centroid"])
+
+    probes = queries.select(qid_col, qvec_col).mapInArrow(
+        probe_kernel, f"{qid_col} bigint, centroid bigint")
+    qside = queries.select(F.col(qid_col), F.col(qvec_col)).join(
+        probes, qid_col)
+    cand = qside.join(index.vectors, "centroid")
+    denom = _norm(F.col(vec_col)) * _norm(F.col(qvec_col))
+    cos = F.when(denom != 0.0,
+                 _dot(F.col(vec_col), F.col(qvec_col)) / denom) \
+        .otherwise(F.lit(0.0))
+    scored = cand.select(F.col(qid_col), F.col(id_col),
+                         F.round(cos, 4).alias("cos_sim"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(),
+                                            F.col(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))

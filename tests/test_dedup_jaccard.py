@@ -59,6 +59,40 @@ def test_ngram_jaccard_leaves_no_cached_rdds(spark):
         f"ngram_jaccard_pairs leaked cached RDDs: {before} -> {after}")
 
 
+def test_lsh_candidates_restrict_jaccard(spark):
+    """candidates= computes jaccard ONLY for proposed pairs, with values
+    identical to the full inverted-index run for pairs both emit — the
+    LSH->verify pipeline is a recall-filtered view of the exact result."""
+    docs = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "q r s t u v"),
+            (4, "q r s t u w")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    full = {(r.id_a, r.id_b): (r.inter, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", k=3, threshold=0.01).collect()}
+    cand = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    got = {(r.id_a, r.id_b): (r.inter, r.jaccard)
+           for r in dedup.ngram_jaccard_pairs(
+               df, "doc_id", "text", k=3, threshold=0.01,
+               candidates=cand).collect()}
+    assert set(got) == {(1, 2)}  # (3,4) not proposed -> not computed
+    assert got[(1, 2)] == full[(1, 2)]
+
+
+def test_lsh_candidate_pairs_max_bucket(spark):
+    """Over-full buckets are dropped before pairing (the f^2/2 guard)."""
+    # 10 identical docs share every bucket; 2 distinct near-dups don't
+    docs = [(i, "x y z w v u t s") for i in range(10)]
+    docs += [(100, "p q r s t u"), (101, "p q r s t u")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", n_hashes=4)
+    capped = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(
+        sigs, "doc_id", rows_per_band=1, max_bucket=5).collect()}
+    assert capped == {(100, 101)}
+    uncapped = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(
+        sigs, "doc_id", rows_per_band=1).collect()}
+    assert len(uncapped) == 45 + 1  # 10 choose 2 boilerplate + the pair
+
+
 def test_winnow_shared_run_shares_fingerprint(spark):
     """Winnowing guarantee (MOSS): documents sharing a word run of length
     >= w+k-1 share at least one fingerprint; disjoint docs share none."""

@@ -107,6 +107,32 @@ def test_load_reopens_index(spark, tmp_path):
         [(r.vec_id, r.cos_sim) for r in b]
 
 
+def test_search_many_matches_per_query_search(spark, tmp_path):
+    """Batched search == per-query search, query by query, at full probe
+    AND at partial probe (same index, same kernel semantics)."""
+    emb = _emb(spark)
+    index = ivf.ivf_build(emb, n_centroids=8,
+                          out_path=str(tmp_path / "ivf_many"))
+    qids = [0, 5, 11]
+    qrows = {r.vec_id: list(r.embedding) for r in
+             emb.filter(F.col("vec_id").isin(qids)).collect()}
+    queries = spark.createDataFrame(
+        [(qid, qrows[qid]) for qid in qids],
+        "query_id bigint, qvec array<float>")
+    for nprobe in (8, 3):
+        many = ivf.ivf_search_many(index, queries, k=10, nprobe=nprobe)
+        got = {}
+        for r in many.collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+        for qid in got:
+            got[qid].sort(key=lambda t: (-t[1], t[0]))
+        for qid in qids:
+            single = [(r.vec_id, r.cos_sim) for r in
+                      ivf.ivf_search(index, np.array(qrows[qid]), k=10,
+                                     nprobe=nprobe).collect()]
+            assert got[qid] == single, (nprobe, qid)
+
+
 def test_assignment_balance(spark):
     """IVF's selling point over fixed hyperplanes: adapted buckets stay
     populated — no centroid owns the whole corpus."""
