@@ -204,7 +204,7 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
 
     Candidate pairs come only from equal SRP buckets (an equi-join keyed on
     bucket: shuffle-partitionable, never all-pairs), and each bucket's
-    pairwise cosines are numpy matmuls inside ``applyInPandas``. Recall
+    pairwise cosines are numpy kernels inside ``applyInArrow``. Recall
     < 1 by construction (pairs split across buckets are missed) — the
     standard LSH trade, measured against the exact oracle in
     ``tests/test_similarity_scale.py`` (tracks E[(1-theta/pi)^k]); raise

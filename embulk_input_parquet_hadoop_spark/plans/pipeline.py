@@ -766,6 +766,47 @@ def _committed_wave_paths(spark: SparkSession, out_dir: str) -> list[str]:
             if fsutil.has_parquet_files(p := f"{out_dir}/chunks/wave={w}")]
 
 
+def read_decoded(spark: SparkSession, out_dir: str, columns: list[str],
+                 spark_schema: str,
+                 int_ranges: dict[str, tuple[int | None, int | None]]
+                 | None = None) -> DataFrame:
+    """One-call read path: manifest-gated chunks -> zone-map pruning ->
+    decode -> exact residual filters.
+
+    The consumer-facing composition of the read primitives: chunk-level
+    ``[vmin, vmax]`` pruning drops chunks *before* any payload decode
+    (chunks whose stats prove no row can match are never decompressed —
+    the same contract as Parquet row-group statistics pruning), then the
+    same ranges re-apply as exact row filters on the decoded output, so
+    callers get precisely the rows they asked for regardless of how
+    coarse the chunk zone maps are.
+
+    ``int_ranges``: {column: (lo, hi)} with either bound ``None`` for
+    open-ended; applies to int and temporal columns (temporal zone maps
+    are stored on the storage ints — pass epoch values).
+    """
+    chunks = read_chunks(spark, out_dir)
+    for col, (lo, hi) in (int_ranges or {}).items():
+        chunks = prune_chunks(chunks, col, lo, hi)
+    dec = decode_chunks(chunks, columns, spark_schema)
+    for col, (lo, hi) in (int_ranges or {}).items():
+        if col not in columns:
+            continue
+        c = F.col(col)
+        target = c
+        for f in spark.createDataFrame([], spark_schema).schema.fields:
+            if f.name == col and f.dataType.typeName() in (
+                    "timestamp", "timestamp_ntz"):
+                target = F.unix_micros(c)
+            elif f.name == col and f.dataType.typeName() == "date":
+                target = F.datediff(c, F.lit("1970-01-01"))
+        if lo is not None:
+            dec = dec.filter(target >= F.lit(lo))
+        if hi is not None:
+            dec = dec.filter(target <= F.lit(hi))
+    return dec
+
+
 def prune_chunks(chunks: DataFrame, column: str,
                  lo: int | None = None, hi: int | None = None) -> DataFrame:
     """Zone-map chunk pruning: keep only chunks whose [vmin, vmax] range

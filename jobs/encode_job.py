@@ -61,6 +61,12 @@ def main() -> int:
                    help="tolerated fraction of rows per file lost to "
                         "corrupt row groups (the reference's "
                         "parquet.read.bad.record.threshold)")
+    p.add_argument("--meta-mode", choices=("driver", "distributed"),
+                   default="driver",
+                   help="'distributed' writes per-chunk meta as task-side "
+                        "sidecars and sends only O(files) summaries to the "
+                        "driver — use when a wave's chunk count outgrows "
+                        "driver memory")
     p.add_argument("--verify-files", action="store_true",
                    help="channel-free positional verify (one task per "
                         "source file) instead of the global join")
@@ -84,7 +90,8 @@ def main() -> int:
         columns=args.columns.split(",") if args.columns else None,
         schema_mode=args.schema_mode,
         bad_file_threshold=args.bad_file_threshold,
-        bad_record_threshold=args.bad_record_threshold)
+        bad_record_threshold=args.bad_record_threshold,
+        meta_mode=args.meta_mode)
     totals["total_wall_s"] = time.perf_counter() - t0
     if totals["wall_s"]:
         totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]
