@@ -48,7 +48,8 @@ def tokens_from_documents(docs: DataFrame) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
-    base = "/tmp/spark_graft_entry"
+    # pid-keyed scratch: concurrent sessions must not race on one tree
+    base = f"/tmp/spark_graft_entry_{os.getpid()}"
     tokens_path = f"{base}/tokens"
     out_dir = f"{base}/encoded"
     docs = _t(spark, sf_dir, "documents")
@@ -467,6 +468,36 @@ def q31_ivf_topk(spark, sf_dir):
                         k=20, n_centroids=8, nprobe=4)
 
 
+def q35_pruned_range_read(spark, sf_dir):
+    """Zone-map pruned read path, oracle-gated: documents encoded to disk
+    (range-partitioned on n_chars so chunk zone maps are disjoint and the
+    prune actually drops chunks), then read back via ``read_decoded`` with
+    int ranges on n_chars and doc_id — chunks whose stats cannot match are
+    never decoded, exact residual filters re-apply on the decoded rows.
+    Matching the oracle (a plain WHERE on the raw table) proves
+    prune + decode + filter returns exactly the selected rows."""
+    import shutil
+    # pid-keyed scratch: concurrent sessions over the same sf must not race
+    base = (f"/tmp/spark_graft_q35_"
+            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    (docs.select("doc_id", "lang", "source", "n_chars")
+     .repartitionByRange(4, "n_chars").write.parquet(f"{base}/src"))
+    pipeline.encode_path(spark, f"{base}/src", f"{base}/enc",
+                         batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "lang", "source", "n_chars"],
+        "doc_id bigint, lang string, source string, n_chars bigint",
+        int_ranges={"n_chars": (150, 900), "doc_id": (10, None)})
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.min("doc_id").alias("doc_min"),
+                 F.max("doc_id").alias("doc_max"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_filter_project": q01_scan_filter_project,
@@ -503,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_winnow_fingerprints": q32_winnow_fingerprints,
         "q33_nested_encode_roundtrip": q33_nested_encode_roundtrip,
         "q34_minhash_jaccard_dedup": q34_minhash_jaccard_dedup,
+        "q35_pruned_range_read": q35_pruned_range_read,
     }
 
 
@@ -955,6 +987,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS v0_sum,
                    round(sum((0.0 + value) + value * 2), 2) AS vsum
             FROM events GROUP BY event_type
+        """,
+        "q35_pruned_range_read": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   min(doc_id) AS doc_min, max(doc_id) AS doc_max,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents
+            WHERE n_chars BETWEEN 150 AND 900 AND doc_id >= 10
+            GROUP BY source
         """,
         "q22_srp_bucket_sizes": f"""
             WITH {_srp_cte(8)}

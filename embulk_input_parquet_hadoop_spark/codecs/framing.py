@@ -40,6 +40,7 @@ CODEC_IDS = {
     "dict": 4,
     "bytes_plain": 5,
     "fsst": 6,
+    "xp": 7,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 

