@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from embulk_input_parquet_hadoop_spark.functions.hashes import token_ids  # noqa: E402
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
-    asof, dedup, ivf, multimodal, rangejoin, similarity, textstats)
+    asof, dedup, ivf, mixture, multimodal, pack, rangejoin, similarity,
+    textstats)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -498,6 +499,81 @@ def q35_pruned_range_read(spark, sf_dir):
                  F.countDistinct("lang").alias("n_langs")))
 
 
+def q36_pack_sequences(spark, sf_dir):
+    """Fixed-window training-sequence packing, oracle-gated end to end:
+    documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
+    193-token windows via the distributed two-phase prefix sum (no global
+    window, no driver collect of data rows). The md5 over the
+    comma-joined window content proves every window holds exactly the
+    right tokens in the right order — DuckDB rebuilds the same global
+    stream positionally."""
+    # numeric doc_id (not the string cast of tokens_from_documents): the
+    # concatenation order is numeric on both sides, and the numeric id
+    # exercises the bucketed two-phase prefix sum rather than the fallback
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_ids(F.col("text"), VOCAB).alias("tokens"))
+    packed = pack.pack_sequences(toks, 193)
+    return packed.select(
+        "seq_id", F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("tok_sum"),
+        F.md5(F.concat_ws(",", F.transform(
+            "tokens", lambda x: x.cast("string")))).alias("tok_md5"))
+
+
+_MIX_WEIGHTS = {"web": 0.3, "books": 1.7, "code": 1.0, "wiki": 2.5,
+                "forums": 0.0}
+_MIX_SEED = 0
+
+
+def _mixture_oracle_sql() -> str:
+    """DuckDB mirror of q37: the integer thresholds are computed HERE with
+    the exact same Python float arithmetic mixture.py uses, so both sides
+    compare the same md5 integer against the same literal."""
+    import math
+    vals = ", ".join(
+        f"('{s}', {int(math.floor(w))}, "
+        f"{int((w - math.floor(w)) * (1 << 60))})"
+        for s, w in _MIX_WEIGHTS.items())
+    return f"""
+        WITH w(source, w_full, w_thresh) AS (VALUES {vals}),
+        d AS (
+          SELECT doc_id, source, n_chars,
+                 w_full + CASE WHEN CAST('0x' ||
+                     substr(md5('mix:{_MIX_SEED}:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     < w_thresh THEN 1 ELSE 0 END AS n_copies
+          FROM documents JOIN w USING (source)
+        ),
+        e AS (
+          SELECT source, doc_id, n_chars,
+                 unnest(range(1, n_copies + 1)) AS epoch
+          FROM d
+        )
+        SELECT source, count(*) AS n_rows,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(epoch) AS BIGINT) AS epoch_sum,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        FROM e GROUP BY source
+    """
+
+
+def q37_mixture_sample(spark, sf_dir):
+    """Deterministic training-mixture weighting, oracle-gated: each doc
+    appears floor(w_source) times plus an md5-Bernoulli fractional epoch —
+    a pure function of (seed, doc_id), so DuckDB rebuilds the exact sample
+    (thresholds are precomputed integers embedded in BOTH sides; no rand(),
+    no partitioning dependence)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "n_chars")
+    m = mixture.mixture_sample(docs, _MIX_WEIGHTS, seed=_MIX_SEED)
+    return (m.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("epoch").alias("epoch_sum"),
+                 F.sum("n_chars").alias("chars_sum")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_filter_project": q01_scan_filter_project,
@@ -535,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_nested_encode_roundtrip": q33_nested_encode_roundtrip,
         "q34_minhash_jaccard_dedup": q34_minhash_jaccard_dedup,
         "q35_pruned_range_read": q35_pruned_range_read,
+        "q36_pack_sequences": q36_pack_sequences,
+        "q37_mixture_sample": q37_mixture_sample,
     }
 
 
@@ -987,6 +1065,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS v0_sum,
                    round(sum((0.0 + value) + value * 2), 2) AS vsum
             FROM events GROUP BY event_type
+        """,
+        "q37_mixture_sample": _mixture_oracle_sql(),
+        "q36_pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({WORDS},
+                         w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                              % 50257) AS tokens
+              FROM documents
+            ),
+            off AS (
+              SELECT doc_id, tokens, len(tokens) AS n,
+                     COALESCE(sum(len(tokens)) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS s
+              FROM t WHERE len(tokens) > 0
+            ),
+            tok AS (
+              SELECT s + generate_subscripts(tokens, 1) - 1 AS gpos,
+                     unnest(tokens) AS tok
+              FROM off
+            )
+            SELECT CAST(gpos // 193 AS BIGINT) AS seq_id,
+                   count(*) AS n_tok,
+                   CAST(sum(tok) AS BIGINT) AS tok_sum,
+                   md5(string_agg(CAST(tok AS VARCHAR), ',' ORDER BY gpos))
+                       AS tok_md5
+            FROM tok GROUP BY 1
         """,
         "q35_pruned_range_read": """
             SELECT source, count(*) AS n_docs,

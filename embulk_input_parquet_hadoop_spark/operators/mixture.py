@@ -1,0 +1,61 @@
+"""Deterministic training-mixture weighting.
+
+Pretraining corpora are mixed with per-source weights ("2.5 epochs of
+wiki, 0.3 of web"): every document from source s appears ``floor(w_s)``
+times, plus one more time with probability ``frac(w_s)``. The fractional
+inclusion is decided by an md5 hash of (seed, doc id) — a pure function of
+the row, so the sample is reproducible run-to-run, independent of
+partitioning, and exactly reproducible by any other engine (the DuckDB
+oracle rebuilds it bit-for-bit; no RNG state, no ``rand()``).
+
+Plan shape: weights arrive as a broadcast join (tiny dim table), the
+repetition is one ``explode(sequence(...))`` bounded by ``ceil(max w)`` —
+map-only, no shuffle introduced by this operator at any scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: exact in int64 on every engine (the same trick
+# functions/hashes.py uses for token ids and SRP planes)
+_HASH_BITS = 60
+
+
+def _unit_hash(seed: int, id_col: Column) -> Column:
+    """md5-derived integer in [0, 2^60): deterministic per (seed, id)."""
+    h = F.md5(F.concat(F.lit(f"mix:{seed}:"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Repeat each row to its source's mixture weight.
+
+    Returns the input rows with an extra ``epoch`` column (1-based copy
+    index); a doc from a source with weight 2.3 appears as epochs 1, 2 and
+    — for the md5-selected 30% of ids — 3. Sources absent from ``weights``
+    get weight 0 (dropped).
+    """
+    spark = df.sparkSession
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}: {w}")
+    wrows = [(s, int(math.floor(w)),
+              int((w - math.floor(w)) * (1 << _HASH_BITS)))
+             for s, w in weights.items()]
+    wdf = spark.createDataFrame(
+        wrows, f"{source_col} string, w_full int, w_frac_thresh long")
+    extra = (_unit_hash(seed, F.col(id_col)) < F.col("w_frac_thresh")
+             ).cast("int")
+    n_copies = (F.col("w_full") + extra).alias("n_copies")
+    j = (df.join(F.broadcast(wdf), source_col)
+         .withColumn("n_copies", n_copies)
+         .filter(F.col("n_copies") > 0))
+    return (j.withColumn("epoch", F.explode(F.sequence(F.lit(1),
+                                                       F.col("n_copies"))))
+            .drop("w_full", "w_frac_thresh", "n_copies"))

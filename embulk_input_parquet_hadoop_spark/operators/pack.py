@@ -1,0 +1,161 @@
+"""Fixed-window training-sequence packing.
+
+Concatenates documents' token arrays in ``id_col`` order into one logical
+global token stream and re-cuts it into fixed-length training sequences —
+the standard pretraining "packing" step that turns ragged documents into
+uniform ``seq_len`` windows. A document that straddles a window boundary is
+split; nothing is padded, dropped, or reordered (window w holds exactly the
+global token positions ``[w*L, (w+1)*L)``).
+
+Scale design (the whole point — a naive global running sum is the textbook
+single-partition bottleneck):
+
+1. Offsets are computed on the *narrow* (id, n) metadata only, never on the
+   token payload. Numeric ids go through a two-phase distributed prefix sum:
+   bucket boundaries from one ``approxQuantile`` driver action (embedded as
+   plan literals, so every downstream job sees the same deterministic
+   bucketing), per-bucket local cumsums inside a vectorized ``mapInPandas``
+   kernel (one streaming pass per partition), and O(buckets) bucket totals
+   to the driver for the exclusive base sum — broadcast back. No global
+   window, no full-data collect, no persisted intermediate.
+2. The token payload moves in exactly two shuffles, both inherent to the
+   re-keying: join tokens to their doc offset (by id), and group window
+   pieces to their window (by window id). Pieces per window are bounded by
+   ``seq_len`` tokens + O(docs-in-window) rows, so the assembly groupBy
+   cannot skew regardless of document length distribution.
+3. Windowing arithmetic is integer (``DIV``), never float — exact for
+   global offsets past 2^53, where a double-based ``floor(s/L)`` silently
+   corrupts window ids at the 10^12-sequence scale the north rule names.
+
+Caller note: the metadata pass and the payload pass each scan the input
+once. If ``tokens_col`` is a *derived expression* (e.g. a tokenizer over
+text), Catalyst inlines it into both scans and the tokenization runs
+twice — materialize the tokens table first when that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _bucketed_offsets(meta: DataFrame, id_col: str,
+                      parts: int) -> DataFrame:
+    """Two-phase distributed exclusive prefix sum over (id, n) metadata.
+
+    Returns (id_col, n, s) where s is the global start offset of each doc
+    in the id-ordered concatenation. Requires a numeric id column.
+    """
+    spark = meta.sparkSession
+    # one bounded driver action; the resulting literals make the bucket
+    # function a pure expression — deterministic across all later jobs
+    qs = [i / parts for i in range(1, parts)]
+    bounds = sorted(set(meta.stat.approxQuantile(id_col, qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col(id_col) > b, 1).otherwise(0))
+    else:
+        bucket = F.lit(0)
+    m = meta.withColumn("b", bucket)
+
+    # O(buckets) rows to the driver for the exclusive base prefix
+    totals = {r["b"]: r["tot"] for r in
+              m.groupBy("b").agg(F.sum("n").alias("tot")).collect()}
+    base, bases = 0, []
+    for b in sorted(totals):
+        bases.append((int(b), base))
+        base += int(totals[b])
+    bases_df = spark.createDataFrame(bases, "b int, base long")
+
+    # within-bucket local cumsum: one vectorized streaming pass per
+    # partition (hash-repartition puts each bucket wholly in one partition;
+    # the sort makes batches arrive bucket-contiguous and id-ordered)
+    id_dt = meta.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_dt}, n long, b int, loc long"
+
+    def kern(it):
+        import pandas as pd  # noqa: F401  (worker-side)
+        carry_b, carry = None, 0
+        for pdf in it:
+            ns = pdf["n"]
+            loc = ns.groupby(pdf["b"]).cumsum() - ns
+            if carry_b is not None:
+                loc = loc + (pdf["b"] == carry_b) * carry
+            last_b = pdf["b"].iloc[-1]
+            carry = int(ns[pdf["b"] == last_b].sum()) + (
+                carry if carry_b == last_b else 0)
+            carry_b = last_b
+            yield pdf.assign(loc=loc)[[id_col, "n", "b", "loc"]]
+
+    loc = (m.repartition(parts, "b").sortWithinPartitions("b", id_col)
+           .mapInPandas(kern, out_schema))
+    return (loc.join(F.broadcast(bases_df), "b")
+            .select(id_col, "n", (F.col("loc") + F.col("base")).alias("s")))
+
+
+def _windowed_offsets(meta: DataFrame, id_col: str) -> DataFrame:
+    """Fallback exclusive prefix sum via a global window — correct for any
+    orderable id type, but single-partition over the metadata; only for
+    non-numeric ids at small scale (documented limitation)."""
+    w = (Window.orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return meta.select(id_col, "n",
+                       F.coalesce(F.sum("n").over(w), F.lit(0)).alias("s"))
+
+
+def doc_offsets(df: DataFrame, id_col: str = "doc_id",
+                tokens_col: str = "tokens",
+                parts: int = 32) -> DataFrame:
+    """Global start offset of every document in the id-ordered token
+    stream: (id_col, n, s). Zero-token documents are excluded (they occupy
+    no positions)."""
+    meta = (df.select(id_col, F.size(tokens_col).cast("long").alias("n"))
+            .filter(F.col("n") > 0))
+    if isinstance(df.schema[id_col].dataType, _NUMERIC):
+        return _bucketed_offsets(meta, id_col, parts)
+    return _windowed_offsets(meta, id_col)
+
+
+def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
+                   tokens_col: str = "tokens", drop_last: bool = False,
+                   parts: int = 32) -> DataFrame:
+    """Pack ragged per-document token arrays into fixed ``seq_len`` windows.
+
+    Returns (seq_id, tokens, n_tok): window w holds global token positions
+    [w*seq_len, (w+1)*seq_len) of the id-ordered document concatenation.
+    Only the final window may be short; ``drop_last=True`` drops it (the
+    usual pretraining convention).
+    """
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    offs = doc_offsets(df, id_col, tokens_col, parts)
+    j = df.select(id_col, tokens_col).join(offs, id_col)
+    # integer window arithmetic (DIV, not float floor): exact past 2^53
+    first_w = F.expr(f"s DIV {L}")
+    last_w = F.expr(f"(s + n - 1) DIV {L}")
+    pieces = (
+        j.withColumn("w", F.explode(F.sequence(first_w, last_w)))
+        .withColumn("gstart", F.greatest(F.col("w") * L, F.col("s")))
+        .withColumn("gend",
+                    F.least((F.col("w") + 1) * L, F.col("s") + F.col("n")))
+        .withColumn("piece", F.slice(
+            tokens_col,
+            (F.col("gstart") - F.col("s") + 1).cast("int"),
+            (F.col("gend") - F.col("gstart")).cast("int"))))
+    packed = (
+        pieces.groupBy("w")
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("gstart", "piece"))),
+            lambda x: x["piece"])).alias(tokens_col))
+        .select(F.col("w").alias("seq_id"), tokens_col,
+                F.size(tokens_col).alias("n_tok")))
+    if drop_last:
+        packed = packed.filter(F.col("n_tok") == L)
+    return packed

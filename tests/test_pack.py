@@ -1,0 +1,85 @@
+"""Fixed-window sequence packing: distributed offsets + window re-cut.
+
+The invariant: packing is a pure re-cut of the id-ordered token
+concatenation — window w holds exactly global positions [w*L, (w+1)*L),
+nothing padded, dropped, or reordered. Each test checks against a plain
+local (numpy) reference on the same data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_input_parquet_hadoop_spark.operators import pack
+
+
+def _local_pack(docs: list[tuple[int, list[int]]], L: int):
+    """Reference implementation: concatenate in id order, cut every L."""
+    stream: list[int] = []
+    for _id, toks in sorted(docs):
+        stream.extend(toks)
+    return {w: stream[w * L:(w + 1) * L]
+            for w in range((len(stream) + L - 1) // L)}
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, tokens array<int>")
+
+
+RNG = np.random.default_rng(99)
+DOCS = [(int(i), RNG.integers(0, 50257, int(n)).tolist())
+        for i, n in enumerate(RNG.integers(1, 400, 120))]
+DOCS += [(500, []), (501, [7] * 1000)]  # empty doc + doc spanning windows
+
+
+@pytest.mark.parametrize("L", [1, 17, 256])
+def test_pack_matches_local_reference(spark, L):
+    got = {r["seq_id"]: r["tokens"] for r in
+           pack.pack_sequences(_docs_df(spark, DOCS), L).collect()}
+    want = _local_pack(DOCS, L)
+    assert got == want
+
+
+def test_pack_exact_boundary_and_drop_last(spark):
+    # doc lengths aligned so windows end exactly on doc boundaries
+    docs = [(0, list(range(64))), (1, list(range(64, 128))),
+            (2, list(range(128, 160)))]  # 160 tokens, L=64 -> last is short
+    df = _docs_df(spark, docs)
+    full = {r["seq_id"]: r["tokens"]
+            for r in pack.pack_sequences(df, 64).collect()}
+    assert full == {0: list(range(64)), 1: list(range(64, 128)),
+                    2: list(range(128, 160))}
+    kept = pack.pack_sequences(df, 64, drop_last=True)
+    assert {r["seq_id"] for r in kept.collect()} == {0, 1}
+    assert kept.filter(F.col("n_tok") != 64).count() == 0
+
+
+def test_bucketed_offsets_equal_global_window(spark):
+    df = _docs_df(spark, DOCS)
+    meta = (df.select("doc_id", F.size("tokens").cast("long").alias("n"))
+            .filter(F.col("n") > 0))
+    bucketed = {r["doc_id"]: r["s"] for r in
+                pack._bucketed_offsets(meta, "doc_id", 8).collect()}
+    windowed = {r["doc_id"]: r["s"] for r in
+                pack._windowed_offsets(meta, "doc_id").collect()}
+    assert bucketed == windowed
+    # offsets are the exclusive prefix sum of doc lengths in id order
+    run = 0
+    for _id, toks in sorted(DOCS):
+        if not toks:
+            continue
+        assert bucketed[_id] == run
+        run += len(toks)
+
+
+def test_string_id_fallback(spark):
+    docs = [(f"doc-{i:04d}", t) for i, t in DOCS[:40]]
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    got = {r["seq_id"]: r["tokens"] for r in
+           pack.pack_sequences(df, 100).collect()}
+    stream = [x for _id, t in sorted(docs) for x in t]
+    assert got == {w: stream[w * 100:(w + 1) * 100]
+                   for w in range((len(stream) + 99) // 100)}
