@@ -202,12 +202,25 @@ def xp_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     nbm = (n + 7) // 8
     lo = np.frombuffer(payload, dtype=np.uint8, count=n)
-    bm = np.unpackbits(
+    bits = np.unpackbits(
         np.frombuffer(payload, dtype=np.uint8, count=nbm, offset=n),
-        count=n).astype(bool)
+        count=n)
     hi = np.frombuffer(payload, dtype=np.uint8, offset=n + nbm)
-    u = lo.astype(np.uint16)
-    u[bm] |= hi.astype(np.uint16) << np.uint16(8)
+    # densify the exception plane by cumsum-rank GATHER, not boolean
+    # scatter (mask assignment measured 15.7ms vs 2.1ms gather per 2.8M
+    # values on this host — 2x on the whole decode)
+    if len(hi):
+        ranks = np.cumsum(bits, dtype=np.int64)
+        ranks -= 1
+        if ranks[0] < 0:
+            ranks[0] = 0
+        hid = hi[ranks] * bits
+    else:
+        hid = bits  # no exceptions: high plane is all zeros
+    u = np.empty(n, dtype="<u2")
+    planes = u.view(np.uint8).reshape(-1, 2)
+    planes[:, 0] = lo
+    planes[:, 1] = hid
     return u.astype(np.int64) + np.int64(params["min"])
 
 

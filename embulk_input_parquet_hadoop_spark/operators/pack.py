@@ -31,6 +31,11 @@ Caller note: the metadata pass and the payload pass each scan the input
 once. If ``tokens_col`` is a *derived expression* (e.g. a tokenizer over
 text), Catalyst inlines it into both scans and the tokenization runs
 twice — materialize the tokens table first when that matters.
+
+``id_col`` must be unique: it defines the concatenation order, and
+duplicate ids make the stream ambiguous. Composing with
+``mixture.mixture_sample`` (which emits one row per epoch) requires a
+surrogate key first, e.g. ``doc_id * (max_epochs+1) + epoch``.
 """
 
 from __future__ import annotations
