@@ -19,10 +19,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from embulk_input_parquet_hadoop_spark.functions.hashes import token_ids  # noqa: E402
+from embulk_input_parquet_hadoop_spark.functions.hashes import (  # noqa: E402
+    token_ids, words)
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
     asof, dedup, ivf, mixture, multimodal, pack, rangejoin, similarity,
-    textstats)
+    sketch, textstats)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -574,6 +575,40 @@ def q37_mixture_sample(spark, sf_dir):
                  F.sum("n_chars").alias("chars_sum")))
 
 
+def q38_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality pass, oracle-gated: per-doc
+    duplicate-word / top-bigram / top-trigram fractions (map-only
+    higher-order functions, zero shuffles) rolled up per source as exact
+    integer basis-point sums — so the float fractions are compared
+    bit-for-bit without order-dependent double summation."""
+    r = textstats.repetition_features(
+        _t(spark, sf_dir, "documents"), "text")
+
+    def bp(c, name):
+        return (F.sum(F.round(F.col(c) * 10000).cast("long"))
+                .alias(name))
+
+    return (r.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("repetitive").cast("long"))
+                 .alias("n_repetitive"),
+                 bp("dup_word_frac", "dup_bp"),
+                 bp("top_bigram_frac", "bi_bp"),
+                 bp("top_trigram_frac", "tri_bp")))
+
+
+def q39_kmv_distinct_words(spark, sf_dir):
+    """KMV distinct-vocabulary sketch per source, oracle-gated: the k=32
+    minimum md5 hashes give (k-1)/h_(k) — the bounded-memory, mergeable
+    replacement for count(DISTINCT) at 100 TB. n_exact rides along so the
+    result exhibits the estimator error; DuckDB reproduces the estimate
+    itself bit-for-bit (md5-derived hashes, identical op order)."""
+    docs = _t(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("word"))
+    return sketch.kmv_distinct(wdf, "source", "word", k=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_filter_project": q01_scan_filter_project,
@@ -613,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_pruned_range_read": q35_pruned_range_read,
         "q36_pack_sequences": q36_pack_sequences,
         "q37_mixture_sample": q37_mixture_sample,
+        "q38_repetition_filters": q38_repetition_filters,
+        "q39_kmv_distinct_words": q39_kmv_distinct_words,
     }
 
 
@@ -1143,5 +1180,73 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.u, b.u), 4) AS cos_sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.u, b.u), 4) >= 0.3
+        """,
+        "q38_repetition_filters": f"""
+            WITH d AS (SELECT source, {WORDS} AS ws FROM documents),
+            g AS (
+              SELECT source, ws, len(ws) AS n,
+                     list_transform(
+                        range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1]) AS bg,
+                     list_transform(
+                        range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                        AS tg
+              FROM d
+            ),
+            f AS (
+              SELECT source,
+                     CASE WHEN n > 0
+                          THEN 1 - len(list_distinct(ws)) / n
+                          ELSE 0.0 END AS dupf,
+                     CASE WHEN bt >= 2 THEN 2 * bt / n ELSE 0.0 END AS bif,
+                     CASE WHEN tt >= 2 THEN 3 * tt / n ELSE 0.0 END AS trif
+              FROM (
+                SELECT source, ws, n,
+                       COALESCE(list_max(list_transform(
+                           list_distinct(bg),
+                           x -> len(list_filter(bg, y -> y = x)))), 0)
+                           AS bt,
+                       COALESCE(list_max(list_transform(
+                           list_distinct(tg),
+                           x -> len(list_filter(tg, y -> y = x)))), 0)
+                           AS tt
+                FROM g)
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN dupf > 0.30 OR bif > 0.20
+                                      OR trif > 0.18
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+                   CAST(sum(CAST(round(dupf * 10000) AS BIGINT))
+                        AS BIGINT) AS dup_bp,
+                   CAST(sum(CAST(round(bif * 10000) AS BIGINT))
+                        AS BIGINT) AS bi_bp,
+                   CAST(sum(CAST(round(trif * 10000) AS BIGINT))
+                        AS BIGINT) AS tri_bp
+            FROM f GROUP BY source
+        """,
+        "q39_kmv_distinct_words": f"""
+            WITH dw AS (
+              SELECT DISTINCT source, unnest({WORDS}) AS word
+              FROM documents
+            ),
+            h AS (
+              SELECT source, word,
+                     CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)
+                         / 4294967296.0 AS frac
+              FROM dw
+            ),
+            r AS (
+              SELECT source, frac,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY frac, word) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n_exact
+              FROM h
+            )
+            SELECT source, n_exact,
+                   round(CASE WHEN n_exact < 32
+                         THEN CAST(n_exact AS DOUBLE)
+                         ELSE 31.0 / frac END, 2) AS kmv_est
+            FROM r WHERE rn = least(32, n_exact)
         """,
     }

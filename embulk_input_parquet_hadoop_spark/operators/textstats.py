@@ -66,6 +66,54 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
               .withColumn("quality", score))
 
 
+def _top_ngram_frac(ws: Column, n_words: Column, k: int) -> Column:
+    """Fraction of words covered by the most frequent *repeated* k-gram
+    (0.0 when no k-gram occurs twice — a singleton top gram is not
+    repetition, and in a short doc its 2/n "fraction" would exceed any
+    threshold). O(distinct * n) per doc via higher-order functions — no
+    shuffle, no UDF."""
+    m = n_words - (k - 1)
+    idx = (F.when(m >= 1, F.sequence(F.lit(1), m))
+           .otherwise(F.array().cast("array<int>")))
+    ng = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(k)]))
+    top = F.array_max(F.transform(
+        F.array_distinct(ng),
+        lambda g: F.size(F.filter(ng, lambda x: x == g))))
+    return F.when((m >= 1) & (top >= 2),
+                  F.lit(k) * top / n_words).otherwise(0.0)
+
+
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1):
+    duplicate-word fraction plus the fraction of words covered by the most
+    frequent bigram / trigram, and the combined ``repetitive`` flag at
+    Gopher's published n-gram thresholds (top-2-gram 0.20, top-3-gram
+    0.18; the corpus has no line structure, so the 0.30 duplicate-line
+    gate is applied to duplicate words instead).
+
+    Everything is built-in higher-order functions over the word array —
+    map-only, whole-stage-codegen, zero shuffles — so at 100 TB this is an
+    embarrassingly parallel scan: the canonical pre-training quality pass.
+    Each fraction is a single integer division (or ``k * top / n``), so the
+    per-doc doubles are bit-reproducible in the DuckDB oracle.
+    """
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    dup_word_frac = F.when(
+        n > 0, 1 - F.size(F.array_distinct(ws)) / n).otherwise(0.0)
+    bi = _top_ngram_frac(ws, n, 2)
+    tri = _top_ngram_frac(ws, n, 3)
+    return (df.withColumn("dup_word_frac", dup_word_frac)
+              .withColumn("top_bigram_frac", bi)
+              .withColumn("top_trigram_frac", tri)
+              .withColumn("repetitive",
+                          (F.col("dup_word_frac") > 0.30)
+                          | (F.col("top_bigram_frac") > 0.20)
+                          | (F.col("top_trigram_frac") > 0.18)))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of lowercased, space-collapsed text.
 

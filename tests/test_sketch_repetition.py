@@ -1,0 +1,53 @@
+"""Unit semantics for the Gopher repetition filters and the KMV sketch
+(the oracle-parity test covers engine agreement; these pin the math)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embulk_input_parquet_hadoop_spark.operators import sketch, textstats
+
+
+def test_repetition_flags_degenerate_vs_diverse(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y x y z"),          # top bigram "x y" 3/6 overlapping
+         (2, "alpha beta gamma delta echo fox golf hotel"),
+         (3, "a a a a"),                # 1 distinct / 4 words
+         (4, "")],
+        "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            textstats.repetition_features(df, "text").collect()}
+    assert rows[1].repetitive and rows[1].top_bigram_frac > 0.5
+    assert not rows[2].repetitive
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[3].repetitive and rows[3].dup_word_frac == 0.75
+    # empty doc: all fractions defined (0.0), not null, not flagged
+    assert rows[4].dup_word_frac == 0.0 and not rows[4].repetitive
+
+
+def test_repetition_trigram_fraction_exact(spark):
+    # "p q r" occurs twice among 5 trigrams of a 7-word doc: 3*2/7
+    df = spark.createDataFrame([(1, "p q r s p q r")],
+                               "doc_id int, text string")
+    r = textstats.repetition_features(df, "text").collect()[0]
+    assert abs(r.top_trigram_frac - 3 * 2 / 7) < 1e-12
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(5)] * 3,  # dups must not count
+        "key string, val string")
+    r = sketch.kmv_distinct(df, "key", "val", k=32).collect()
+    assert len(r) == 1
+    assert r[0].n_exact == 5 and r[0].kmv_est == 5.0
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    n = 2000
+    df = spark.range(n).select(
+        F.lit("g").alias("key"),
+        F.concat(F.lit("tok_"), F.col("id")).alias("val"))
+    r = sketch.kmv_distinct(df, "key", "val", k=64).collect()[0]
+    assert r.n_exact == n
+    # KMV std-err ~ 1/sqrt(k-2) ≈ 0.127 at k=64; allow 4 sigma
+    assert abs(r.kmv_est - n) / n < 0.51
