@@ -95,20 +95,55 @@ class IvfIndex:
     set)`` filter becomes Spark partition pruning and only the probed
     buckets' files are ever read. VERDICT r2 #3: build once, search many —
     no per-query retrain, no per-query full-corpus assignment scan.
+
+    ``qvectors`` (optional, ``sq8=True`` at build) is the same posting-list
+    layout with int8 scalar-quantized vectors — the FAISS SQ8 analogue:
+    ~4x less scan IO per probe at 100 TB, with ``ivf_search_sq`` rescoring
+    its shortlist against the exact vectors.
     """
 
     def __init__(self, centroids: np.ndarray, vectors: DataFrame,
-                 id_col: str, vec_col: str):
+                 id_col: str, vec_col: str,
+                 qvectors: DataFrame | None = None):
         self.centroids = np.ascontiguousarray(centroids, dtype=np.float64)
         self.vectors = vectors
         self.id_col = id_col
         self.vec_col = vec_col
+        self.qvectors = qvectors
+
+
+def sq8_quantize(vectors: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 scalar quantization: q = round(127 * v / max|v|),
+    one numpy pass per Arrow batch (map-only, no shuffle, no per-row
+    Python). The per-vector scale is NOT stored: cosine is scale-invariant,
+    so search needs only the quantized direction — the whole win is that a
+    probe scans array<tinyint> posting lists (~1/4 the bytes of float32).
+    """
+    def kernel(batches):
+        for b in batches:
+            V = _fixed_matrix(b.column(vec_col)).astype(np.float64)
+            n, d = V.shape
+            s = np.abs(V).max(axis=1)
+            s[s == 0] = 1.0
+            Q = np.clip(np.rint(V / s[:, None] * 127.0),
+                        -127, 127).astype(np.int8)
+            qarr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(Q.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col).cast(pa.int64()),
+                 b.column("centroid").cast(pa.int64()), qarr],
+                names=[id_col, "centroid", "qvec"])
+
+    return vectors.select(id_col, "centroid", vec_col).mapInArrow(
+        kernel, f"{id_col} bigint, centroid bigint, qvec array<tinyint>")
 
 
 def ivf_build(emb: DataFrame, n_centroids: int = 16, n_iters: int = 8,
               sample: int = 4096, id_col: str = "vec_id",
               vec_col: str = "embedding",
-              out_path: str | None = None) -> IvfIndex:
+              out_path: str | None = None, sq8: bool = False) -> IvfIndex:
     """Train centroids (bounded sample) and materialize the assignment.
 
     With ``out_path``: writes ``centroids.json`` + ``vectors/`` partitioned
@@ -118,21 +153,28 @@ def ivf_build(emb: DataFrame, n_centroids: int = 16, n_iters: int = 8,
     stays a lazy plan joined back to ``emb`` (cheap one-shot path; each
     search action re-runs the assignment map — use ``out_path`` to amortize
     over many queries).
+
+    ``sq8=True`` additionally materializes int8-quantized posting lists
+    (``qvectors/`` on disk) for ``ivf_search_sq``'s low-IO probe scans.
     """
     C = train_centroids(emb, n_centroids, n_iters, sample, id_col, vec_col)
     assign = ivf_assign(emb, C, id_col, vec_col)
     vectors = emb.select(id_col, vec_col).join(assign, id_col)
+    qvectors = sq8_quantize(vectors, id_col, vec_col) if sq8 else None
     if out_path is None:
-        return IvfIndex(C, vectors, id_col, vec_col)
+        return IvfIndex(C, vectors, id_col, vec_col, qvectors)
     import json
     import os
     spark = emb.sparkSession
     (vectors.write.mode("overwrite").partitionBy("centroid")
      .parquet(f"{out_path}/vectors"))
+    if qvectors is not None:
+        (qvectors.write.mode("overwrite").partitionBy("centroid")
+         .parquet(f"{out_path}/qvectors"))
     os.makedirs(out_path, exist_ok=True)
     with open(f"{out_path}/centroids.json", "w") as f:
         json.dump({"centroids": C.tolist(), "id_col": id_col,
-                   "vec_col": vec_col}, f)
+                   "vec_col": vec_col, "sq8": sq8}, f)
     return ivf_load(spark, out_path)
 
 
@@ -142,8 +184,10 @@ def ivf_load(spark, out_path: str) -> IvfIndex:
     with open(f"{out_path}/centroids.json") as f:
         meta = json.load(f)
     vectors = spark.read.parquet(f"{out_path}/vectors")
+    qvectors = (spark.read.parquet(f"{out_path}/qvectors")
+                if meta.get("sq8") else None)
     return IvfIndex(np.array(meta["centroids"], dtype=np.float64), vectors,
-                    meta["id_col"], meta["vec_col"])
+                    meta["id_col"], meta["vec_col"], qvectors)
 
 
 def ivf_search(index: IvfIndex, query_vec, k: int = 20, nprobe: int = 4,
@@ -167,6 +211,48 @@ def ivf_search(index: IvfIndex, query_vec, k: int = 20, nprobe: int = 4,
     scored = cand.select(F.col(id_col),
                          F.round(cos, 4).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_search_sq(index: IvfIndex, query_vec, k: int = 20, nprobe: int = 4,
+                  rescore: int | None = 4,
+                  exclude_id: int | None = None) -> DataFrame:
+    """SQ8 search: probe the int8 posting lists, shortlist by quantized
+    cosine, then rescore the shortlist against the exact vectors.
+
+    The probe scan reads ~1/4 the bytes of the float path (the 100 TB
+    win); quantization only reorders *candidate generation* — the returned
+    ``cos_sim`` values are exact, computed on the float vectors for the
+    ``rescore * k`` best quantized candidates (ties by id). With a rescore
+    pool covering every candidate the result is bit-identical to
+    ``ivf_search`` (tested); ``rescore=None`` skips the refine step and
+    returns the quantized approximation of the scores themselves.
+    """
+    if index.qvectors is None:
+        raise ValueError("index built without sq8=True")
+    id_col, vec_col = index.id_col, index.vec_col
+    qv_raw = np.asarray(query_vec, dtype=np.float64)
+    qv = _unit_rows(qv_raw[None, :])[0]
+    probe = [int(p) for p in
+             np.argsort(-(index.centroids @ qv))[:nprobe]]
+    cand = index.qvectors.filter(F.col("centroid").isin(probe))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    qarr = F.array(*[F.lit(float(x)) for x in qv_raw])
+    qdenom = _norm(F.col("qvec")) * _norm(qarr)
+    qcos = F.when(qdenom != 0.0, _dot(F.col("qvec"), qarr) / qdenom) \
+        .otherwise(F.lit(0.0))
+    approx = cand.select(F.col(id_col), F.round(qcos, 4).alias("cos_sim"))
+    if rescore is None:
+        return approx.orderBy(F.col("cos_sim").desc(),
+                              F.col(id_col)).limit(k)
+    short = (approx.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+             .limit(rescore * k).select(id_col))
+    exact = index.vectors.join(F.broadcast(short), id_col)
+    denom = _norm(F.col(vec_col)) * _norm(qarr)
+    cos = F.when(denom != 0.0, _dot(F.col(vec_col), qarr) / denom) \
+        .otherwise(F.lit(0.0))
+    return (exact.select(F.col(id_col), F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k))
 
 
 def ivf_topk(emb: DataFrame, query_id: int, k: int = 20,
