@@ -33,6 +33,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch(prefix: str) -> str:
+    """Fresh pid-keyed /tmp scratch dir. pid-keying stops concurrent
+    sessions racing on one tree (ADVICE r2), but each pid's tree outlives
+    its process — so sweep siblings whose owning pid is dead, or /tmp
+    accumulates one encoded corpus per run."""
+    import glob
+    import shutil
+    for p in glob.glob(f"/tmp/{prefix}_*"):
+        tail = p.rsplit("_", 1)[-1]
+        if not tail.isdigit() or int(tail) == os.getpid():
+            continue
+        try:
+            os.kill(int(tail), 0)
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave its tree alone
+    base = f"/tmp/{prefix}_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
 def tokens_from_documents(docs: DataFrame) -> DataFrame:
     """Derive the input_hint table shape from the documents table:
     (doc_id string, tokens array<int> not null, n_tok int, source string)."""
@@ -50,15 +72,12 @@ def tokens_from_documents(docs: DataFrame) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
-    # pid-keyed scratch: concurrent sessions must not race on one tree
-    base = f"/tmp/spark_graft_entry_{os.getpid()}"
+    base = _scratch("spark_graft_entry")
     tokens_path = f"{base}/tokens"
     out_dir = f"{base}/encoded"
     docs = _t(spark, sf_dir, "documents")
     (tokens_from_documents(docs).write.mode("overwrite")
      .parquet(tokens_path))
-    import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
     pipeline.encode_path(spark, tokens_path, out_dir, waves=2,
                          cluster_partitions=4)
     result = verify.verify_path(spark, tokens_path, out_dir)
@@ -343,12 +362,10 @@ def q29_mixed_schema_union(spark, sf_dir):
     ``test-data/incompatible-schema/``) encode via schema_mode='mixed'
     and decode to the union with nulls; the oracle computes the same
     union directly from documents."""
-    import shutil
-    # keyed by pid: two concurrent sessions (bench + tests over the same
-    # sf) must not race on one scratch tree (ADVICE r2)
-    base = (f"/tmp/spark_graft_q29_"
-            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
-    shutil.rmtree(base, ignore_errors=True)
+    # pid-keyed + dead-sibling sweep: two concurrent sessions (bench +
+    # tests over the same sf) must not race on one tree (ADVICE r2)
+    base = _scratch(
+        f"spark_graft_q29_{os.path.basename(sf_dir.rstrip('/'))}")
     docs = _t(spark, sf_dir, "documents")
     (docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
      .coalesce(1).write.parquet(f"{base}/src/a"))
@@ -478,11 +495,8 @@ def q35_pruned_range_read(spark, sf_dir):
     never decoded, exact residual filters re-apply on the decoded rows.
     Matching the oracle (a plain WHERE on the raw table) proves
     prune + decode + filter returns exactly the selected rows."""
-    import shutil
-    # pid-keyed scratch: concurrent sessions over the same sf must not race
-    base = (f"/tmp/spark_graft_q35_"
-            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch(
+        f"spark_graft_q35_{os.path.basename(sf_dir.rstrip('/'))}")
     docs = _t(spark, sf_dir, "documents")
     (docs.select("doc_id", "lang", "source", "n_chars")
      .repartitionByRange(4, "n_chars").write.parquet(f"{base}/src"))

@@ -160,16 +160,21 @@ def ivf_build(emb: DataFrame, n_centroids: int = 16, n_iters: int = 8,
     C = train_centroids(emb, n_centroids, n_iters, sample, id_col, vec_col)
     assign = ivf_assign(emb, C, id_col, vec_col)
     vectors = emb.select(id_col, vec_col).join(assign, id_col)
-    qvectors = sq8_quantize(vectors, id_col, vec_col) if sq8 else None
     if out_path is None:
+        qvectors = sq8_quantize(vectors, id_col, vec_col) if sq8 else None
         return IvfIndex(C, vectors, id_col, vec_col, qvectors)
     import json
     import os
     spark = emb.sparkSession
     (vectors.write.mode("overwrite").partitionBy("centroid")
      .parquet(f"{out_path}/vectors"))
-    if qvectors is not None:
-        (qvectors.write.mode("overwrite").partitionBy("centroid")
+    if sq8:
+        # quantize from the just-written tree, not the lazy `vectors`
+        # plan: re-running that plan would repeat the full source scan +
+        # assignment (doubling build cost at corpus scale)
+        written = spark.read.parquet(f"{out_path}/vectors")
+        (sq8_quantize(written, id_col, vec_col)
+         .write.mode("overwrite").partitionBy("centroid")
          .parquet(f"{out_path}/qvectors"))
     os.makedirs(out_path, exist_ok=True)
     with open(f"{out_path}/centroids.json", "w") as f:
@@ -247,7 +252,11 @@ def ivf_search_sq(index: IvfIndex, query_vec, k: int = 20, nprobe: int = 4,
                               F.col(id_col)).limit(k)
     short = (approx.orderBy(F.col("cos_sim").desc(), F.col(id_col))
              .limit(rescore * k).select(id_col))
-    exact = index.vectors.join(F.broadcast(short), id_col)
+    # shortlist ids all come from the probed buckets, so the rescore read
+    # stays partition-pruned to them — without this the refine pass would
+    # scan every float posting list and forfeit the SQ8 IO win
+    exact = (index.vectors.filter(F.col("centroid").isin(probe))
+             .join(F.broadcast(short), id_col))
     denom = _norm(F.col(vec_col)) * _norm(qarr)
     cos = F.when(denom != 0.0, _dot(F.col(vec_col), qarr) / denom) \
         .otherwise(F.lit(0.0))

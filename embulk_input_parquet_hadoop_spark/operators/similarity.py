@@ -119,6 +119,17 @@ def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _seq_gram(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs dot products A @ B.T with the same sequential-over-
+    dimensions accumulation as ``_seq_dot`` (vectorized over the pair
+    grid). Same warning applies: replacing this with a matmul reintroduces
+    last-ulp drift vs the left-to-right-fold oracle."""
+    C = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for j in range(A.shape[1]):
+        C += A[:, j, None] * B[None, :, j]
+    return C
+
+
 def _fixed_matrix(vec_arr: pa.Array) -> np.ndarray:
     """(n, dim) float32 view of a list<float> Arrow column (fixed dim)."""
     if isinstance(vec_arr, pa.ChunkedArray):
@@ -151,9 +162,7 @@ def srp_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 7,
                 planes = _plane_matrix(V.shape[1], n_planes, seed)
             bucket = np.zeros(len(V), dtype=np.int64)
             for p in range(n_planes):
-                acc = np.zeros(len(V), dtype=np.float64)
-                for j in range(V.shape[1]):
-                    acc += V[:, j] * planes[p, j]
+                acc = _seq_dot(V, np.broadcast_to(planes[p], V.shape))
                 bucket |= (acc > 0).astype(np.int64) << p
             yield pa.RecordBatch.from_arrays(
                 [b.column(id_col).cast(pa.int64()), pa.array(bucket)],
@@ -229,10 +238,7 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     def bucket_pairs(key: tuple, tbl: pa.Table) -> pa.Table:
         V = _fixed_matrix(tbl.column(vec_col)).astype(np.float64)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        sq = np.zeros(len(V), dtype=np.float64)
-        for j in range(V.shape[1]):
-            sq += V[:, j] * V[:, j]
-        norms = np.sqrt(sq)
+        norms = np.sqrt(_seq_dot(V, V))
         norms[norms == 0] = 1.0
         U = V / norms[:, None]
         n = len(ids)
@@ -241,9 +247,7 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
             Up = U[p0:p0 + block_rows]
             for q0 in range(p0, n, block_rows):
                 Uq = U[q0:q0 + block_rows]
-                C = np.zeros((len(Up), len(Uq)), dtype=np.float64)
-                for j in range(U.shape[1]):
-                    C += Up[:, j, None] * Uq[None, :, j]
+                C = _seq_gram(Up, Uq)
                 keep = np.round(C, 4) >= threshold
                 if p0 == q0:
                     keep &= np.triu(np.ones(C.shape, dtype=bool), k=1)

@@ -53,6 +53,15 @@ def listdir(path: str) -> list[str]:
     return [f.base_name for f in filesystem.get_file_info(sel)]
 
 
+def isdir(path: str) -> bool:
+    """True iff ``path`` exists and is a directory (any scheme)."""
+    if is_local(path):
+        return os.path.isdir(strip_file_scheme(path))
+    from pyarrow import fs as pafs
+    filesystem, root = get_fs(path)
+    return filesystem.get_file_info(root).type == pafs.FileType.Directory
+
+
 def has_parquet_files(dir_path: str) -> bool:
     return any(n.endswith(".parquet") for n in listdir(dir_path))
 

@@ -135,7 +135,15 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Wave commit records as a DataFrame (lineage + metrics)."""
+    """Wave commit records as a DataFrame (lineage + metrics).
+
+    A missing ``out_dir`` raises (a mistyped path must not read as "zero
+    waves"); an existing out_dir with no committed waves yet is a
+    legitimate empty manifest.
+    """
+    if not fsutil.isdir(out_dir):
+        raise FileNotFoundError(
+            f"encode output dir does not exist: {out_dir}")
     mdir = _manifest_dir(out_dir)
     recs = [fsutil.read_json(f"{mdir}/{f}")
             for f in sorted(fsutil.listdir(mdir)) if _WAVE_RE.match(f)]

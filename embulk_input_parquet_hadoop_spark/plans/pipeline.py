@@ -177,14 +177,24 @@ def _encode_one_batch(batch: pa.RecordBatch, wave_id: int, pid: int,
         elif kind == "int":
             mm = pa.compute.min_max(col)
         elif kind == "temporal":
-            # zone maps on the storage ints (epoch days/micros): prunable
-            # exactly like Parquet row-group stats on time columns
+            # zone maps on the storage ints, NORMALIZED to a fixed unit
+            # (µs for clock types, days for dates) so prune bounds and
+            # read_decoded's residual filter agree whatever unit the
+            # source file stored — a ns source with µs-assumed bounds
+            # would otherwise silently prune wrong chunks
             mm = pa.compute.min_max(
                 temporal_int_view(col).cast(pa.int64()))
         else:
             mm = None
         if mm is not None and mm["min"].is_valid:
             vmin, vmax = mm["min"].as_py(), mm["max"].as_py()
+            if kind == "temporal":
+                num, den = _temporal_zone_scale(col.type)
+                # floor the min, ceil the max: scaled zone maps may only
+                # widen, never exclude a row the chunk actually holds
+                lo64, hi64 = -(1 << 63), (1 << 63) - 1
+                vmin = max(lo64, min(hi64, (vmin * num) // den))
+                vmax = max(lo64, min(hi64, -((-vmax * num) // den)))
         col_rows.append({
             "name": name,
             "kind": kind,
@@ -339,6 +349,8 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                 pending = []  # stat rows held until the file commits
                 bad_rows = 0
                 bad_groups = 0
+                committed_final = None  # set once os.replace lands
+                mtmp = None
                 try:
                     pf = pq.ParquetFile(path)
                     total_rows = pf.metadata.num_rows
@@ -386,10 +398,14 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                         writer.close()
                         writer = None
                         os.replace(tmp, final)  # per-file commit point
+                        committed_final = final
                     if meta_dir is not None:
                         # sidecar commits WITH the chunk file: same
                         # tmp+rename discipline, so meta never describes
-                        # uncommitted data
+                        # uncommitted data (and a sidecar failure rolls
+                        # the already-renamed chunk file back — see the
+                        # except path — so "failed file contributes
+                        # nothing" holds in meta mode too)
                         if pending:
                             mfinal = os.path.join(
                                 meta_dir,
@@ -400,6 +416,7 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                                     pending, CHUNK_META_ARROW_SCHEMA),
                                 mtmp)
                             os.replace(mtmp, mfinal)
+                            mtmp = None
                         yield summary_row(path, pending,
                                           n_bad_rows=bad_rows)
                     else:
@@ -418,10 +435,18 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                     if writer is not None:
                         writer.close()
                         writer = None
-                    try:
-                        os.remove(tmp)
-                    except OSError:
-                        pass
+                    for stale in (tmp, committed_final, mtmp):
+                        # a sidecar failure AFTER the chunk rename must
+                        # roll the chunk back: a chunk file without its
+                        # meta sidecar would be served with no lineage
+                        # while the source file re-encodes in a later
+                        # wave (duplicate rows)
+                        if stale is None:
+                            continue
+                        try:
+                            os.remove(stale)
+                        except OSError:
+                            pass
                     err = f"{type(exc).__name__}: {exc}"
                     if meta_dir is not None:
                         yield summary_row(path, [], error=err)
@@ -436,6 +461,20 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
 
 def _cols_of(chunk_row: pa.RecordBatch) -> list[dict]:
     return chunk_row.column("cols")[0].as_py()
+
+
+def _temporal_zone_scale(t: pa.DataType) -> tuple[int, int]:
+    """(num, den) scaling a temporal column's storage ints into its
+    zone-map unit: epoch DAYS for dates, epoch MICROSECONDS for
+    timestamps/times/durations — the units ``read_decoded``'s residual
+    filters (``datediff`` / ``unix_micros``) compare in."""
+    if pa.types.is_date32(t):
+        return 1, 1
+    if pa.types.is_date64(t):
+        return 1, 86_400_000  # ms -> days
+    unit = getattr(t, "unit", "us")
+    return {"s": (1_000_000, 1), "ms": (1_000, 1),
+            "us": (1, 1), "ns": (1, 1_000)}[unit]
 
 
 def cluster_for_encode(df: DataFrame, num_partitions: int,
@@ -601,8 +640,28 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     if meta_mode not in ("driver", "distributed"):
         raise ValueError(f"unknown meta_mode {meta_mode!r}")
     if schema_mode == "single":
-        df0 = spark.read.parquet(input_path)
-        if expected_schema is not None:
+        try:
+            df0 = spark.read.parquet(input_path)
+        except Exception as exc:
+            # Spark's footer converter rejects types its reader lacks
+            # (e.g. TIMESTAMP(NANOS) -> PARQUET_TYPE_ILLEGAL) even though
+            # OUR encode tasks read with pyarrow and handle them fine.
+            # Fall back to pyarrow footer listing — still requiring one
+            # schema — so ns-timestamp sources (pandas defaults) encode.
+            if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+                raise
+            if expected_schema is not None:
+                raise TypeError(
+                    "expected_schema check needs a Spark-readable source "
+                    f"schema, but Spark rejects this tree: {exc}") from exc
+            sgroups = _schema_groups(_list_parquet_files(input_path))
+            if len(sgroups) > 1:
+                raise ValueError(
+                    "input tree mixes incompatible schemas; use "
+                    "schema_mode='mixed'") from exc
+            df0 = None
+            groups = sgroups
+        if df0 is not None and expected_schema is not None:
             expected = spark.createDataFrame([], expected_schema).schema
             got = [(f.name, f.dataType) for f in df0.schema.fields]
             want = [(f.name, f.dataType) for f in expected.fields]
@@ -611,7 +670,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                     f"input schema mismatch: got "
                     f"{df0.schema.simpleString()}, "
                     f"expected {expected.simpleString()}")
-        groups = [sorted(df0.inputFiles())]
+        if df0 is not None:
+            groups = [sorted(df0.inputFiles())]
     else:
         if expected_schema is not None:
             raise ValueError("expected_schema requires schema_mode='single'")
@@ -782,16 +842,26 @@ def read_decoded(spark: SparkSession, out_dir: str, columns: list[str],
     coarse the chunk zone maps are.
 
     ``int_ranges``: {column: (lo, hi)} with either bound ``None`` for
-    open-ended; applies to int and temporal columns (temporal zone maps
-    are stored on the storage ints — pass epoch values).
+    open-ended; applies to int and temporal columns. Temporal bounds are
+    epoch MICROSECONDS for timestamp/time/duration columns and epoch DAYS
+    for dates, whatever the source's storage unit — zone maps are
+    normalized to those units at encode time (``_temporal_zone_scale``),
+    so pruning and the residual filter agree. Every range column must be
+    in ``columns``: the exactness promise needs the decoded value to
+    re-check, so a filter-only column raises instead of silently
+    returning a chunk-granular superset.
     """
+    missing = [c for c in (int_ranges or {}) if c not in columns]
+    if missing:
+        raise ValueError(
+            f"int_ranges columns {missing} not in decoded columns — "
+            f"add them to `columns` (exact residual filtering needs the "
+            f"decoded values)")
     chunks = read_chunks(spark, out_dir)
     for col, (lo, hi) in (int_ranges or {}).items():
         chunks = prune_chunks(chunks, col, lo, hi)
     dec = decode_chunks(chunks, columns, spark_schema)
     for col, (lo, hi) in (int_ranges or {}).items():
-        if col not in columns:
-            continue
         c = F.col(col)
         target = c
         for f in spark.createDataFrame([], spark_schema).schema.fields:

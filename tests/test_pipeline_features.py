@@ -493,3 +493,80 @@ def test_zone_map_pruning_temporal(spark, tmp_path):
     ids = sorted(r.event_id for r in dec.collect())
     assert set(range(24, 48)).issubset(ids)  # no false negatives
     assert all(i < 48 for i in ids)  # day-2 file's chunks pruned
+
+
+def test_ns_timestamp_zone_maps_use_micro_bounds(spark, tmp_path):
+    """A ns-stored source column must prune and residual-filter with the
+    SAME microsecond bounds: zone maps are normalized to µs at encode
+    time, so the two layers can never disagree (review r3: ns stats vs
+    unix_micros residual dropped every row or pruned live chunks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "ns_src")
+    os.makedirs(src)
+    # two files: seconds 1..4 and 5..8, stored as timestamp[ns]
+    for fi, lo in ((0, 1), (1, 5)):
+        ns = pa.array([(lo + i) * 1_000_000_000 for i in range(4)],
+                      pa.int64())
+        pq.write_table(
+            pa.table({"id": pa.array(range(lo, lo + 4), type=pa.int64()),
+                      "ts": ns.view(pa.timestamp("ns"))}),
+            f"{src}/f{fi}.parquet")
+    out = str(tmp_path / "ns_out")
+    pipeline.encode_path(spark, src, out)
+    chunks = pipeline.read_chunks(spark, out)
+    lo_us, hi_us = 1_500_000, 3_500_000  # µs: selects seconds {2, 3}
+    pruned = pipeline.prune_chunks(chunks, "ts", lo=lo_us, hi=hi_us)
+    assert 0 < pruned.count() < chunks.count()  # file 2 pruned by stats
+    dec = pipeline.read_decoded(spark, out, ["id", "ts"],
+                                "id bigint, ts timestamp",
+                                int_ranges={"ts": (lo_us, hi_us)})
+    assert sorted(r.id for r in dec.collect()) == [2, 3]
+
+
+def test_read_decoded_rejects_undecoded_filter_column(spark, tmp_path,
+                                                      tokens_dir):
+    """int_ranges on a column outside `columns` must raise, not silently
+    return a chunk-granular superset (review r3)."""
+    out = str(tmp_path / "rej_out")
+    pipeline.encode_path(spark, tokens_dir, out)
+    with pytest.raises(ValueError, match="int_ranges"):
+        pipeline.read_decoded(spark, out, ["doc_id"], "doc_id string",
+                              int_ranges={"n_tok": (10, 20)})
+
+
+def test_sidecar_failure_rolls_back_chunk_commit(tmp_path, monkeypatch):
+    """Distributed-meta mode: if the meta sidecar fails to write AFTER the
+    chunk file renamed in, the chunk must be rolled back — a committed
+    chunk without lineage would double its rows when the 'failed' source
+    file re-encodes in a later wave (review r3)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = tmp_path / "src.parquet"
+    pq.write_table(pa.table({"a": list(range(100))}), src)
+    wave_dir = str(tmp_path / "chunks" / "wave=0")
+    meta_dir = str(tmp_path / "chunks_meta" / "wave-0")
+    real_write = pipeline.pq.write_table
+
+    def boom(table, where, *a, **k):
+        if str(where).startswith(meta_dir):
+            raise OSError("No space left on device")
+        return real_write(table, where, *a, **k)
+
+    monkeypatch.setattr(pipeline.pq, "write_table", boom)
+    fn = pipeline.make_encode_files_fn(0, wave_dir, meta_dir=meta_dir)
+    rows = list(fn(iter([pa.record_batch({"path": [str(src)]})])))
+    assert glob.glob(f"{wave_dir}/*.parquet") == []   # chunk rolled back
+    assert glob.glob(f"{meta_dir}/*") == []           # no sidecar debris
+    assert len(rows) == 1
+    err = rows[0].column("error")[0].as_py()
+    assert err and "No space left" in err
+
+
+def test_read_manifest_missing_out_dir_raises(spark, tmp_path):
+    """A mistyped out_dir must fail fast, not report zero waves
+    (review r3: fsutil.listdir returns [] where os.listdir raised)."""
+    with pytest.raises(FileNotFoundError):
+        mf.read_manifest(spark, str(tmp_path / "nope"))
