@@ -623,6 +623,23 @@ def q39_kmv_distinct_words(spark, sf_dir):
     return sketch.kmv_distinct(wdf, "source", "word", k=32)
 
 
+def q40_decontamination(spark, sf_dir):
+    """Test-set decontamination, oracle-gated: per-source counts of
+    training docs sharing >=1 5-word shingle with a held-out 'benchmark'
+    slice (docs whose md5(doc_id) starts with '0' — a deterministic ~1/16
+    split both engines reproduce). The benchmark shingle set is broadcast;
+    the training-corpus probe is a map-side hash join (zero shuffle), so
+    the plan holds at 100 TB where the corpus is huge and the eval suite
+    is MBs."""
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    bench = docs.filter(is_bench)
+    train = docs.filter(~is_bench)
+    return (dedup.contamination_report(
+        train, bench, "doc_id", "text", "source", k=5)
+        .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_filter_project": q01_scan_filter_project,
@@ -664,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_mixture_sample": q37_mixture_sample,
         "q38_repetition_filters": q38_repetition_filters,
         "q39_kmv_distinct_words": q39_kmv_distinct_words,
+        "q40_decontamination": q40_decontamination,
     }
 
 
@@ -1262,5 +1280,33 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(n_exact AS DOUBLE)
                          ELSE 31.0 / frac END, 2) AS kmv_est
             FROM r WHERE rn = least(32, n_exact)
+        """,
+        "q40_decontamination": f"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                         AS is_bench,
+                     {WORDS} AS ws
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, source, is_bench,
+                     unnest(list_transform(
+                        range(1, greatest(len(ws) - 3, 1)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             || ' ' || ws[i+3] || ' ' || ws[i+4]))
+                         AS shingle
+              FROM w
+            ),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+            hits AS (
+              SELECT s.doc_id, s.source, count(*) AS n
+              FROM sh s JOIN bench USING (shingle)
+              WHERE NOT s.is_bench
+              GROUP BY s.doc_id, s.source
+            )
+            SELECT source, count(*) AS n_flagged,
+                   CAST(sum(n) AS BIGINT) AS n_gram_hits
+            FROM hits GROUP BY source ORDER BY source
         """,
     }

@@ -258,3 +258,45 @@ def minhash_jaccard_dedup(df: DataFrame, id_col: str, text_col: str,
     cand = lsh_candidate_pairs(sigs, id_col, rows_per_band, max_bucket)
     return ngram_jaccard_pairs(df, id_col, text_col, k, threshold,
                                max_df=max_df, candidates=cand)
+
+
+def contamination_report(train: DataFrame, bench: DataFrame, id_col: str,
+                         text_col: str, source_col: str,
+                         k: int = 5) -> DataFrame:
+    """Test-set decontamination: per-source counts of training documents
+    that share at least one k-word shingle with a benchmark corpus.
+
+    The standard pre-training hygiene pass (the reference plugin has no
+    analogue — this is an LLM-pipeline addition): benchmark/eval text
+    must not leak into training data, and the industry-standard detector
+    is exact n-gram overlap. Shape at 100 TB: the benchmark side is tiny
+    (eval suites are MBs), so its distinct shingle set is **broadcast**
+    and the probe over the training corpus is a map-side hash join — zero
+    shuffle for the scan; the only shuffles are the per-doc hit count and
+    the per-source rollup, both keyed aggregations. For a benchmark too
+    large to broadcast, drop the ``broadcast()`` hint and Spark falls
+    back to a shuffle equi-join on the shingle — same semantics.
+
+    Returns (source, n_flagged, n_gram_hits): documents flagged and total
+    distinct contaminated shingles per source. Use ``contaminated_ids``
+    for the id set to subtract from the corpus.
+    """
+    hits = contaminated_ids(train, bench, id_col, text_col, k)
+    return (hits.join(train.select(id_col, source_col), id_col)
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_flagged"),
+                 F.sum("n_gram_hits").alias("n_gram_hits")))
+
+
+def contaminated_ids(train: DataFrame, bench: DataFrame, id_col: str,
+                     text_col: str, k: int = 5) -> DataFrame:
+    """(id, n_gram_hits) for every training doc sharing >=1 k-word
+    shingle with ``bench``. See ``contamination_report`` for the plan
+    shape; this is the subtractable id set (anti-join it against the
+    corpus to decontaminate)."""
+    train_g = word_shingles(train, id_col, text_col, k)
+    bench_g = (word_shingles(bench, id_col, text_col, k)
+               .select("shingle").distinct())
+    return (train_g.join(F.broadcast(bench_g), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_gram_hits")))
