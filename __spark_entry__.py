@@ -640,6 +640,23 @@ def q40_decontamination(spark, sf_dir):
         .orderBy("source"))
 
 
+_Q41_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q41_split_assign(spark, sf_dir):
+    """Deterministic stratified train/val/test split, oracle-gated:
+    per-(source, split) document counts under md5-bucketed assignment —
+    a pure function of (seed, doc_id), so the split is reproducible
+    under any partitioning/cluster size and an id keeps its split as
+    the corpus grows (unlike randomSplit). Map-only; thresholds are
+    precomputed 60-bit integers identical in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    lab = mixture.split_assign(docs, _Q41_FRACTIONS, "doc_id", seed=7)
+    return (lab.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_filter_project": q01_scan_filter_project,
@@ -682,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_repetition_filters": q38_repetition_filters,
         "q39_kmv_distinct_words": q39_kmv_distinct_words,
         "q40_decontamination": q40_decontamination,
+        "q41_split_assign": q41_split_assign,
     }
 
 
@@ -1308,5 +1326,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_flagged,
                    CAST(sum(n) AS BIGINT) AS n_gram_hits
             FROM hits GROUP BY source ORDER BY source
+        """,
+        "q41_split_assign": f"""
+            WITH h AS (
+              SELECT source, doc_id,
+                     CAST('0x' || substr(md5('split:7:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+              FROM documents
+            )
+            SELECT source,
+                   CASE WHEN hv < {mixture.split_thresholds(_Q41_FRACTIONS)[0]} THEN 'train'
+                        WHEN hv < {mixture.split_thresholds(_Q41_FRACTIONS)[1]} THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   min(doc_id) AS min_id
+            FROM h GROUP BY source, split
         """,
     }

@@ -59,3 +59,53 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     return (j.withColumn("epoch", F.explode(F.sequence(F.lit(1),
                                                        F.col("n_copies"))))
             .drop("w_full", "w_frac_thresh", "n_copies"))
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[int]:
+    """Cumulative 60-bit integer thresholds for ``split_assign``, one per
+    split except the last (which absorbs the remainder). Exposed so an
+    external reproduction (e.g. a SQL oracle) embeds the exact same
+    integers — sequential float accumulation is ulp-sensitive (0.9+0.05
+    != 0.95), so the boundary must come from ONE computation, not two."""
+    names = list(fractions)
+    cum, out = 0.0, []
+    for s in names[:-1]:
+        cum += fractions[s]
+        out.append(int(cum * (1 << _HASH_BITS)))
+    return out
+
+
+def split_assign(df: DataFrame, fractions: dict[str, float],
+                 id_col: str = "doc_id", seed: int = 0,
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split: one label column per row.
+
+    Each id's md5-derived unit hash lands in exactly one of the
+    cumulative-fraction buckets — e.g. ``{"train": .98, "val": .01,
+    "test": .01}``. The assignment is a pure function of (seed, id):
+    reproducible run-to-run, independent of partitioning and cluster
+    size, stable when the corpus grows (an id keeps its split as other
+    rows come and go — the property ``randomSplit`` cannot give you),
+    and exactly reproducible by any other engine. Thresholds are
+    precomputed 60-bit integers, so there is no float comparison to
+    drift. Map-only: adds no shuffle at any scale; the last split
+    absorbs rounding remainder so every row is labeled.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for s, p in fractions.items():
+        if p < 0:
+            raise ValueError(f"negative fraction for {s!r}: {p}")
+    total = sum(fractions.values())
+    if not math.isclose(total, 1.0, abs_tol=1e-9):
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    thresholds = split_thresholds(fractions)
+    h = F.md5(F.concat(F.lit(f"split:{seed}:"),
+                       F.col(id_col).cast("string")))
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    label = F.lit(names[-1])
+    for s, t in zip(reversed(names[:-1]), reversed(thresholds)):
+        label = F.when(hv < F.lit(t), F.lit(s)).otherwise(label)
+    # reversed so the FIRST matching threshold wins in the when-chain
+    return df.withColumn(out_col, label)

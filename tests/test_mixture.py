@@ -59,3 +59,55 @@ def test_mixture_deterministic_across_partitionings(spark, docs):
 def test_mixture_rejects_negative_weight(spark, docs):
     with pytest.raises(ValueError):
         mixture.mixture_sample(docs, {"web": -0.1})
+
+
+def _expected_split(doc_id: int, fractions: dict[str, float],
+                    seed: int = 0) -> str:
+    names = list(fractions)
+    ts = mixture.split_thresholds(fractions)
+    h = int(hashlib.md5(f"split:{seed}:{doc_id}".encode())
+            .hexdigest()[:15], 16)
+    for s, t in zip(names[:-1], ts):
+        if h < t:
+            return s
+    return names[-1]
+
+
+def test_split_assign_matches_local_hash(spark, docs):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r.doc_id: r.split
+           for r in mixture.split_assign(docs, fr, "doc_id",
+                                         seed=3).collect()}
+    assert len(out) == 300  # every row labeled, none dropped
+    for i in range(300):
+        assert out[i] == _expected_split(i, fr, seed=3), i
+
+
+def test_split_stable_under_corpus_growth(spark, docs):
+    # an id keeps its split when other rows come and go — the property
+    # randomSplit cannot give (its assignment depends on partition layout)
+    fr = {"train": 0.5, "test": 0.5}
+    full = {r.doc_id: r.split
+            for r in mixture.split_assign(docs, fr).collect()}
+    subset = {r.doc_id: r.split
+              for r in mixture.split_assign(
+                  docs.filter(F.col("doc_id") % 7 == 0), fr).collect()}
+    assert subset == {i: full[i] for i in subset}
+
+
+def test_split_assign_validation(spark, docs):
+    with pytest.raises(ValueError):
+        mixture.split_assign(docs, {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        mixture.split_assign(docs, {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError):
+        mixture.split_assign(docs, {})
+
+
+def test_split_proportions_roughly_hold(spark, docs):
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    counts = {r.split: r.n
+              for r in mixture.split_assign(docs, fr).groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("train", 0) > 240
+    assert sum(counts.values()) == 300
