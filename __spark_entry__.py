@@ -525,9 +525,13 @@ def q36_pack_sequences(spark, sf_dir):
     # numeric doc_id (not the string cast of tokens_from_documents): the
     # concatenation order is numeric on both sides, and the numeric id
     # exercises the bucketed two-phase prefix sum rather than the fallback
+    # n_w = size(words) precomputes the length WITHOUT the md5 tokenizer
+    # (token_ids maps words 1:1), so the offsets side's two metadata scans
+    # skip the expensive derived-tokens expression (pack.py caller note)
     toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", token_ids(F.col("text"), VOCAB).alias("tokens"))
-    packed = pack.pack_sequences(toks, 193)
+        "doc_id", token_ids(F.col("text"), VOCAB).alias("tokens"),
+        F.size(words(F.col("text"))).alias("n_w"))
+    packed = pack.pack_sequences(toks, 193, n_col="n_w")
     return packed.select(
         "seq_id", F.col("n_tok").cast("long").alias("n_tok"),
         F.aggregate("tokens", F.lit(0).cast("long"),

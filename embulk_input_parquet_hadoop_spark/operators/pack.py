@@ -30,7 +30,9 @@ single-partition bottleneck):
 Caller note: the metadata pass and the payload pass each scan the input
 once. If ``tokens_col`` is a *derived expression* (e.g. a tokenizer over
 text), Catalyst inlines it into both scans and the tokenization runs
-twice — materialize the tokens table first when that matters.
+twice — pass ``n_col`` (a precomputed length column; the input-hint
+table's ``n_tok`` exists for this) to keep the tokenizer off the
+metadata scans, or materialize the tokens table first.
 
 ``id_col`` must be unique: it defines the concatenation order, and
 duplicate ids make the stream ambiguous. Composing with
@@ -116,11 +118,23 @@ def _windowed_offsets(meta: DataFrame, id_col: str) -> DataFrame:
 
 def doc_offsets(df: DataFrame, id_col: str = "doc_id",
                 tokens_col: str = "tokens",
-                parts: int = 32) -> DataFrame:
+                parts: int = 32, n_col: str | None = None) -> DataFrame:
     """Global start offset of every document in the id-ordered token
     stream: (id_col, n, s). Zero-token documents are excluded (they occupy
-    no positions)."""
-    meta = (df.select(id_col, F.size(tokens_col).cast("long").alias("n"))
+    no positions).
+
+    ``n_col``: a precomputed length column to use instead of
+    ``size(tokens_col)``. The input-hint table shape carries ``n_tok``
+    for exactly this reason: when ``tokens_col`` is a derived expression
+    (a tokenizer over text), the offsets side otherwise re-evaluates the
+    tokenizer on its two metadata scans (meta + quantile bounds) — with
+    ``n_col`` those scans read one narrow column and only the payload
+    scan pays the tokenizer. The caller owns the invariant
+    ``n_col == size(tokens_col)``; a mismatch mis-places every later
+    document in the stream."""
+    n_expr = (F.col(n_col) if n_col is not None
+              else F.size(tokens_col)).cast("long")
+    meta = (df.select(id_col, n_expr.alias("n"))
             .filter(F.col("n") > 0))
     if isinstance(df.schema[id_col].dataType, _NUMERIC):
         return _bucketed_offsets(meta, id_col, parts)
@@ -129,18 +143,19 @@ def doc_offsets(df: DataFrame, id_col: str = "doc_id",
 
 def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
                    tokens_col: str = "tokens", drop_last: bool = False,
-                   parts: int = 32) -> DataFrame:
+                   parts: int = 32, n_col: str | None = None) -> DataFrame:
     """Pack ragged per-document token arrays into fixed ``seq_len`` windows.
 
     Returns (seq_id, tokens, n_tok): window w holds global token positions
     [w*seq_len, (w+1)*seq_len) of the id-ordered document concatenation.
     Only the final window may be short; ``drop_last=True`` drops it (the
-    usual pretraining convention).
+    usual pretraining convention). ``n_col`` (see ``doc_offsets``) keeps a
+    derived ``tokens_col`` expression off the metadata scans.
     """
     L = int(seq_len)
     if L <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    offs = doc_offsets(df, id_col, tokens_col, parts)
+    offs = doc_offsets(df, id_col, tokens_col, parts, n_col)
     j = df.select(id_col, tokens_col).join(offs, id_col)
     # integer window arithmetic (DIV, not float floor): exact past 2^53
     first_w = F.expr(f"s DIV {L}")

@@ -83,3 +83,15 @@ def test_string_id_fallback(spark):
     stream = [x for _id, t in sorted(docs) for x in t]
     assert got == {w: stream[w * 100:(w + 1) * 100]
                    for w in range((len(stream) + 99) // 100)}
+
+
+def test_n_col_equals_derived_size(spark):
+    # n_col keeps a derived tokens expression off the metadata scans;
+    # output must be identical to the size(tokens) default
+    df = (_docs_df(spark, DOCS)
+          .withColumn("n_pre", F.size("tokens")))
+    a = {r["seq_id"]: r["tokens"] for r in
+         pack.pack_sequences(df, 77).collect()}
+    b = {r["seq_id"]: r["tokens"] for r in
+         pack.pack_sequences(df, 77, n_col="n_pre").collect()}
+    assert a == b and a
