@@ -267,6 +267,15 @@ def main() -> None:
         vf_scale = verify.verify_files(spark, high_scale["out_dir"])
         verify_wall = time.perf_counter() - t0
         decode_tokens = vf_scale["tokens_compared"]
+        # second pass, reported SEPARATELY: the first pass reads the
+        # encode tree cold (disk + host steal dominate — observed 3x
+        # run-to-run spread); the warm pass measures the decode+compare
+        # kernels themselves. Kept additive so the cold number stays
+        # comparable across rounds.
+        t0 = time.perf_counter()
+        vf_warm = verify.verify_files(spark, high_scale["out_dir"])
+        verify_wall_warm = time.perf_counter() - t0
+        vf_scale["ok"] = bool(vf_scale["ok"] and vf_warm["ok"])
         vres = verify.verify_path(spark, tokens_path, high["out_dir"])
         vf_sf = verify.verify_files(spark, high["out_dir"])
         vres["ok"] = bool(vres["ok"] and vf_scale["ok"] and vf_sf["ok"])
@@ -338,6 +347,8 @@ def main() -> None:
         "verify_ok": vres["ok"],
         "decode_verify_tokens_per_sec": round(
             decode_tokens / verify_wall, 1),
+        "decode_verify_warm_tokens_per_sec": round(
+            decode_tokens / verify_wall_warm, 1),
     }
     print(json.dumps(result))
 
