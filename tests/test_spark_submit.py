@@ -1,0 +1,75 @@
+"""The north rule's deployment shape, exercised for real: zip the package,
+launch jobs/encode_job.py through ``spark-submit --py-files`` in a fresh
+JVM (NOT the suite's session), and check the job's JSON totals + verify.
+
+Proves the submit path end to end: the package ships via --py-files, the
+master comes from the submit conf (no --cores, so the job's
+getOrCreate() branch runs), and the job completes encode + channel-free
+verify and prints clean JSON totals. (The driver side also finds the
+package next to the script — encode_job.py self-inserts its repo root —
+but the executors' Python workers resolve it from the shipped zip.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
+    os.path.dirname(sys.executable), "spark-submit")
+
+
+@pytest.mark.skipif(not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+                    reason="spark-submit not on PATH")
+def test_encode_job_via_spark_submit(tmp_path, spark):
+    # build the --py-files artifact exactly as the job docstring says
+    zpath = tmp_path / "engine.zip"
+    pkg = os.path.join(REPO, "embulk_input_parquet_hadoop_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    # a small token table from the suite's session (stopped JVMs don't
+    # conflict: spark-submit gets its own)
+    tok = str(tmp_path / "tokens")
+    rows = [(f"d{i}", list(range(i % 50 + 1)), i % 50 + 1, f"s{i % 3}")
+            for i in range(200)]
+    (spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+     .repartition(4).write.parquet(tok))
+
+    out = str(tmp_path / "encoded")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    # no --cores: the master comes from the submit conf, the session from
+    # getOrCreate() — the exact cluster code path of the job
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zpath),
+         os.path.join(REPO, "jobs", "encode_job.py"),
+         "--input", tok, "--output", out, "--waves", "2",
+         "--verify-files"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["verify"]["ok"] is True, res
+    assert res["n_tokens"] == sum(i % 50 + 1 for i in range(200)), res
+    assert os.path.isdir(os.path.join(out, "chunks")), "no chunk tree"
+    assert os.path.isdir(os.path.join(out, "manifest")), "no manifest"
