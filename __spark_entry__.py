@@ -23,7 +23,7 @@ from embulk_input_parquet_hadoop_spark.functions.hashes import (  # noqa: E402
     token_ids, words)
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
     asof, dedup, ivf, mixture, multimodal, pack, rangejoin, similarity,
-    sketch, textstats)
+    sketch, textstats, vocab)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -644,6 +644,25 @@ def q40_decontamination(spark, sf_dir):
         .orderBy("source"))
 
 
+def q42_remap_rare_tokens(spark, sf_dir):
+    """Vocabulary truncation, oracle-gated end to end: corpus token
+    frequencies (one keyed agg, vocab-sized keys), ids under the floor
+    remapped to UNK via a broadcast frequency join, documents reassembled
+    in exact order. The per-doc md5 over the comma-joined remapped array
+    proves order + values; summed as 32-bit ints per source so the rollup
+    is exact in int64 on both engines."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_ids(F.col("text"), VOCAB).alias("tokens"))
+    out = vocab.remap_rare_tokens(toks, min_count=100, unk_id=0,
+                                  keep_cols=["source"])
+    h32 = F.conv(F.substring(F.md5(F.concat_ws(",", F.transform(
+        "tokens", lambda x: x.cast("string")))), 1, 8), 16, 10).cast("long")
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_unk").alias("n_unk"),
+                 F.sum(h32).alias("hsum")))
+
+
 _Q41_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -704,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_kmv_distinct_words": q39_kmv_distinct_words,
         "q40_decontamination": q40_decontamination,
         "q41_split_assign": q41_split_assign,
+        "q42_remap_rare_tokens": q42_remap_rare_tokens,
     }
 
 
@@ -1330,6 +1350,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_flagged,
                    CAST(sum(n) AS BIGINT) AS n_gram_hits
             FROM hits GROUP BY source ORDER BY source
+        """,
+        "q42_remap_rare_tokens": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_transform({WORDS},
+                         w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                              % 50257) AS tokens
+              FROM documents
+            ),
+            ex AS (
+              SELECT doc_id, source,
+                     generate_subscripts(tokens, 1) AS pos,
+                     unnest(tokens) AS tok
+              FROM t
+            ),
+            freq AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
+            r AS (
+              SELECT doc_id, source, pos,
+                     CASE WHEN cnt < 100 THEN 0 ELSE tok END AS tok2,
+                     CASE WHEN cnt < 100 THEN 1 ELSE 0 END AS unk
+              FROM ex JOIN freq USING (tok)
+            ),
+            d AS (
+              SELECT doc_id, source,
+                     CAST(sum(unk) AS BIGINT) AS n_unk,
+                     CAST('0x' || substr(md5(string_agg(
+                         CAST(tok2 AS VARCHAR), ',' ORDER BY pos)), 1, 8)
+                         AS BIGINT) AS h
+              FROM r GROUP BY doc_id, source
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_unk) AS BIGINT) AS n_unk,
+                   CAST(sum(h) AS BIGINT) AS hsum
+            FROM d GROUP BY source
         """,
         "q41_split_assign": f"""
             WITH h AS (
