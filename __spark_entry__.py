@@ -644,6 +644,22 @@ def q40_decontamination(spark, sf_dir):
         .orderBy("source"))
 
 
+def q43_filter_corpus(spark, sf_dir):
+    """Composite corpus-cleaning pass, oracle-gated: every document gets
+    exactly one drop_reason (first failing rule in fixed order: too_short,
+    too_long, bad_lang, repetitive, low_diversity; else kept) — one
+    map-only scan produces the cleaned corpus AND its audit histogram.
+    Thresholds chosen so every reason bucket is non-trivial on this
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    f = textstats.filter_corpus(
+        docs, "text", min_words=25, max_words=90, langs=("en",),
+        max_dup_word_frac=0.70, min_distinct_ratio=0.45)
+    return (f.groupBy("source", "drop_reason")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id")))
+
+
 def q42_remap_rare_tokens(spark, sf_dir):
     """Vocabulary truncation, oracle-gated end to end: corpus token
     frequencies (one keyed agg, vocab-sized keys), ids under the floor
@@ -724,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_decontamination": q40_decontamination,
         "q41_split_assign": q41_split_assign,
         "q42_remap_rare_tokens": q42_remap_rare_tokens,
+        "q43_filter_corpus": q43_filter_corpus,
     }
 
 
@@ -1350,6 +1367,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_flagged,
                    CAST(sum(n) AS BIGINT) AS n_gram_hits
             FROM hits GROUP BY source ORDER BY source
+        """,
+        "q43_filter_corpus": f"""
+            WITH d AS (SELECT doc_id, source, {WORDS} AS ws
+                       FROM documents),
+            s AS (
+              SELECT doc_id, source, len(ws) AS n,
+                     len(list_distinct(ws)) AS nd,
+                     len(list_filter(ws, w -> list_contains(
+                         ['der','die','und','das','ist'], w))) AS hits_de,
+                     len(list_filter(ws, w -> list_contains(
+                         ['the','and','of','to','in'], w))) AS hits_en,
+                     len(list_filter(ws, w -> list_contains(
+                         ['el','la','de','que','los'], w))) AS hits_es
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id, source, n, nd,
+                     CASE
+                       WHEN greatest(hits_de, hits_en, hits_es) <= 0
+                            THEN 'unk'
+                       WHEN hits_de >= hits_en AND hits_de >= hits_es
+                            THEN 'de'
+                       WHEN hits_en >= hits_es THEN 'en'
+                       ELSE 'es'
+                     END AS lang_pred
+              FROM s
+            ),
+            f AS (
+              SELECT source, doc_id,
+                     CASE
+                       WHEN n < 25 THEN 'too_short'
+                       WHEN n > 90 THEN 'too_long'
+                       WHEN lang_pred <> 'en' THEN 'bad_lang'
+                       WHEN (CASE WHEN n > 0 THEN 1 - nd / n
+                                  ELSE 0.0 END) > 0.70 THEN 'repetitive'
+                       WHEN (CASE WHEN n > 0 THEN nd / n
+                                  ELSE 0.0 END) < 0.45
+                            THEN 'low_diversity'
+                       ELSE 'kept'
+                     END AS drop_reason
+              FROM r
+            )
+            SELECT source, drop_reason, count(*) AS n_docs,
+                   min(doc_id) AS min_id
+            FROM f GROUP BY source, drop_reason
         """,
         "q42_remap_rare_tokens": f"""
             WITH t AS (

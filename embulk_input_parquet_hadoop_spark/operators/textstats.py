@@ -157,3 +157,38 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     m = sh.select(F.col(id_col), F.min(h).over(win).alias("fp"),
                   F.count(F.lit(1)).over(win).alias("_n"))
     return m.filter(F.col("_n") == w).select(id_col, "fp").distinct()
+
+
+def filter_corpus(df: DataFrame, text_col: str = "text",
+                  min_words: int = 5, max_words: int = 100_000,
+                  langs: tuple[str, ...] = ("en",),
+                  max_dup_word_frac: float = 0.30,
+                  min_distinct_ratio: float = 0.10) -> DataFrame:
+    """One-call corpus cleaning: compose the individual quality signals
+    (length, language, Gopher duplicate-word fraction, lexical diversity)
+    into a ``keep`` flag plus a ``drop_reason`` — the FIRST failing rule
+    in a fixed order (too_short, too_long, bad_lang, repetitive,
+    low_diversity; else 'kept'), so every dropped doc has exactly one
+    attributed cause and the reason histogram is deterministic.
+
+    Entirely built-in expressions — map-only, whole-stage-codegen, zero
+    shuffles: at 100 TB this is one embarrassingly parallel scan emitting
+    the cleaned corpus and its audit trail in the same pass. Each ratio
+    is a single integer division in double, so thresholds compare
+    bit-identically in the DuckDB oracle.
+    """
+    base = lang_scores(df, text_col)
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    dup = F.when(n > 0, 1 - nd / n).otherwise(0.0)
+    dr = F.when(n > 0, nd / n).otherwise(0.0)
+    reason = (F.when(n < min_words, F.lit("too_short"))
+              .when(n > max_words, F.lit("too_long"))
+              .when(~F.col("lang_pred").isin(*langs), F.lit("bad_lang"))
+              .when(dup > max_dup_word_frac, F.lit("repetitive"))
+              .when(dr < min_distinct_ratio, F.lit("low_diversity"))
+              .otherwise(F.lit("kept")))
+    return (base.withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason") == "kept")
+            .drop(*[f"hits_{lang}" for lang in LANG_MARKERS]))
