@@ -44,26 +44,37 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return pairs.groupBy(id_col).agg(*aggs)
 
 
+def _band_rows(sigs: DataFrame, id_col: str,
+               rows_per_band: int) -> DataFrame:
+    """(band, bucket, id) rows: band keys as ONE inline explode over an
+    array of (band, md5-bucket) structs — not a per-band union. A union
+    plan re-evaluates the whole upstream signature pipeline (scan,
+    shingle explode, groupBy) once per band: measured on q34's chain,
+    the union shape scanned the corpus 10x with zero exchange reuse. The
+    single-projection explode computes signatures once, and the explode
+    itself is map-side (bands-per-row is a constant, no skew)."""
+    hash_cols = [c for c in sigs.columns if c != id_col]
+    bands = [hash_cols[i:i + rows_per_band]
+             for i in range(0, len(hash_cols), rows_per_band)]
+    structs = [F.struct(
+        F.lit(i).alias("band"),
+        F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("bucket"))
+        for i, cols in enumerate(bands)]
+    return (sigs.select(F.col(id_col),
+                        F.explode(F.array(*structs)).alias("_bb"))
+            .select(F.col("_bb.band").alias("band"),
+                    F.col("_bb.bucket").alias("bucket"), id_col))
+
+
 def lsh_band_groups(sigs: DataFrame, id_col: str, rows_per_band: int = 2,
                     min_docs: int = 2) -> DataFrame:
     """Band the signature columns; emit buckets holding >= min_docs docs.
 
     Candidate near-duplicate pairs are pairs within a bucket — the classic
-    shingle -> minhash -> band -> bucket-join pipeline, here as groupBy on
-    the band key (one shuffle per band, unioned).
+    shingle -> minhash -> band -> bucket-join pipeline, as one keyed
+    aggregation over the inline-exploded band rows.
     """
-    hash_cols = [c for c in sigs.columns if c != id_col]
-    bands = [hash_cols[i:i + rows_per_band]
-             for i in range(0, len(hash_cols), rows_per_band)]
-    parts = []
-    for band_idx, cols in enumerate(bands):
-        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
-        parts.append(
-            sigs.select(F.lit(band_idx).alias("band"), key.alias("bucket"),
-                        F.col(id_col)))
-    allb = parts[0]
-    for p in parts[1:]:
-        allb = allb.unionAll(p)
+    allb = _band_rows(sigs, id_col, rows_per_band)
     return (allb.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min(id_col).alias("min_id"),
@@ -85,18 +96,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     and a bucket that large is boilerplate collision, not near-duplicate
     signal.
     """
-    hash_cols = [c for c in sigs.columns if c != id_col]
-    bands = [hash_cols[i:i + rows_per_band]
-             for i in range(0, len(hash_cols), rows_per_band)]
-    parts = []
-    for band_idx, cols in enumerate(bands):
-        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
-        parts.append(
-            sigs.select(F.lit(band_idx).alias("band"), key.alias("bucket"),
-                        F.col(id_col)))
-    allb = parts[0]
-    for p in parts[1:]:
-        allb = allb.unionAll(p)
+    allb = _band_rows(sigs, id_col, rows_per_band)
     if max_bucket is not None:
         allb = (allb.withColumn(
             "_bn", F.count(F.lit(1)).over(
