@@ -644,6 +644,17 @@ def q40_decontamination(spark, sf_dir):
         .orderBy("source"))
 
 
+def q44_centroid_outliers(spark, sf_dir):
+    """Per-label embedding centroids + the 2 furthest vectors per label
+    (lowest cosine to centroid) — the standard embedding-space
+    outlier/mislabel detector, oracle-gated: centroid sums are
+    integer-scaled (floor(v*2^20+0.5)) so they are order-independent and
+    bit-identical in DuckDB; the cosine itself is the sequential-fold
+    expression both engines share (list_dot_product)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(emb, k=2)
+
+
 def q43_filter_corpus(spark, sf_dir):
     """Composite corpus-cleaning pass, oracle-gated: every document gets
     exactly one drop_reason (first failing rule in fixed order: too_short,
@@ -741,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_split_assign": q41_split_assign,
         "q42_remap_rare_tokens": q42_remap_rare_tokens,
         "q43_filter_corpus": q43_filter_corpus,
+        "q44_centroid_outliers": q44_centroid_outliers,
     }
 
 
@@ -1367,6 +1379,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_flagged,
                    CAST(sum(n) AS BIGINT) AS n_gram_hits
             FROM hits GROUP BY source ORDER BY source
+        """,
+        "q44_centroid_outliers": """
+            WITH ex AS (
+              SELECT label, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ),
+            g AS (
+              SELECT label, dim,
+                     CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576
+                                         + 0.5) AS BIGINT)) AS BIGINT)
+                         AS isum,
+                     count(*) AS n
+              FROM ex GROUP BY label, dim
+            ),
+            c AS (
+              SELECT label,
+                     list((isum / n) / 1048576.0 ORDER BY dim) AS cv
+              FROM g GROUP BY label
+            ),
+            s AS (
+              SELECT e.label, e.vec_id,
+                     CASE WHEN sqrt(list_dot_product(ev, ev))
+                               * sqrt(list_dot_product(cv, cv)) <> 0
+                          THEN list_dot_product(ev, cv)
+                               / (sqrt(list_dot_product(ev, ev))
+                                  * sqrt(list_dot_product(cv, cv)))
+                          ELSE 0.0 END AS cos
+              FROM (SELECT label, vec_id,
+                           list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE)) AS ev
+                    FROM embeddings) e
+              JOIN c USING (label)
+            )
+            SELECT label, vec_id, rk, round(cos, 4) AS cos
+            FROM (SELECT label, vec_id, cos,
+                         row_number() OVER (PARTITION BY label
+                                            ORDER BY cos, vec_id) AS rk
+                  FROM s)
+            WHERE rk <= 2
         """,
         "q43_filter_corpus": f"""
             WITH d AS (SELECT doc_id, source, {WORDS} AS ws

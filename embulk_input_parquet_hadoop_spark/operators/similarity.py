@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -276,3 +276,64 @@ def srp_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     return with_bucket.groupBy("bucket").applyInArrow(
         bucket_pairs,
         "id_a bigint, id_b bigint, bucket bigint, cos_sim double")
+
+
+def group_centroids(emb: DataFrame, group_col: str = "label",
+                    vec_col: str = "embedding",
+                    scale: int = 1 << 20) -> DataFrame:
+    """Per-group embedding centroid with ORDER-INDEPENDENT exact
+    arithmetic: components are scaled to integers (``round(v * scale)``)
+    and summed as longs — integer addition is associative/commutative, so
+    the result is identical under any partitioning, row order, or engine
+    (float summation is not: its value depends on reduction order). One
+    division at the end recovers the mean.
+
+    Scale shape: posexplode to (group, dim, v) — narrow rows, constant
+    64x fan-out — then ONE keyed aggregation whose key space is
+    |groups| x dims (bounded), then per-group assembly. At 10^12 rows the
+    partial aggregation collapses the shuffle to O(partitions x keys).
+    float32 has 24 mantissa bits; scale=2^20 keeps unit-normalized
+    components' rounding error below 1e-6 while int64 holds ~2^43 row
+    sums per key without overflow.
+
+    Quantization is ``floor(v * scale + 0.5)``, NOT ``round``: a float32
+    times a power of two is exact in double, so exact .5 ties DO occur,
+    and engines disagree on tie conventions (half-up vs banker's) —
+    floor(+0.5) is the same deterministic bits everywhere.
+    """
+    ex = emb.select(group_col, F.posexplode(vec_col).alias("dim", "v"))
+    g = (ex.groupBy(group_col, "dim")
+         .agg(F.sum(F.floor(F.col("v").cast("double") * scale + F.lit(0.5))
+                    .cast("long")).alias("isum"),
+              F.count(F.lit(1)).alias("n")))
+    return (g.groupBy(group_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "isum", "n"))),
+                lambda x: (x["isum"] / x["n"]) / F.lit(float(scale)))
+                .alias("centroid")))
+
+
+def centroid_outliers(emb: DataFrame, k: int = 1,
+                      group_col: str = "label", id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      scale: int = 1 << 20) -> DataFrame:
+    """The k vectors per group FURTHEST from their group centroid (lowest
+    cosine) — the standard embedding-space outlier/mislabel detector.
+
+    Centroids broadcast into the scoring join (|groups| rows), the cosine
+    is map-side per row (sequential folds, bit-reproducible in the
+    oracle), and the only shuffle is the per-group top-k window.
+    """
+    cents = group_centroids(emb, group_col, vec_col, scale)
+    j = emb.join(F.broadcast(cents), group_col)
+    denom = _norm(F.col(vec_col)) * _norm(F.col("centroid"))
+    cos = F.when(denom != 0.0,
+                 _dot(F.col(vec_col), F.col("centroid")) / denom
+                 ).otherwise(F.lit(0.0))
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("_cos").asc(), F.col(id_col).asc()))
+    return (j.withColumn("_cos", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(group_col, id_col, F.col("rk"),
+                    F.round("_cos", 4).alias("cos")))

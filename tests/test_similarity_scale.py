@@ -59,3 +59,45 @@ def test_srp_recall_and_precision_vs_exact(spark):
         # deterministic data+planes; allow slack below theory, forbid
         # collapse (measured r1: 0.367 vs 0.371 @2p, 0.156 vs 0.138 @4p)
         assert recall >= 0.6 * expected, (planes, recall, expected)
+
+
+def test_group_centroids_order_independent(spark):
+    # integer-scaled sums: identical BITS under any partitioning
+    import math
+    from embulk_input_parquet_hadoop_spark.operators import similarity
+    rows = [(i, [float(i % 7) / 7, float((i * 3) % 5) / 5], i % 2)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    a = {r.label: r.centroid
+         for r in similarity.group_centroids(df).collect()}
+    b = {r.label: r.centroid
+         for r in similarity.group_centroids(
+             df.repartition(7, "vec_id")).collect()}
+    assert a == b  # exact equality, not approx: the whole point
+    # and the values are the scaled-integer mean, dim-ordered
+    scale = 1 << 20
+    for lab in (0, 1):
+        vecs = [v for _i, v, l in rows if l == lab]
+        for d in range(2):
+            isum = sum(math.floor(float(np_f32(x[d])) * scale + 0.5)
+                       for x in vecs)
+            assert a[lab][d] == (isum / len(vecs)) / float(scale)
+
+
+def np_f32(x):
+    import numpy as np
+    return np.float32(x)
+
+
+def test_centroid_outliers_picks_farthest(spark):
+    from embulk_input_parquet_hadoop_spark.operators import similarity
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.1], 0), (3, [0.9, 0.0], 0),
+            (4, [-1.0, 0.0], 0),        # opposite direction: the outlier
+            (5, [0.0, 1.0], 1), (6, [0.0, 0.9], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = {(r.label, r.rk): r.vec_id
+           for r in similarity.centroid_outliers(df, k=1).collect()}
+    assert out[(0, 1)] == 4
+    assert out[(1, 1)] in (5, 6)
