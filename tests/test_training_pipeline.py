@@ -71,3 +71,48 @@ def test_mixture_pack_encode_roundtrip(spark, corpus, tmp_path):
     pipeline.encode_path(spark, src_dir, out_dir)
     res = verify.verify_path(spark, src_dir, out_dir)
     assert res["ok"] and res["rows_compared"] == len(want)
+
+
+def test_clean_decontaminate_split_front_half(spark):
+    """The cleaning front half the round-3 operators add: quality filter
+    -> benchmark decontamination (anti-join) -> deterministic split.
+    Every stage is a pure function of the row, so the surviving set is
+    exactly predictable."""
+    from embulk_input_parquet_hadoop_spark.operators import (dedup,
+                                                             textstats)
+    uniq = [f"w{j}" for j in range(40)]
+    good = " ".join(["the"] + uniq[:29])
+    docs = [(1, good, "web"),
+            (2, "the and", "web"),                   # too_short
+            (3, " ".join(["the"] * 30), "books"),    # repetitive
+            (4, good + " extra trailing words here", "books"),  # kept
+            (5, good, "books")]                      # dup of benchmark
+    df = spark.createDataFrame(docs,
+                               "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([(900, good, "eval")],
+                                  "doc_id bigint, text string, source string")
+
+    kept = textstats.filter_corpus(
+        df, min_words=25, max_words=90, langs=("en",),
+        max_dup_word_frac=0.70, min_distinct_ratio=0.45
+    ).filter(F.col("keep"))
+    assert {r.doc_id for r in kept.collect()} == {1, 4, 5}
+
+    flagged = dedup.contaminated_ids(kept, bench, "doc_id", "text", k=5)
+    clean = kept.join(flagged, "doc_id", "left_anti")
+    # docs 1 and 5 equal the benchmark text -> removed; 4 extends it ->
+    # shares its 5-gram shingles -> also removed; nothing survives by
+    # accident
+    assert {r.doc_id for r in clean.collect()} == set()
+
+    # with a disjoint benchmark everything kept survives and splits
+    bench2 = spark.createDataFrame(
+        [(901, " ".join(f"z{j}" for j in range(30)), "eval")],
+        "doc_id bigint, text string, source string")
+    clean2 = kept.join(
+        dedup.contaminated_ids(kept, bench2, "doc_id", "text", k=5),
+        "doc_id", "left_anti")
+    lab = mixture.split_assign(clean2, {"train": 0.5, "test": 0.5})
+    rows = {r.doc_id: r.split for r in lab.collect()}
+    assert set(rows) == {1, 4, 5}
+    assert set(rows.values()) <= {"train", "test"}
