@@ -9,7 +9,8 @@ def _doc(i, words_list, src="s"):
 
 
 def _mk(spark, docs):
-    return spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    return spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string")
 
 
 def test_each_reason_and_first_failing_order(spark):
