@@ -1,0 +1,117 @@
+"""Opt-in per-column re-layout of committed chunk trees.
+
+The row chunk layout stores every column's payload in one ``blobs`` list
+per chunk row, so a column-projected decode skips the *decode* of unread
+columns but still reads their bytes (SCALE.md "known IO trade"). This
+module makes the documented alternative concrete WITHOUT touching the
+encode pipeline: a one-pass re-layout job explodes committed chunks into
+one row per (chunk, column) and writes them ``partitionBy(name)`` — a
+Hive-partitioned directory per column — so a single-column read is
+partition-pruned to exactly that column's bytes at the Parquet scan, the
+column-store property. Zone-map stats (vmin/vmax) ride along, so chunk
+pruning composes with the partition pruning.
+
+Scale shape: the re-layout is one distributed pass over the chunk rows
+(map + a partitioned write — the write shuffles by the partition column,
+|columns| keys; payload bytes cross the cluster once). Reads are
+embarrassingly parallel scans of one directory.
+
+Scope: ``read_column`` serves single-column analytic reads (scan the
+tokens column, aggregate n_tok, ...) — the workload the IO trade hurts.
+Multi-column reassembly needs per-row alignment across partitions (a
+join on chunk_id + intra-chunk offsets); use the row layout's
+``read_decoded`` for that, which is exactly why the re-layout is an
+*additional* view, not a replacement.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.encode import decode_column
+from .pipeline import read_chunks
+
+
+def relayout_columnar(spark: SparkSession, out_dir: str,
+                      col_dir: str) -> dict:
+    """Explode a committed chunk tree into a per-column layout under
+    ``col_dir`` (Hive-partitioned by column name). Returns totals."""
+    chunks = read_chunks(spark, out_dir)
+    z = F.explode(F.arrays_zip("cols", "blobs")).alias("z")
+    per = (chunks
+           .select("chunk_id", "wave_id", "part_id", "batch_idx",
+                   "n_rows", z)
+           .select("chunk_id", "wave_id", "part_id", "batch_idx",
+                   "n_rows",
+                   F.col("z.cols.name").alias("name"),
+                   F.col("z.cols.kind").alias("kind"),
+                   F.col("z.cols.n_values").alias("n_values"),
+                   F.col("z.cols.enc_bytes").alias("enc_bytes"),
+                   F.col("z.cols.vmin").alias("vmin"),
+                   F.col("z.cols.vmax").alias("vmax"),
+                   F.col("z.blobs").alias("blob")))
+    (per.write.mode("overwrite")
+        .option("compression", "uncompressed")  # payloads are framed
+        .partitionBy("name").parquet(col_dir))
+    out = spark.read.parquet(col_dir)
+    agg = out.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("enc_bytes").alias("enc_bytes")).collect()
+    return {r["name"]: {"n_chunks": r["n_chunks"],
+                        "enc_bytes": int(r["enc_bytes"])} for r in agg}
+
+
+def read_column(spark: SparkSession, col_dir: str, name: str,
+                spark_type: str,
+                vmin: int | None = None,
+                vmax: int | None = None) -> DataFrame:
+    """Decode ONE column from the per-column layout.
+
+    The ``name`` filter is a partition filter — Spark's scan lists and
+    reads only ``{col_dir}/name={name}/`` — and the optional
+    [vmin, vmax] range applies zone-map chunk pruning *before* any
+    payload decode (then again as an exact row filter after, same
+    contract as ``read_decoded``). Row order follows chunk order within
+    each scan task; single-column analytic consumers (aggregates,
+    histograms, filters) are order-free by construction.
+    """
+    rows = spark.read.parquet(col_dir).filter(F.col("name") == name)
+    if vmin is not None:
+        rows = rows.filter(F.col("vmax").isNull() |
+                           (F.col("vmax") >= vmin))
+    if vmax is not None:
+        rows = rows.filter(F.col("vmin").isNull() |
+                           (F.col("vmin") <= vmax))
+    rows = rows.select("kind", "blob")
+    struct = spark.createDataFrame([], f"`{name}` {spark_type}").schema
+    from pyspark.sql.pandas.types import to_arrow_schema
+    target = to_arrow_schema(struct).field(0).type
+
+    def dec(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            kinds = b.column("kind").to_pylist()
+            blobs = b.column("blob")
+            arrs = []
+            for i, kind in enumerate(kinds):
+                arr = decode_column(kind, blobs[i].as_buffer())
+                if arr.type != target:
+                    arr = arr.cast(target)
+                arrs.append(arr)
+            yield pa.RecordBatch.from_arrays(
+                [pa.concat_arrays(arrs)], names=[name])
+
+    out = rows.mapInArrow(dec, f"`{name}` {spark_type}")
+    # exact residual row filter: scalar integer columns only — for
+    # list<int32> the zone stats are ELEMENT min/max (chunk pruning above
+    # is still valid; a row filter on the array column would not be)
+    if struct.fields[0].dataType.simpleString() in (
+            "tinyint", "smallint", "int", "bigint"):
+        if vmin is not None:
+            out = out.filter(F.col(name) >= vmin)
+        if vmax is not None:
+            out = out.filter(F.col(name) <= vmax)
+    return out
