@@ -514,6 +514,31 @@ def q35_pruned_range_read(spark, sf_dir):
                  F.countDistinct("lang").alias("n_langs")))
 
 
+def q45_columnar_read_agg(spark, sf_dir):
+    """Per-column layout end to end, oracle-gated: documents encoded to
+    chunks, re-laid-out into the Hive-partitioned per-column tree
+    (plans/columnar.py), then ONE column read back through the
+    partition-pruned + zone-map-pruned ``read_column`` path and
+    aggregated. Matching the oracle (a plain WHERE + aggregate on the raw
+    table) proves the re-layout loses nothing and the pruned single-column
+    scan returns exactly the selected values."""
+    base = _scratch(
+        f"spark_graft_q45_{os.path.basename(sf_dir.rstrip('/'))}")
+    docs = _t(spark, sf_dir, "documents")
+    (docs.select("doc_id", "n_chars", "source")
+     .repartitionByRange(4, "n_chars").write.parquet(f"{base}/src"))
+    pipeline.encode_path(spark, f"{base}/src", f"{base}/enc",
+                         batch_rows=2048)
+    from embulk_input_parquet_hadoop_spark.plans import columnar
+    columnar.relayout_columnar(spark, f"{base}/enc", f"{base}/cols")
+    nc = columnar.read_column(spark, f"{base}/cols", "n_chars", "bigint",
+                              vmin=150, vmax=900)
+    return nc.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum("n_chars").alias("chars_sum"),
+                  F.min("n_chars").alias("chars_min"),
+                  F.max("n_chars").alias("chars_max"))
+
+
 def q36_pack_sequences(spark, sf_dir):
     """Fixed-window training-sequence packing, oracle-gated end to end:
     documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
@@ -753,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_remap_rare_tokens": q42_remap_rare_tokens,
         "q43_filter_corpus": q43_filter_corpus,
         "q44_centroid_outliers": q44_centroid_outliers,
+        "q45_columnar_read_agg": q45_columnar_read_agg,
     }
 
 
@@ -1379,6 +1405,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_flagged,
                    CAST(sum(n) AS BIGINT) AS n_gram_hits
             FROM hits GROUP BY source ORDER BY source
+        """,
+        "q45_columnar_read_agg": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   min(n_chars) AS chars_min,
+                   max(n_chars) AS chars_max
+            FROM documents
+            WHERE n_chars BETWEEN 150 AND 900
         """,
         "q44_centroid_outliers": """
             WITH ex AS (
