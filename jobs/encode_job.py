@@ -67,6 +67,11 @@ def main() -> int:
                         "sidecars and sends only O(files) summaries to the "
                         "driver — use when a wave's chunk count outgrows "
                         "driver memory")
+    p.add_argument("--relayout-columnar", metavar="DIR", default=None,
+                   help="after encoding, re-layout committed chunks into "
+                        "a per-column Hive-partitioned tree at DIR "
+                        "(single-column reads become partition-pruned; "
+                        "see plans/columnar.py)")
     p.add_argument("--verify-files", action="store_true",
                    help="channel-free positional verify (one task per "
                         "source file) instead of the global join")
@@ -95,6 +100,10 @@ def main() -> int:
     totals["total_wall_s"] = time.perf_counter() - t0
     if totals["wall_s"]:
         totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]
+    if args.relayout_columnar:
+        from embulk_input_parquet_hadoop_spark.plans import columnar
+        totals["columnar"] = columnar.relayout_columnar(
+            spark, args.output, args.relayout_columnar)
     if args.verify_files:
         totals["verify"] = verify.verify_files(spark, args.output,
                                                batch_rows=args.batch_rows)

@@ -62,7 +62,7 @@ def test_encode_job_via_spark_submit(tmp_path, spark):
          "--py-files", str(zpath),
          os.path.join(REPO, "jobs", "encode_job.py"),
          "--input", tok, "--output", out, "--waves", "2",
-         "--verify-files"],
+         "--verify-files", "--relayout-columnar", str(tmp_path / "cols")],
         capture_output=True, text=True, timeout=600, env=env,
         cwd=str(tmp_path))
     assert proc.returncode == 0, proc.stderr[-3000:]
@@ -73,3 +73,5 @@ def test_encode_job_via_spark_submit(tmp_path, spark):
     assert res["n_tokens"] == sum(i % 50 + 1 for i in range(200)), res
     assert os.path.isdir(os.path.join(out, "chunks")), "no chunk tree"
     assert os.path.isdir(os.path.join(out, "manifest")), "no manifest"
+    assert set(res["columnar"]) == {"doc_id", "tokens", "n_tok", "source"}
+    assert os.path.isdir(str(tmp_path / "cols" / "name=tokens"))
