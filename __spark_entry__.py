@@ -539,6 +539,31 @@ def q45_columnar_read_agg(spark, sf_dir):
                   F.max("n_chars").alias("chars_max"))
 
 
+def q46_columnar_multicol_agg(spark, sf_dir):
+    """Row-aligned multi-column read from the per-column layout,
+    oracle-gated: two columns decoded from separate Hive partitions and
+    re-paired on (chunk_id, intra-chunk ordinal), then aggregated per
+    source. Matching the plain groupBy on the raw table proves the
+    alignment re-pairs every value with ITS row — a misalignment anywhere
+    would scramble the per-source sums."""
+    base = _scratch(
+        f"spark_graft_q46_{os.path.basename(sf_dir.rstrip('/'))}")
+    docs = _t(spark, sf_dir, "documents")
+    (docs.select("doc_id", "n_chars", "source")
+     .repartition(4).write.parquet(f"{base}/src"))
+    pipeline.encode_path(spark, f"{base}/src", f"{base}/enc",
+                         batch_rows=2048)
+    from embulk_input_parquet_hadoop_spark.plans import columnar
+    columnar.relayout_columnar(spark, f"{base}/enc", f"{base}/cols")
+    two = columnar.read_columns(
+        spark, f"{base}/cols", {"source": "string", "n_chars": "bigint"})
+    return (two.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.min("n_chars").alias("chars_min"),
+                 F.max("n_chars").alias("chars_max")))
+
+
 def q36_pack_sequences(spark, sf_dir):
     """Fixed-window training-sequence packing, oracle-gated end to end:
     documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
@@ -779,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_filter_corpus": q43_filter_corpus,
         "q44_centroid_outliers": q44_centroid_outliers,
         "q45_columnar_read_agg": q45_columnar_read_agg,
+        "q46_columnar_multicol_agg": q46_columnar_multicol_agg,
     }
 
 
@@ -1405,6 +1431,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_flagged,
                    CAST(sum(n) AS BIGINT) AS n_gram_hits
             FROM hits GROUP BY source ORDER BY source
+        """,
+        "q46_columnar_multicol_agg": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   min(n_chars) AS chars_min,
+                   max(n_chars) AS chars_max
+            FROM documents GROUP BY source
         """,
         "q45_columnar_read_agg": """
             SELECT count(*) AS n_rows,

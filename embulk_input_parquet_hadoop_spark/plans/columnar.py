@@ -18,10 +18,10 @@ embarrassingly parallel scans of one directory.
 
 Scope: ``read_column`` serves single-column analytic reads (scan the
 tokens column, aggregate n_tok, ...) — the workload the IO trade hurts.
-Multi-column reassembly needs per-row alignment across partitions (a
-join on chunk_id + intra-chunk offsets); use the row layout's
-``read_decoded`` for that, which is exactly why the re-layout is an
-*additional* view, not a replacement.
+``read_columns`` reassembles a FEW columns row-aligned via a join on
+(chunk_id, intra-chunk ordinal); when most of the row is read anyway,
+the row layout's ``read_decoded`` is the better plan — the re-layout is
+an *additional* view, not a replacement.
 """
 
 from __future__ import annotations
@@ -115,3 +115,57 @@ def read_column(spark: SparkSession, col_dir: str, name: str,
         if vmax is not None:
             out = out.filter(F.col(name) <= vmax)
     return out
+
+
+def read_columns(spark: SparkSession, col_dir: str,
+                 columns: dict[str, str]) -> DataFrame:
+    """Row-aligned multi-column read from the per-column layout.
+
+    ``columns`` maps column name -> Spark type DDL. Each column decodes
+    independently from its own partition (same pruned scans as
+    ``read_column``) into (chunk_id, ord, value) rows — ``ord`` is the
+    value's ordinal inside its chunk, which IS the row identity the
+    per-column files share — then the columns equi-join on
+    (chunk_id, ord). One shuffle per column; the row-layout
+    ``read_decoded`` stays the better plan when most of the row is read
+    anyway, and this path wins when a few narrow columns are read from a
+    wide table (the join keys are small and the wide payloads were never
+    scanned).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    out = None
+    for name, ddl in columns.items():
+        rows = (spark.read.parquet(col_dir)
+                .filter(F.col("name") == name)
+                .select("chunk_id", "kind", "blob"))
+        struct = spark.createDataFrame([], f"`{name}` {ddl}").schema
+        target = to_arrow_schema(struct).field(0).type
+
+        def dec(batches, _target=target, _name=name):
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                kinds = b.column("kind").to_pylist()
+                cids = b.column("chunk_id").to_pylist()
+                parts = []
+                for i, kind in enumerate(kinds):
+                    arr = decode_column(kind, b.column("blob")[i]
+                                        .as_buffer())
+                    if arr.type != _target:
+                        arr = arr.cast(_target)
+                    n = len(arr)
+                    parts.append(pa.RecordBatch.from_arrays(
+                        [pa.array([cids[i]] * n, type=pa.string()),
+                         pa.array(range(n), type=pa.int64()),
+                         arr],
+                        names=["chunk_id", "ord", _name]))
+                for rb in parts:
+                    yield rb
+
+        one = rows.mapInArrow(
+            dec, f"chunk_id string, ord bigint, `{name}` {ddl}")
+        out = one if out is None else out.join(one, ["chunk_id", "ord"])
+    return out.drop("chunk_id", "ord")

@@ -69,3 +69,19 @@ def test_zone_map_pruned_column_read(spark, laid_out):
     want = sorted(r["n_tok"] for r in df.collect()
                   if 35 <= r["n_tok"] <= 40)
     assert got == want
+
+
+def test_multi_column_row_alignment(spark, laid_out):
+    df, col, _ = laid_out
+    two = columnar.read_columns(
+        spark, col, {"doc_id": "string", "n_tok": "int"})
+    got = {r["doc_id"]: r["n_tok"] for r in two.collect()}
+    want = {r["doc_id"]: r["n_tok"] for r in df.collect()}
+    assert got == want  # every row re-paired with ITS value, none crossed
+    three = columnar.read_columns(
+        spark, col, {"doc_id": "string", "tokens": "array<int>",
+                     "source": "string"})
+    row = three.filter(F.col("doc_id") == "d37").first()
+    assert row["tokens"] == list(range(38)) and row["source"] == "s1"
+    with pytest.raises(ValueError):
+        columnar.read_columns(spark, col, {})
