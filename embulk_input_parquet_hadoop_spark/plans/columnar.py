@@ -26,6 +26,7 @@ an *additional* view, not a replacement.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -156,10 +157,16 @@ def read_columns(spark: SparkSession, col_dir: str,
                                         .as_buffer())
                     if arr.type != _target:
                         arr = arr.cast(_target)
+                    # keys built columnar (dictionary chunk_id + arange
+                    # ordinal), never per-row Python lists
                     n = len(arr)
+                    cid = pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n, dtype=np.int32)),
+                        pa.array([cids[i]], type=pa.string())).cast(
+                            pa.string())
                     parts.append(pa.RecordBatch.from_arrays(
-                        [pa.array([cids[i]] * n, type=pa.string()),
-                         pa.array(range(n), type=pa.int64()),
+                        [cid,
+                         pa.array(np.arange(n, dtype=np.int64)),
                          arr],
                         names=["chunk_id", "ord", _name]))
                 for rb in parts:
