@@ -85,3 +85,22 @@ def test_multi_column_row_alignment(spark, laid_out):
     assert row["tokens"] == list(range(38)) and row["source"] == "s1"
     with pytest.raises(ValueError):
         columnar.read_columns(spark, col, {})
+
+
+def test_relayout_excludes_uncommitted_waves(spark, tmp_path):
+    import shutil
+    tok, out, col = (str(tmp_path / d) for d in ("t", "e", "c"))
+    rows = [(f"d{i}", [i, i + 1], 2, "s") for i in range(100)]
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).repartition(2).write.parquet(tok)
+    pipeline.encode_path(spark, tok, out, waves=2)
+    # simulate a torn wave: data present, manifest record gone
+    os.remove(os.path.join(out, "manifest", "wave-1.json"))
+    totals = columnar.relayout_columnar(spark, out, col)
+    vals = columnar.read_column(spark, col, "n_tok", "int")
+    committed = pipeline.read_chunks(spark, out)
+    n_committed = committed.agg(F.sum("n_rows")).first()[0]
+    assert vals.count() == n_committed < 100
+    assert totals["n_tok"]["n_chunks"] == committed.count()
+    shutil.rmtree(col)
