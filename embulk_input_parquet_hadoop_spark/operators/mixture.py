@@ -101,9 +101,9 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
         raise ValueError(f"fractions must sum to 1, got {total}")
     names = list(fractions)
     thresholds = split_thresholds(fractions)
-    h = F.md5(F.concat(F.lit(f"split:{seed}:"),
-                       F.col(id_col).cast("string")))
-    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    from ..functions.hashes import md5_long
+    hv = md5_long(F.concat(F.lit(f"split:{seed}:"),
+                           F.col(id_col).cast("string")))
     label = F.lit(names[-1])
     for s, t in zip(reversed(names[:-1]), reversed(thresholds)):
         label = F.when(hv < F.lit(t), F.lit(s)).otherwise(label)

@@ -55,12 +55,17 @@ def remap_rare_tokens(df: DataFrame, min_count: int, unk_id: int = 0,
     ex = df.select(id_col, *keep,
                    F.posexplode(tokens_col).alias("pos", "tok"))
     freq = token_frequencies(df, tokens_col)
+    # LEFT join: a NULL token element never equi-matches the frequency
+    # table — an inner join would silently DELETE the element and shift
+    # every later token left, corrupting order-sensitive consumers.
+    # NULL elements pass through unchanged (cnt null -> when() falls to
+    # otherwise) and are not counted as unk.
     is_rare = F.col("cnt") < min_count
-    r = (ex.join(F.broadcast(freq), "tok")
+    r = (ex.join(F.broadcast(freq), "tok", "left")
          .select(id_col, *keep, "pos",
                  F.when(is_rare, F.lit(unk_id)).otherwise(F.col("tok"))
                  .alias("tok2"),
-                 is_rare.cast("int").alias("unk")))
+                 F.coalesce(is_rare.cast("int"), F.lit(0)).alias("unk")))
     return (r.groupBy(id_col)
             .agg(*[F.first(c).alias(c) for c in keep],
                  F.transform(

@@ -38,8 +38,13 @@ from .pipeline import read_chunks
 def relayout_columnar(spark: SparkSession, out_dir: str,
                       col_dir: str) -> dict:
     """Explode a committed chunk tree into a per-column layout under
-    ``col_dir`` (Hive-partitioned by column name). Returns totals."""
+    ``col_dir`` (Hive-partitioned by column name). Returns totals (empty
+    dict when the tree has no committed waves — an empty partitioned
+    write leaves nothing `spark.read.parquet` can infer a schema from,
+    so the no-op case returns early instead of crashing the reader)."""
     chunks = read_chunks(spark, out_dir)
+    if not chunks.take(1):
+        return {}
     z = F.explode(F.arrays_zip("cols", "blobs")).alias("z")
     per = (chunks
            .select("chunk_id", "wave_id", "part_id", "batch_idx",
@@ -124,17 +129,25 @@ def read_columns(spark: SparkSession, col_dir: str,
 
     ``columns`` maps column name -> Spark type DDL. Each column decodes
     independently from its own partition (same pruned scans as
-    ``read_column``) into (chunk_id, ord, value) rows — ``ord`` is the
-    value's ordinal inside its chunk, which IS the row identity the
-    per-column files share — then the columns equi-join on
-    (chunk_id, ord). One shuffle per column; the row-layout
-    ``read_decoded`` stays the better plan when most of the row is read
-    anyway, and this path wins when a few narrow columns are read from a
-    wide table (the join keys are small and the wide payloads were never
-    scanned).
+    ``read_column``) into (key, ordinal, value) rows — the ordinal is
+    the value's position inside its chunk, which IS the row identity the
+    per-column files share — then the columns FULL-OUTER join on the
+    key. Mixed-schema trees therefore keep ``read_decoded``'s
+    union-with-nulls semantics: a chunk missing one requested column
+    still contributes its rows, with that column null. (The one corner
+    that differs: a chunk containing NONE of the requested columns has
+    no decodable ordinals here and contributes nothing, where
+    ``read_decoded`` would emit all-null rows for it.) One shuffle per
+    column; the row-layout ``read_decoded`` stays the better plan when
+    most of the row is read anyway, and this path wins when a few
+    narrow columns are read from a wide table (the join keys are small
+    and the wide payloads were never scanned).
     """
     if not columns:
         raise ValueError("columns must be non-empty")
+    reserved = {"__cid", "__ord"} & set(columns)
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved")
     from pyspark.sql.pandas.types import to_arrow_schema
 
     out = None
@@ -168,11 +181,12 @@ def read_columns(spark: SparkSession, col_dir: str,
                         [cid,
                          pa.array(np.arange(n, dtype=np.int64)),
                          arr],
-                        names=["chunk_id", "ord", _name]))
+                        names=["__cid", "__ord", _name]))
                 for rb in parts:
                     yield rb
 
         one = rows.mapInArrow(
-            dec, f"chunk_id string, ord bigint, `{name}` {ddl}")
-        out = one if out is None else out.join(one, ["chunk_id", "ord"])
-    return out.drop("chunk_id", "ord")
+            dec, f"__cid string, __ord bigint, `{name}` {ddl}")
+        out = (one if out is None
+               else out.join(one, ["__cid", "__ord"], "full_outer"))
+    return out.drop("__cid", "__ord")

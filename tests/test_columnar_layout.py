@@ -104,3 +104,33 @@ def test_relayout_excludes_uncommitted_waves(spark, tmp_path):
     assert vals.count() == n_committed < 100
     assert totals["n_tok"]["n_chunks"] == committed.count()
     shutil.rmtree(col)
+
+
+def test_relayout_empty_tree_returns_empty(spark, tmp_path):
+    tok, out, col = (str(tmp_path / d) for d in ("t", "e", "c"))
+    spark.createDataFrame(
+        [("d0", [1], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string"
+    ).write.parquet(tok)
+    pipeline.encode_path(spark, tok, out)
+    os.remove(os.path.join(out, "manifest", "wave-0.json"))
+    assert columnar.relayout_columnar(spark, out, col) == {}
+
+
+def test_read_columns_mixed_schema_union_nulls(spark, tmp_path):
+    # chunks missing a requested column still contribute rows (null for
+    # the absent column) — read_decoded's union-with-nulls semantics
+    tok, out, col = (str(tmp_path / d) for d in ("t", "e", "c"))
+    spark.createDataFrame([("a1", 10)], "doc_id string, n_chars bigint") \
+        .write.parquet(f"{tok}/p1")
+    spark.createDataFrame([("b1", "web")], "doc_id string, source string") \
+        .write.parquet(f"{tok}/p2")
+    pipeline.encode_path(spark, tok, out, schema_mode="mixed")
+    columnar.relayout_columnar(spark, out, col)
+    rows = {r["doc_id"]: (r["n_chars"], r["source"])
+            for r in columnar.read_columns(
+                spark, col, {"doc_id": "string", "n_chars": "bigint",
+                             "source": "string"}).collect()}
+    assert rows == {"a1": (10, None), "b1": (None, "web")}
+    with pytest.raises(ValueError):
+        columnar.read_columns(spark, col, {"__ord": "bigint"})

@@ -55,3 +55,14 @@ def test_token_frequencies(spark):
     freq = {r.tok: r.cnt
             for r in vocab.token_frequencies(df).collect()}
     assert freq == {5: 10, 7: 2, 9: 1}
+
+
+def test_null_token_elements_preserved(spark):
+    # an inner freq-join would DELETE null elements and shift the array;
+    # they must pass through in place, uncounted as unk
+    df = spark.createDataFrame(
+        [(1, [5, None, 5, 9], "a")],
+        "doc_id bigint, tokens array<int>, source string")
+    out = vocab.remap_rare_tokens(df, min_count=2, unk_id=-1).collect()
+    assert out[0].tokens == [5, None, 5, -1]
+    assert out[0].n_unk == 1
