@@ -322,7 +322,13 @@ def centroid_outliers(emb: DataFrame, k: int = 1,
 
     Centroids broadcast into the scoring join (|groups| rows), the cosine
     is map-side per row (sequential folds, bit-reproducible in the
-    oracle), and the only shuffle is the per-group top-k window.
+    oracle), and the top-k is TWO-PHASE: a per-(group, input-partition)
+    local top-k first, so the global window only ever sorts
+    |partitions| x k rows per group — with few groups and 10^12 rows a
+    single-phase window would sort whole groups in single tasks. The
+    union of local top-ks provably contains the global top-k (any row
+    outside its partition's top-k has k better rows in that partition
+    alone), so results are identical.
     """
     cents = group_centroids(emb, group_col, vec_col, scale)
     j = emb.join(F.broadcast(cents), group_col)
@@ -330,10 +336,32 @@ def centroid_outliers(emb: DataFrame, k: int = 1,
     cos = F.when(denom != 0.0,
                  _dot(F.col(vec_col), F.col("centroid")) / denom
                  ).otherwise(F.lit(0.0))
+    scored = (j.withColumn("_cos", cos)
+              .select(group_col, id_col, "_cos"))
+    gtype = scored.schema[group_col].dataType.simpleString()
+    itype = scored.schema[id_col].dataType.simpleString()
+
+    def local_topk(batches):
+        # pure SELECTION (no float math): accumulate the k smallest
+        # (_cos, id) per group across this partition's batches in O(k)
+        # state, emit once at partition end — a map-side combine, no
+        # exchange. Wrong rows can't survive: anything outside a
+        # partition's top-k has k better rows in that partition alone.
+        import pandas as pd
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if state is None else pd.concat([state, pdf])
+            state = (both.sort_values(["_cos", id_col], kind="mergesort")
+                     .groupby(group_col, sort=False).head(k))
+        if state is not None:
+            yield state
+
+    pre = scored.mapInPandas(
+        local_topk,
+        f"{group_col} {gtype}, {id_col} {itype}, _cos double")
     w = (Window.partitionBy(group_col)
          .orderBy(F.col("_cos").asc(), F.col(id_col).asc()))
-    return (j.withColumn("_cos", cos)
-            .withColumn("rk", F.row_number().over(w))
+    return (pre.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(group_col, id_col, F.col("rk"),
                     F.round("_cos", 4).alias("cos")))

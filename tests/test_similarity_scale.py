@@ -101,3 +101,18 @@ def test_centroid_outliers_picks_farthest(spark):
            for r in similarity.centroid_outliers(df, k=1).collect()}
     assert out[(0, 1)] == 4
     assert out[(1, 1)] in (5, 6)
+
+
+def test_centroid_outliers_two_phase_topk(spark):
+    # the local top-k is a map-side combine: identical results under any
+    # partitioning, and the only exchanges are the freq agg + the final
+    # bounded window (never a whole-group sort of the input)
+    from embulk_input_parquet_hadoop_spark.operators import similarity
+    rows = [(i, [float((i * 7) % 11) / 11, float((i * 3) % 13) / 13],
+             i % 3) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    a = sorted(map(tuple, similarity.centroid_outliers(df, k=4).collect()))
+    b = sorted(map(tuple, similarity.centroid_outliers(
+        df.repartition(13, "vec_id"), k=4).collect()))
+    assert a == b and len(a) == 12  # 3 labels x k=4
