@@ -95,3 +95,19 @@ def test_n_col_equals_derived_size(spark):
     b = {r["seq_id"]: r["tokens"] for r in
          pack.pack_sequences(df, 77, n_col="n_pre").collect()}
     assert a == b and a
+
+
+def test_pack_giant_doc_among_tiny(spark):
+    # extreme length skew: one 50k-token doc among 2-token docs. Windows
+    # must stay exact (the giant doc spans ~500 windows), and no stage
+    # depends on per-doc uniformity — assembly groups by window id whose
+    # size is bounded by seq_len regardless of doc length.
+    docs = [(i, [i % 7, (i * 3) % 7]) for i in range(200)]
+    docs.append((100_000, list(range(50_000))))
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    got = {r["seq_id"]: r["tokens"] for r in
+           pack.pack_sequences(df, 101, parts=8).collect()}
+    stream = [x for _id, t in sorted(docs) for x in t]
+    want = {w: stream[w * 101:(w + 1) * 101]
+            for w in range((len(stream) + 100) // 101)}
+    assert got == want
