@@ -41,6 +41,7 @@ CODEC_IDS = {
     "bytes_plain": 5,
     "fsst": 6,
     "xp": 7,
+    "rans": 8,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 

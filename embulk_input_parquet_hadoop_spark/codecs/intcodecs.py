@@ -234,3 +234,11 @@ INT_CODECS = {
     "dict": (dict_encode, dict_decode),
     "xp": (xp_encode, xp_decode),
 }
+
+# the order-1 entropy codec lives in its own module (it carries a model
+# and a pyarrow-zstd dependency); registered here so frame decode
+# dispatches uniformly. It is NOT in select.py's default estimates —
+# encode reaches it only through the opt-in entropy mode.
+from . import rans as _rans  # noqa: E402
+
+INT_CODECS["rans"] = (_rans.rans_encode, _rans.rans_decode)
