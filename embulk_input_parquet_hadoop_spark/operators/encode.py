@@ -38,6 +38,22 @@ _COMPRESS_GAIN = 0.96
 # B/token) — zstd's higher levels buy nothing on already-packed entropy
 _ZSTD = pa.Codec("zstd", compression_level=1)
 
+# Opt-in order-1 entropy coding (codecs/rans.py): when on, every int frame
+# big enough to amortize the context model also tries rANS and keeps the
+# smaller ACTUAL frame. Off by default — it trades encode/decode
+# throughput (~2-5M tokens/s/core vs ~20M for the cascade) for bytes
+# (measured -2.5% on the i.i.d. bench corpus, -28% on order-1-structured
+# token streams, tests/test_rans.py). Module-level because the flag must
+# reach code running inside forked Python workers: the encode closures
+# call set_entropy_mode() at task start.
+_ENTROPY_MODE = False
+_ENTROPY_MIN_N = 65536
+
+
+def set_entropy_mode(on: bool) -> None:
+    global _ENTROPY_MODE
+    _ENTROPY_MODE = bool(on)
+
 
 def _plane_transpose(payload: bytes, stride: int) -> bytes:
     """Byte-plane shuffle: [v0b0 v0b1 v1b0 v1b1 ...] -> all b0s, all b1s.
@@ -119,7 +135,20 @@ def _int_frame(a: np.ndarray, dtype_name: str) -> bytes:
     codec, payload, params = encode_best(a)
     payload, params = _maybe_compress(payload, params,
                                       _codec_stride(codec, params))
-    return framing.write_frame(codec, dtype_name, len(a), params, payload)
+    frame = framing.write_frame(codec, dtype_name, len(a), params, payload)
+    if _ENTROPY_MODE and len(a) >= _ENTROPY_MIN_N:
+        from ..codecs import rans
+        try:
+            rp, rparams = rans.rans_encode(a)
+        except OverflowError:
+            return frame  # >16-bit value range (offsets, ids, ...)
+        if not rparams.get("deg"):
+            # no outer zstd stage: the payload is already entropy-coded
+            rframe = framing.write_frame("rans", dtype_name, len(a),
+                                         rparams, rp)
+            if len(rframe) < len(frame):
+                return rframe
+    return frame
 
 
 def _decode_int_frame(frame: framing.Frame) -> np.ndarray:

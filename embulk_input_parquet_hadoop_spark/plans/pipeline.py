@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.encode import (decode_column, encode_column,
-                                temporal_int_view)
+                                set_entropy_mode, temporal_int_view)
 from . import manifest as mf
 
 # Chunk rows: stats in top-level columns and a blob-free `cols` struct
@@ -145,13 +145,26 @@ FILE_SUMMARY_ARROW_SCHEMA = pa.schema([
 def meta_files(out_dir: str, wave_id: int) -> list[str]:
     """chunks_meta parquet paths for a wave, either layout: the driver-mode
     single file (``wave-K.parquet``) or the distributed-mode sidecar dir
-    (``wave-K/part-*.parquet``)."""
-    import glob as _glob
+    (``wave-K/part-*.parquet``). URI-aware via ``fsutil`` like the
+    manifest reads — a tree encoded locally then served from hdfs:/file:
+    must list lineage the same way it lists waves."""
+    from . import fsutil
     single = f"{out_dir}/chunks_meta/wave-{wave_id}.parquet"
-    if os.path.exists(single):
+    if fsutil.is_local(out_dir):
+        import glob as _glob
+        single = fsutil.strip_file_scheme(single)
+        if os.path.exists(single):
+            return [single]
+        return sorted(_glob.glob(
+            f"{fsutil.strip_file_scheme(out_dir)}/chunks_meta/"
+            f"wave-{wave_id}/*.parquet"))
+    if any(n == f"wave-{wave_id}.parquet"
+           for n in fsutil.listdir(f"{out_dir}/chunks_meta")):
         return [single]
-    return sorted(_glob.glob(f"{out_dir}/chunks_meta/wave-{wave_id}/"
-                             f"*.parquet"))
+    sidecar_dir = f"{out_dir}/chunks_meta/wave-{wave_id}"
+    return [f"{sidecar_dir}/{n}"
+            for n in sorted(fsutil.listdir(sidecar_dir))
+            if n.endswith(".parquet")]
 
 
 def _encode_one_batch(batch: pa.RecordBatch, wave_id: int, pid: int,
@@ -235,11 +248,12 @@ def _encode_one_batch(batch: pa.RecordBatch, wave_id: int, pid: int,
     return chunk_row, stats
 
 
-def make_encode_fn(wave_id: int):
+def make_encode_fn(wave_id: int, entropy: bool = False):
     """mapInArrow fn for the DataFrame-source path: rows in, chunk rows
     (with payloads) out."""
 
     def encode_batches(batches):
+        set_entropy_mode(entropy)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         for bidx, batch in enumerate(batches):
@@ -253,7 +267,8 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                          batch_rows: int = DEFAULT_BATCH_ROWS,
                          columns: list[str] | None = None,
                          bad_record_threshold: float = 0.0,
-                         meta_dir: str | None = None):
+                         meta_dir: str | None = None,
+                         entropy: bool = False):
     """mapInArrow fn for the file-source path: paths in, chunk *stats* out.
 
     The task reads its files with pyarrow (row-group iteration like the
@@ -330,6 +345,7 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
             schema=FILE_SUMMARY_ARROW_SCHEMA)
 
     def encode_files(batches):
+        set_entropy_mode(entropy)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(wave_dir, exist_ok=True)
@@ -560,7 +576,8 @@ def decode_chunks(chunks_df: DataFrame, column_order: list[str],
 
 def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
               wave_id: int = 0,
-              cluster_partitions: int | None = None) -> DataFrame:
+              cluster_partitions: int | None = None,
+              entropy: bool = False) -> DataFrame:
     """DataFrame-source encode (Catalyst filters/pushdown upstream apply).
 
     Writes chunk rows (with payloads) via Spark's writer; returns nothing
@@ -569,7 +586,8 @@ def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
     """
     if cluster_partitions:
         df = cluster_for_encode(df, cluster_partitions)
-    enc = df.mapInArrow(make_encode_fn(wave_id), CHUNK_SPARK_SCHEMA)
+    enc = df.mapInArrow(make_encode_fn(wave_id, entropy=entropy),
+                        CHUNK_SPARK_SCHEMA)
     (enc.write.mode("overwrite")
         .option("compression", "uncompressed")
         .parquet(f"{out_dir}/chunks/wave={wave_id}"))
@@ -585,8 +603,16 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 bad_file_threshold: float = 0.0,
                 bad_record_threshold: float = 0.0,
                 schema_mode: str = "single",
-                meta_mode: str = "driver") -> dict:
+                meta_mode: str = "driver",
+                entropy: bool = False) -> dict:
     """Run the full encode job; returns aggregate metrics.
+
+    ``entropy=True`` turns on the opt-in order-1 rANS competitor for
+    large int frames (``codecs/rans.py``): smaller output (measured
+    -2.5% bytes/token on the i.i.d. bench corpus, far more on real
+    token streams with conditional structure) at ~5-10x the encode CPU
+    per tokens plane. The flag is write-side only — decode dispatches
+    on the frame's codec id, so mixed trees read fine.
 
     ``waves`` > 1 splits the input *file list* into that many sub-jobs, each
     committed to the manifest on completion — kill the job after wave k and a
@@ -639,6 +665,18 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         raise ValueError(f"unknown schema_mode {schema_mode!r}")
     if meta_mode not in ("driver", "distributed"):
         raise ValueError(f"unknown meta_mode {meta_mode!r}")
+    from . import fsutil
+    if not fsutil.is_local(out_dir):
+        # the per-file commit protocol is os.replace-based (workers write
+        # wave parts + sidecars with tmp+rename); a remote out_dir would
+        # fail deep inside tasks with filesystem errors — refuse loudly
+        # here instead. Read paths (manifest, meta_files, read_chunks)
+        # stay URI-aware for trees copied to remote storage after encode.
+        raise NotImplementedError(
+            f"encode_path writes via local atomic rename; out_dir "
+            f"{out_dir!r} is not a local path. Encode locally (or to a "
+            f"mounted filesystem) and copy/serve the tree remotely.")
+    out_dir = fsutil.strip_file_scheme(out_dir)  # os.* paths below
     if schema_mode == "single":
         try:
             df0 = spark.read.parquet(input_path)
@@ -654,6 +692,15 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 raise TypeError(
                     "expected_schema check needs a Spark-readable source "
                     f"schema, but Spark rejects this tree: {exc}") from exc
+            if cluster_partitions:
+                # the clustering path re-reads every wave through
+                # spark.read.parquet, which would re-raise this same
+                # footer error inside the wave loop — refuse up front
+                raise TypeError(
+                    "cluster_partitions needs a Spark-readable source "
+                    f"tree, but Spark rejects this one: {exc}; use the "
+                    "file-source path (cluster_partitions=None), which "
+                    "reads with pyarrow") from exc
             sgroups = _schema_groups(_list_parquet_files(input_path))
             if len(sgroups) > 1:
                 raise ValueError(
@@ -724,7 +771,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                                      columns=columns,
                                      bad_record_threshold=(
                                          bad_record_threshold),
-                                     meta_dir=wave_meta_dir),
+                                     meta_dir=wave_meta_dir,
+                                     entropy=entropy),
                 FILE_SUMMARY_SPARK_SCHEMA if distributed
                 else CHUNK_META_SPARK_SCHEMA)
             # one action runs the wave; what comes back to the driver is
@@ -843,10 +891,12 @@ def read_decoded(spark: SparkSession, out_dir: str, columns: list[str],
 
     ``int_ranges``: {column: (lo, hi)} with either bound ``None`` for
     open-ended; applies to int and temporal columns. Temporal bounds are
-    epoch MICROSECONDS for timestamp/time/duration columns and epoch DAYS
+    epoch MICROSECONDS for timestamp/duration columns and epoch DAYS
     for dates, whatever the source's storage unit — zone maps are
     normalized to those units at encode time (``_temporal_zone_scale``),
-    so pruning and the residual filter agree. Every range column must be
+    so pruning and the residual filter agree. (TIME columns encode and
+    decode arrow-side but this Spark build rejects the TIME type
+    entirely, so they cannot appear in a decoded Spark schema at all.) Every range column must be
     in ``columns``: the exactness promise needs the decoded value to
     re-check, so a filter-only column raises instead of silently
     returning a chunk-granular superset.
@@ -861,19 +911,42 @@ def read_decoded(spark: SparkSession, out_dir: str, columns: list[str],
     for col, (lo, hi) in (int_ranges or {}).items():
         chunks = prune_chunks(chunks, col, lo, hi)
     dec = decode_chunks(chunks, columns, spark_schema)
+    fields = {f.name: f.dataType.typeName()
+              for f in spark.createDataFrame([], spark_schema).schema.fields}
     for col, (lo, hi) in (int_ranges or {}).items():
         c = F.col(col)
-        target = c
-        for f in spark.createDataFrame([], spark_schema).schema.fields:
-            if f.name == col and f.dataType.typeName() in (
-                    "timestamp", "timestamp_ntz"):
-                target = F.unix_micros(c)
-            elif f.name == col and f.dataType.typeName() == "date":
-                target = F.datediff(c, F.lit("1970-01-01"))
-        if lo is not None:
-            dec = dec.filter(target >= F.lit(lo))
-        if hi is not None:
-            dec = dec.filter(target <= F.lit(hi))
+        tname = fields.get(col, "long")
+        if tname in ("timestamp", "timestamp_ntz"):
+            lo_e = hi_e = F.unix_micros(c)
+            lo_v = None if lo is None else F.lit(lo)
+            hi_v = None if hi is None else F.lit(hi)
+        elif tname == "date":
+            lo_e = hi_e = F.datediff(c, F.lit("1970-01-01"))
+            lo_v = None if lo is None else F.lit(lo)
+            hi_v = None if hi is None else F.lit(hi)
+        elif tname == "daytimeinterval":
+            # compare in-type: timedelta literals are µs-exact, while
+            # cast(interval as long) truncates to the end-field unit
+            import datetime as _dt
+            lo_e = hi_e = c
+            lo_v = (None if lo is None
+                    else F.lit(_dt.timedelta(microseconds=lo)))
+            hi_v = (None if hi is None
+                    else F.lit(_dt.timedelta(microseconds=hi)))
+        elif tname in ("long", "integer", "short", "byte"):
+            lo_e = hi_e = c
+            lo_v = None if lo is None else F.lit(lo)
+            hi_v = None if hi is None else F.lit(hi)
+        else:
+            raise ValueError(
+                f"int_ranges[{col!r}]: no exact residual filter for "
+                f"Spark type {tname!r} — supported: int types, "
+                f"timestamp/timestamp_ntz (epoch µs), date (epoch "
+                f"days), daytimeinterval (µs)")
+        if lo_v is not None:
+            dec = dec.filter(lo_e >= lo_v)
+        if hi_v is not None:
+            dec = dec.filter(hi_e <= hi_v)
     return dec
 
 
