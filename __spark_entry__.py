@@ -653,7 +653,10 @@ def q38_repetition_filters(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text")
 
     def bp(c, name):
-        return (F.sum(F.round(F.col(c) * 10000).cast("long"))
+        # floor(x+0.5), never round: a 32-word doc with 31 distinct words
+        # gives dup_word_frac*10000 = 312.5 exactly, and half-tie
+        # conventions differ across engines (CLAUDE.md parity rule)
+        return (F.sum(F.floor(F.col(c) * 10000 + F.lit(0.5)))
                 .alias(name))
 
     return (r.groupBy("source")
@@ -1372,11 +1375,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dupf > 0.30 OR bif > 0.20
                                       OR trif > 0.18
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
-                   CAST(sum(CAST(round(dupf * 10000) AS BIGINT))
+                   CAST(sum(CAST(floor(dupf * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS dup_bp,
-                   CAST(sum(CAST(round(bif * 10000) AS BIGINT))
+                   CAST(sum(CAST(floor(bif * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS bi_bp,
-                   CAST(sum(CAST(round(trif * 10000) AS BIGINT))
+                   CAST(sum(CAST(floor(trif * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS tri_bp
             FROM f GROUP BY source
         """,

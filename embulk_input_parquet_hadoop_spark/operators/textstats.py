@@ -70,17 +70,29 @@ def _top_ngram_frac(ws: Column, n_words: Column, k: int) -> Column:
     """Fraction of words covered by the most frequent *repeated* k-gram
     (0.0 when no k-gram occurs twice — a singleton top gram is not
     repetition, and in a short doc its 2/n "fraction" would exceed any
-    threshold). O(distinct * n) per doc via higher-order functions — no
-    shuffle, no UDF."""
+    threshold). O(n log n) per doc: sort the grams, then the top
+    frequency is the longest run of equal adjacent elements — boundary
+    positions where a new gram starts, max gap between consecutive
+    boundaries. (The naive distinct×filter scan is O(distinct * n): one
+    100k-word web doc would stall its task for hours.) No shuffle, no
+    UDF — still one map-only whole-stage-codegen scan."""
     m = n_words - (k - 1)
     idx = (F.when(m >= 1, F.sequence(F.lit(1), m))
            .otherwise(F.array().cast("array<int>")))
     ng = F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(k)]))
-    top = F.array_max(F.transform(
-        F.array_distinct(ng),
-        lambda g: F.size(F.filter(ng, lambda x: x == g))))
+    sng = F.array_sort(ng)
+    # F.get is 0-based and NULL-safe: at i=1 the i-2 lookup is out of
+    # range -> NULL inequality -> the (i == 1) arm keeps the boundary
+    bounds = F.filter(
+        idx, lambda i: (i == 1) | (F.get(sng, i - 1) != F.get(sng, i - 2)))
+    ends = F.concat(bounds, F.array(F.size(ng) + 1))
+    runs = F.zip_with(
+        F.slice(ends, 1, F.size(ends) - 1),
+        F.slice(ends, 2, F.size(ends) - 1),
+        lambda a, b: b - a)
+    top = F.array_max(runs)
     return F.when((m >= 1) & (top >= 2),
                   F.lit(k) * top / n_words).otherwise(0.0)
 

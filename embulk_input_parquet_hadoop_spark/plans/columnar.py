@@ -170,13 +170,14 @@ def read_columns(spark: SparkSession, col_dir: str,
                                         .as_buffer())
                     if arr.type != _target:
                         arr = arr.cast(_target)
-                    # keys built columnar (dictionary chunk_id + arange
-                    # ordinal), never per-row Python lists
+                    # keys built columnar (pa.repeat chunk_id + arange
+                    # ordinal — single C++ calls, never per-row Python
+                    # lists; a dictionary-encoded key would be smaller on
+                    # the channel but Spark's mapInArrow rejects
+                    # dictionary output for a string column)
                     n = len(arr)
-                    cid = pa.DictionaryArray.from_arrays(
-                        pa.array(np.zeros(n, dtype=np.int32)),
-                        pa.array([cids[i]], type=pa.string())).cast(
-                            pa.string())
+                    cid = pa.repeat(pa.scalar(cids[i], type=pa.string()),
+                                    n)
                     parts.append(pa.RecordBatch.from_arrays(
                         [cid,
                          pa.array(np.arange(n, dtype=np.int64)),

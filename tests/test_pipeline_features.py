@@ -570,3 +570,90 @@ def test_read_manifest_missing_out_dir_raises(spark, tmp_path):
     (review r3: fsutil.listdir returns [] where os.listdir raised)."""
     with pytest.raises(FileNotFoundError):
         mf.read_manifest(spark, str(tmp_path / "nope"))
+
+
+def test_duration_residual_filter_microsecond_exact(spark, tmp_path):
+    """int_ranges on a duration column: the residual filter must compare
+    µs-exactly in-type (review r3: the old fallthrough emitted
+    `interval_col >= <bigint>`, an AnalysisException; and cast(interval
+    as long) truncates to whole seconds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "dur_src")
+    os.makedirs(src)
+    us = pa.array([1_500_000, 2_500_006, 3_500_000, 4_000_000], pa.int64())
+    pq.write_table(
+        pa.table({"id": pa.array(range(4), type=pa.int64()),
+                  "dur": us.view(pa.duration("us"))}),
+        f"{src}/f0.parquet")
+    out = str(tmp_path / "dur_out")
+    pipeline.encode_path(spark, src, out)
+    dec = pipeline.read_decoded(
+        spark, out, ["id", "dur"], "id bigint, dur interval day to second",
+        int_ranges={"dur": (2_500_006, 3_500_000)})
+    assert sorted(r.id for r in dec.collect()) == [1, 2]
+    # sub-second exactness: one µs above the lower bound excludes id=1
+    dec2 = pipeline.read_decoded(
+        spark, out, ["id", "dur"], "id bigint, dur interval day to second",
+        int_ranges={"dur": (2_500_007, None)})
+    assert sorted(r.id for r in dec2.collect()) == [2, 3]
+
+
+def test_read_decoded_rejects_unfilterable_type(spark, tokens_dir,
+                                                tmp_path):
+    """int_ranges on a column whose Spark type has no exact residual
+    rewrite must raise, not emit a wrong comparison (review r3)."""
+    out = str(tmp_path / "unf_out")
+    pipeline.encode_path(spark, tokens_dir, out)
+    with pytest.raises(ValueError, match="residual"):
+        pipeline.read_decoded(
+            spark, out, ["doc_id", "n_tok"],
+            "doc_id string, n_tok int",
+            int_ranges={"doc_id": (0, 10)})
+
+
+def test_ns_timestamp_fallback_rejects_cluster_partitions(spark, tmp_path):
+    """The PARQUET_TYPE_ILLEGAL pyarrow-listing fallback only serves the
+    file-source path; with cluster_partitions the wave loop would re-read
+    through spark.read.parquet and crash mid-job — refuse up front
+    (review r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "nsc_src")
+    os.makedirs(src)
+    ns = pa.array([1_000_000_000], pa.int64())
+    pq.write_table(pa.table({"ts": ns.view(pa.timestamp("ns"))}),
+                   f"{src}/f0.parquet")
+    out = str(tmp_path / "nsc_out")
+    with pytest.raises(TypeError, match="cluster_partitions"):
+        pipeline.encode_path(spark, src, out, cluster_partitions=2)
+
+
+def test_meta_files_accepts_file_scheme(spark, tokens_dir, tmp_path):
+    """meta_files must list lineage through fsutil like the manifest
+    reads: a file:// out_dir used to silently return [] (review r3)."""
+    out = str(tmp_path / "uri_out")
+    pipeline.encode_path(spark, tokens_dir, out)
+    local = pipeline.meta_files(out, 0)
+    assert local
+    via_uri = pipeline.meta_files(f"file://{out}", 0)
+    assert [os.path.basename(p) for p in via_uri] == \
+        [os.path.basename(p) for p in local]
+
+
+def test_encode_path_rejects_remote_out_dir(spark, tokens_dir):
+    """The encode write side is os.replace-based; a remote out_dir must
+    fail loudly at entry, not deep inside tasks (review r3)."""
+    with pytest.raises(NotImplementedError, match="local"):
+        pipeline.encode_path(spark, tokens_dir, "hdfs://nn/out")
+
+
+def test_encode_path_accepts_file_scheme_out_dir(spark, tokens_dir,
+                                                 tmp_path):
+    """file:// is a local scheme; encode_path must strip it before the
+    os.* write path rather than creating a literal 'file:' directory."""
+    out = str(tmp_path / "fs_out")
+    totals = pipeline.encode_path(spark, tokens_dir, f"file://{out}")
+    assert totals["n_rows"] > 0
+    assert os.path.isdir(f"{out}/manifest")
+    assert not os.path.exists("file:")
