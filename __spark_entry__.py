@@ -564,6 +564,39 @@ def q46_columnar_multicol_agg(spark, sf_dir):
                  F.max("n_chars").alias("chars_max")))
 
 
+def q47_word_commonness(spark, sf_dir):
+    """Unigram-LM quality proxy, oracle-gated: per-document mean word
+    commonness in corpus ppm (integer floor arithmetic end to end — no
+    float log, so DuckDB matches bit-for-bit), aggregated per source
+    with a rare-heavy-document count. The cheap perplexity stand-in a
+    corpus quality filter thresholds on. Plan: one vocab-keyed shuffle
+    (map-side combine) + broadcast rejoin + one doc-keyed shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = textstats.word_commonness(docs, "doc_id", "text")
+    return (wc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("commonness_ppm").alias("sum_ppm"),
+                 F.sum(F.when(F.col("commonness_ppm") < _Q47_RARE_PPM, 1)
+                       .otherwise(0)).alias("n_rare")))
+
+
+_Q47_RARE_PPM = 33_300
+_Q48_K = 15
+
+
+def q48_sample_exact_k(spark, sf_dir):
+    """Deterministic exactly-k-per-source sample, oracle-gated on the
+    full sampled row set: the k smallest md5(seed, doc_id) hashes per
+    source (two-phase selection — per-partition O(k) state, then a
+    window over |partitions| x k rows; never a whole-group sort).
+    df.sample() gives a binomial count that depends on partitioning;
+    this is the reproducible eval-set cut a training pipeline needs."""
+    docs = _t(spark, sf_dir, "documents")
+    return mixture.sample_exact_k(docs, _Q48_K, "source", "doc_id",
+                                  seed=3)
+
+
 def q36_pack_sequences(spark, sf_dir):
     """Fixed-window training-sequence packing, oracle-gated end to end:
     documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
@@ -808,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_centroid_outliers": q44_centroid_outliers,
         "q45_columnar_read_agg": q45_columnar_read_agg,
         "q46_columnar_multicol_agg": q46_columnar_multicol_agg,
+        "q47_word_commonness": q47_word_commonness,
+        "q48_sample_exact_k": q48_sample_exact_k,
     }
 
 
@@ -1449,6 +1484,49 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars) AS chars_max
             FROM documents
             WHERE n_chars BETWEEN 150 AND 900
+        """,
+        "q47_word_commonness": f"""
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS word
+              FROM documents
+            ),
+            wf AS (SELECT word, count(*) AS wc FROM ex GROUP BY word),
+            tot AS (SELECT CAST(sum(wc) AS BIGINT) AS tot FROM wf),
+            ppm AS (SELECT word, CAST(wc * 1000000 // tot AS BIGINT)
+                               AS ppm
+                    FROM wf, tot),
+            doc AS (
+              SELECT e.doc_id, count(*) AS n_words,
+                     CAST(sum(p.ppm) // count(*) AS BIGINT)
+                         AS commonness_ppm
+              FROM ex e JOIN ppm p USING (word) GROUP BY e.doc_id
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(doc.commonness_ppm) AS BIGINT) AS sum_ppm,
+                   CAST(sum(CASE WHEN doc.commonness_ppm
+                                      < {_Q47_RARE_PPM}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+            FROM doc JOIN documents d USING (doc_id)
+            GROUP BY d.source
+        """,
+        "q48_sample_exact_k": f"""
+            WITH h AS (
+              SELECT source, doc_id,
+                     CAST('0x' || substr(md5('mix:3:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         AS hk
+              FROM documents
+            ),
+            r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hk, doc_id) AS rk
+              FROM h
+            )
+            SELECT source, doc_id, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= {_Q48_K}
         """,
         "q44_centroid_outliers": """
             WITH ex AS (

@@ -109,3 +109,48 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
         label = F.when(hv < F.lit(t), F.lit(s)).otherwise(label)
     # reversed so the FIRST matching threshold wins in the when-chain
     return df.withColumn(out_col, label)
+
+
+def sample_exact_k(df: DataFrame, k: int, group_col: str = "source",
+                   id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically.
+
+    The training-data use case: "give me exactly 10k eval docs per
+    source" — ``df.sample()`` gives a binomial count and depends on
+    partitioning; this picks the k smallest md5(seed, id) hashes per
+    group, a pure function of the data, reproducible by any engine.
+
+    TWO-PHASE selection like ``similarity.centroid_outliers``: each input
+    partition keeps its own k smallest (group, hash) rows in O(k) state
+    (pandas map, no exchange), then one window sorts only
+    |partitions| x k rows per group — a skewed 55%-of-corpus source at
+    10^12 rows never hits a single-task whole-group sort. The union of
+    per-partition top-ks provably contains the global top-k.
+
+    Returns (group_col, id_col, rk) with rk in [1, k] by hash order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = _unit_hash(seed, F.col(id_col))
+    scored = df.select(group_col, id_col, key.alias("_hk"))
+    gtype = scored.schema[group_col].dataType.simpleString()
+    itype = scored.schema[id_col].dataType.simpleString()
+
+    def local_topk(batches):
+        import pandas as pd
+        state = None
+        for pdf in batches:
+            both = pdf if state is None else pd.concat([state, pdf])
+            state = (both.sort_values(["_hk", id_col], kind="mergesort")
+                     .groupby(group_col, sort=False).head(k))
+        if state is not None:
+            yield state
+
+    pre = scored.mapInPandas(
+        local_topk, f"{group_col} {gtype}, {id_col} {itype}, _hk long")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("_hk").asc(), F.col(id_col).asc()))
+    return (pre.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(group_col, id_col, "rk"))

@@ -204,3 +204,45 @@ def filter_corpus(df: DataFrame, text_col: str = "text",
     return (base.withColumn("drop_reason", reason)
             .withColumn("keep", F.col("drop_reason") == "kept")
             .drop(*[f"hits_{lang}" for lang in LANG_MARKERS]))
+
+
+def word_commonness(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    ppm_scale: int = 1_000_000) -> DataFrame:
+    """Per-document mean word-commonness: a unigram-LM quality score.
+
+    For every word, its corpus frequency in ppm (integer floor division —
+    exact in any engine); per document, the mean ppm of its words,
+    again integer floor. Low scores mark documents dominated by corpus-rare
+    words (OCR noise, codes, boilerplate IDs) — the standard cheap
+    perplexity proxy a quality filter thresholds on. Integer end to end:
+    no float log, so the DuckDB oracle matches bit-for-bit (CLAUDE.md
+    parity conventions).
+
+    Plan shape at 10^12 rows: explode is map-side; the word-frequency
+    aggregation is ONE shuffle with map-side partial aggregation over a
+    vocab-bounded key space; the corpus total folds off that same
+    aggregate (O(vocab) input); frequencies re-join the exploded scan as
+    a broadcast (a natural-language vocab is millions of rows at
+    corpus scale — far under broadcast limits); the per-document mean is
+    the second and last shuffle, on the document key.
+
+    Returns (id_col, n_words, commonness_ppm); empty docs are dropped
+    (a mean over zero words is undefined, matching the oracle's
+    inner-join + GROUP BY semantics).
+
+    Bound: ``wc * ppm_scale`` must fit int64, i.e. the most frequent
+    word may occur at most ~9.2e12 times at the default scale — ~5% of
+    a 1.8e14-token corpus. Beyond that, pass a smaller ``ppm_scale``
+    (the score is a ratio; the scale only sets its resolution).
+    """
+    ex = df.select(id_col, F.explode(words(F.col(text_col))).alias("word"))
+    wf = ex.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = wf.agg(F.sum("wc").alias("tot"))
+    ppm = (wf.crossJoin(F.broadcast(total))
+           .select("word", F.expr(f"wc * {ppm_scale} DIV tot")
+                   .alias("ppm")))
+    return (ex.join(F.broadcast(ppm), "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.expr("sum(ppm) DIV count(1)").alias("commonness_ppm")))

@@ -72,6 +72,11 @@ def main() -> int:
                         "a per-column Hive-partitioned tree at DIR "
                         "(single-column reads become partition-pruned; "
                         "see plans/columnar.py)")
+    p.add_argument("--entropy", action="store_true",
+                   help="opt-in order-1 rANS competitor for large int "
+                        "frames: smaller output (bytes/token) at ~5-10x "
+                        "the encode CPU on the tokens plane; read side "
+                        "is unchanged (frames are self-describing)")
     p.add_argument("--verify-files", action="store_true",
                    help="channel-free positional verify (one task per "
                         "source file) instead of the global join")
@@ -96,7 +101,7 @@ def main() -> int:
         schema_mode=args.schema_mode,
         bad_file_threshold=args.bad_file_threshold,
         bad_record_threshold=args.bad_record_threshold,
-        meta_mode=args.meta_mode)
+        meta_mode=args.meta_mode, entropy=args.entropy)
     totals["total_wall_s"] = time.perf_counter() - t0
     if totals["wall_s"]:
         totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]

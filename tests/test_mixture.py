@@ -111,3 +111,48 @@ def test_split_proportions_roughly_hold(spark, docs):
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts.get("train", 0) > 240
     assert sum(counts.values()) == 300
+
+
+def _local_exact_k(rows, k, seed):
+    """Reference: k smallest md5(mix:seed:id) per source, rk by that order."""
+    keyed = sorted(
+        (int(hashlib.md5(f"mix:{seed}:{i}".encode()).hexdigest()[:15], 16),
+         i, s) for i, s in rows)
+    out, taken = {}, {}
+    for hk, i, s in keyed:
+        taken.setdefault(s, 0)
+        if taken[s] < k:
+            taken[s] += 1
+            out[(s, i)] = taken[s]
+    return out
+
+
+def test_sample_exact_k_matches_local_hash(spark, docs):
+    got = {(r.source, r.doc_id): r.rk
+           for r in mixture.sample_exact_k(docs, 7, seed=3).collect()}
+    rows = [(r.doc_id, r.source) for r in docs.collect()]
+    assert got == _local_exact_k(rows, 7, 3)
+
+
+def test_sample_exact_k_partition_independent(spark, docs):
+    a = sorted((r.source, r.doc_id, r.rk) for r in
+               mixture.sample_exact_k(docs.repartition(1), 5).collect())
+    b = sorted((r.source, r.doc_id, r.rk) for r in
+               mixture.sample_exact_k(docs.repartition(37), 5).collect())
+    assert a == b and len(a) == 15
+
+
+def test_sample_exact_k_small_group_takes_all(spark):
+    rows = [(i, "tiny" if i < 3 else "big") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture.sample_exact_k(df, 10).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rk)
+    assert sorted(by_src["tiny"]) == [1, 2, 3]      # min(k, |group|)
+    assert sorted(by_src["big"]) == list(range(1, 11))
+
+
+def test_sample_exact_k_validation(spark, docs):
+    with pytest.raises(ValueError):
+        mixture.sample_exact_k(docs, 0)

@@ -51,3 +51,35 @@ def test_kmv_estimate_within_error_bound(spark):
     assert r.n_exact == n
     # KMV std-err ~ 1/sqrt(k-2) ≈ 0.127 at k=64; allow 4 sigma
     assert abs(r.kmv_est - n) / n < 0.51
+
+
+def test_word_commonness_matches_local(spark):
+    """word_commonness vs a pure-Python reference on a corpus with one
+    common-word doc and one rare-word doc: integer ppm floors, exact."""
+    from collections import Counter
+    from embulk_input_parquet_hadoop_spark.operators import textstats
+    texts = {
+        1: "the the the cat",
+        2: "zyx qwv zyx",
+        3: "the cat sat",
+        4: "",  # empty: dropped
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    out = {r.doc_id: (r.n_words, r.commonness_ppm)
+           for r in textstats.word_commonness(df).collect()}
+
+    allw = [w for t in texts.values() for w in t.split() if w]
+    freq = Counter(allw)
+    tot = len(allw)
+    exp = {}
+    for d, t in texts.items():
+        ws = [w for w in t.split() if w]
+        if not ws:
+            continue
+        ppms = [freq[w] * 1_000_000 // tot for w in ws]
+        exp[d] = (len(ws), sum(ppms) // len(ws))
+    assert out == exp
+    assert 4 not in out
+    # the common-word doc scores strictly higher than the rare-word doc
+    assert out[1][1] > out[2][1]
