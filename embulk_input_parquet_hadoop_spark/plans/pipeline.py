@@ -604,8 +604,16 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 bad_record_threshold: float = 0.0,
                 schema_mode: str = "single",
                 meta_mode: str = "driver",
-                entropy: bool = False) -> dict:
+                entropy: bool = False,
+                input_files: list[str] | None = None) -> dict:
     """Run the full encode job; returns aggregate metrics.
+
+    ``input_files``: explicit data-file list overriding the tree listing
+    of ``input_path`` — the integration point for table formats whose
+    file set comes from metadata rather than a directory walk
+    (``sources.iceberg_meta.snapshot_data_files`` feeds this: the encode
+    then runs against one frozen snapshot, immune to concurrent
+    commits). ``input_path`` is still used in messages/manifest lineage.
 
     ``entropy=True`` turns on the opt-in order-1 rANS competitor for
     large int frames (``codecs/rans.py``): smaller output (measured
@@ -679,7 +687,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     out_dir = fsutil.strip_file_scheme(out_dir)  # os.* paths below
     if schema_mode == "single":
         try:
-            df0 = spark.read.parquet(input_path)
+            df0 = (spark.read.parquet(*input_files) if input_files
+                   else spark.read.parquet(input_path))
         except Exception as exc:
             # Spark's footer converter rejects types its reader lacks
             # (e.g. TIMESTAMP(NANOS) -> PARQUET_TYPE_ILLEGAL) even though
@@ -701,7 +710,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                     f"tree, but Spark rejects this one: {exc}; use the "
                     "file-source path (cluster_partitions=None), which "
                     "reads with pyarrow") from exc
-            sgroups = _schema_groups(_list_parquet_files(input_path))
+            sgroups = _schema_groups(input_files
+                                     or _list_parquet_files(input_path))
             if len(sgroups) > 1:
                 raise ValueError(
                     "input tree mixes incompatible schemas; use "
@@ -722,7 +732,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     else:
         if expected_schema is not None:
             raise ValueError("expected_schema requires schema_mode='single'")
-        groups = _schema_groups(_list_parquet_files(input_path))
+        groups = _schema_groups(input_files
+                                or _list_parquet_files(input_path))
     if not any(groups):
         # parity with the reference's empty-glob failure
         # (ParquetHadoopInputPlugin.java:92-94 -> PathNotFoundException)

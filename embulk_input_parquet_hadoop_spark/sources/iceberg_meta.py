@@ -1,0 +1,227 @@
+"""Iceberg table-metadata reader (no Iceberg runtime jar needed).
+
+The north rule's input is "Iceberg tables of pre-tokenized training
+sequences". The sandbox has no iceberg-spark-runtime on the classpath
+(``table.py`` handles that path when one exists); this module reads the
+TABLE FORMAT itself — the public Iceberg spec
+(https://iceberg.apache.org/spec/) — with the pure-Python Avro layer in
+``avro_io.py``:
+
+    metadata/version-hint.text -> vN.metadata.json -> current snapshot
+      -> manifest list (avro) -> manifests (avro) -> data files
+
+``snapshot_data_files`` returns the current snapshot's live data-file
+paths, which feed ``encode_path(input_files=...)`` directly — the same
+file-granular fan-out the engine uses for plain Parquet trees, now
+snapshot-consistent: concurrent commits after the metadata read cannot
+change the file set mid-job (Iceberg files are immutable; a snapshot is
+a frozen list).
+
+Merge-on-read safety: a snapshot whose manifests carry DELETE content
+(position/equality deletes, spec v2 ``content`` 1/2) cannot be encoded
+file-by-file — reading its data files directly would resurrect deleted
+rows. ``snapshot_data_files`` raises in that case (mirroring
+``table.table_files``); such tables must go through a real Iceberg
+reader and ``encode_df``.
+
+``write_table_fixture`` writes a minimal spec-shaped table (v2
+metadata.json + manifest list + one manifest per data file) over
+existing Parquet files, so tests exercise the real layout end to end.
+It is a test fixture generator, not a production writer: it fills only
+the fields this reader (and a file-level scan) needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from . import avro_io
+
+# Avro schemas for the fixture writer: the subset of the spec's manifest
+# / manifest-list fields a file-granular scan needs. Readers of OUR
+# fixtures and of real tables both go through the file's own embedded
+# writer schema, so real tables' richer schemas decode fine too.
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+    ]}
+
+_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+            ]}},
+    ]}
+
+_STATUS_DELETED = 2
+_CONTENT_DATA = 0
+
+
+class IcebergMetaError(ValueError):
+    pass
+
+
+def _latest_metadata(table_dir: str) -> str:
+    meta_dir = os.path.join(table_dir, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        path = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(path):
+            return path
+    cands = sorted(
+        (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+        key=lambda f: (len(f), f))
+    if not cands:
+        raise IcebergMetaError(f"no metadata.json under {meta_dir}")
+    return os.path.join(meta_dir, cands[-1])
+
+
+def _resolve(table_dir: str, location: str, path: str) -> str:
+    """Manifest paths are absolute URIs of the writer's filesystem; remap
+    them under ``table_dir`` via the table location prefix so a table
+    copied/downloaded to a local path still resolves."""
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    loc = location
+    if loc.startswith("file:"):
+        loc = loc[len("file:"):]
+    if path.startswith(loc.rstrip("/") + "/"):
+        return os.path.join(table_dir, path[len(loc.rstrip("/")) + 1:])
+    return path
+
+
+def read_table_meta(table_dir: str) -> dict:
+    """Parsed current metadata.json of an Iceberg table directory."""
+    with open(_latest_metadata(table_dir)) as f:
+        return json.load(f)
+
+
+def snapshot_data_files(table_dir: str,
+                        snapshot_id: int | None = None) -> list[str]:
+    """Live data-file paths of a snapshot (default: current).
+
+    Raises ``IcebergMetaError`` for merge-on-read snapshots (delete
+    manifests / delete-content data files) — those need a full Iceberg
+    reader, not a file-granular scan.
+    """
+    meta = read_table_meta(table_dir)
+    snap_id = snapshot_id if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snap_id is None or snap_id == -1 or snap_id not in snaps:
+        raise IcebergMetaError(
+            f"snapshot {snap_id!r} not found in {table_dir} "
+            f"(have {sorted(snaps)})")
+    snap = snaps[snap_id]
+    location = meta.get("location", table_dir)
+    mlist_path = _resolve(table_dir, location, snap["manifest-list"])
+    _, manifests = avro_io.read_avro(mlist_path)
+    files: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            raise IcebergMetaError(
+                f"manifest {m['manifest_path']} carries DELETE content — "
+                "merge-on-read table; use a full Iceberg reader + "
+                "encode_df")
+        man_path = _resolve(table_dir, location, m["manifest_path"])
+        _, entries = avro_io.read_avro(man_path)
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            if df.get("content", _CONTENT_DATA) != _CONTENT_DATA:
+                raise IcebergMetaError(
+                    f"delete file in manifest {man_path}: "
+                    f"{df['file_path']} — merge-on-read table")
+            fmt = df.get("file_format", "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise IcebergMetaError(
+                    f"non-parquet data file ({fmt}): {df['file_path']}")
+            files.append(_resolve(table_dir, location, df["file_path"]))
+    return sorted(files)
+
+
+def write_table_fixture(table_dir: str, parquet_files: list[str],
+                        record_counts: list[int] | None = None,
+                        snapshot_id: int = 1,
+                        with_deletes: bool = False) -> str:
+    """Minimal spec-shaped Iceberg v2 table over existing Parquet files.
+
+    Data files stay where they are (absolute paths in the manifest, as
+    real writers do). Returns ``table_dir``. ``with_deletes`` adds a
+    positional-delete manifest so tests can prove the MOR refusal."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    if record_counts is None:
+        record_counts = [0] * len(parquet_files)
+    entries = [{
+        "status": 1, "snapshot_id": snapshot_id,
+        "data_file": {
+            "content": 0,
+            "file_path": os.path.abspath(p),
+            "file_format": "PARQUET",
+            "record_count": int(n),
+            "file_size_in_bytes": os.path.getsize(p),
+        }} for p, n in zip(parquet_files, record_counts)]
+    man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
+    avro_io.write_avro(man_path, _MANIFEST_SCHEMA, entries)
+    manifests = [{
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "added_snapshot_id": snapshot_id,
+    }]
+    if with_deletes:
+        del_man = os.path.join(meta_dir, f"del-{uuid.uuid4().hex}.avro")
+        avro_io.write_avro(del_man, _MANIFEST_SCHEMA, [{
+            "status": 1, "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,  # position deletes
+                "file_path": os.path.abspath(
+                    os.path.join(table_dir, "data", "del-0.parquet")),
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": 0,
+            }}])
+        manifests.append({
+            "manifest_path": del_man,
+            "manifest_length": os.path.getsize(del_man),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snapshot_id,
+        })
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    avro_io.write_avro(mlist, _MANIFEST_LIST_SCHEMA, manifests)
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(table_dir),
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "manifest-list": mlist,
+            "summary": {"operation": "append"},
+        }],
+        "schemas": [], "partition-specs": [], "sort-orders": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return table_dir

@@ -74,3 +74,15 @@ def table_files(df: DataFrame, allow_mor: bool = False) -> list[str]:
             f"non-parquet data files in scan (merge-on-read deletes?): "
             f"{non_parquet[:3]} — encode via encode_df instead")
     return files
+
+
+def table_files_from_metadata(table_dir: str,
+                              snapshot_id: int | None = None) -> list[str]:
+    """Data files of an Iceberg table's snapshot WITHOUT the runtime jar:
+    reads the table format itself (metadata.json -> manifest list ->
+    manifests) via the pure-Python Avro layer. Feed the result to
+    ``encode_path(input_files=...)`` for a snapshot-consistent
+    file-granular encode. Raises for merge-on-read snapshots (delete
+    files) — see ``sources.iceberg_meta``."""
+    from . import iceberg_meta
+    return iceberg_meta.snapshot_data_files(table_dir, snapshot_id)

@@ -72,6 +72,11 @@ def main() -> int:
                         "a per-column Hive-partitioned tree at DIR "
                         "(single-column reads become partition-pruned; "
                         "see plans/columnar.py)")
+    p.add_argument("--iceberg", action="store_true",
+                   help="treat --input as an Iceberg table directory: "
+                        "resolve the current snapshot's data files from "
+                        "the table metadata (pure-Python avro reader, no "
+                        "runtime jar) and encode that frozen file list")
     p.add_argument("--entropy", action="store_true",
                    help="opt-in order-1 rANS competitor for large int "
                         "frames: smaller output (bytes/token) at ~5-10x "
@@ -92,9 +97,14 @@ def main() -> int:
         from pyspark.sql import SparkSession
         spark = SparkSession.builder.appName("encode-job").getOrCreate()
 
+    input_files = None
+    if args.iceberg:
+        from embulk_input_parquet_hadoop_spark.sources import table
+        input_files = table.table_files_from_metadata(args.input)
     t0 = time.perf_counter()
     totals = pipeline.encode_path(
         spark, args.input, args.output, waves=args.waves,
+        input_files=input_files,
         resume=args.resume, cluster_partitions=args.cluster_partitions,
         batch_rows=args.batch_rows,
         columns=args.columns.split(",") if args.columns else None,

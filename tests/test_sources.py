@@ -34,3 +34,92 @@ def test_iceberg_absent_is_graceful(spark, tokens_dir):
     # (which then fails on a non-path), never a silent wrong answer
     df = table.read_tokens_table(spark, tokens_dir, fmt=None)
     assert df.count() == 300
+
+
+# --- Iceberg table-format reader (no runtime jar): avro + metadata ----------
+
+@pytest.fixture(scope="module")
+def iceberg_table(tmp_path_factory, tokens_dir):
+    import glob
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path_factory.mktemp("ice") / "tokens_table")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(tdir, files,
+                                     record_counts=[150, 150])
+    return tdir, files
+
+
+def test_avro_roundtrip_all_types(tmp_path):
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "u", "type": ["null", "long"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "e", "type": {"type": "enum", "name": "E",
+                               "symbols": ["A", "B"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "FX",
+                                "size": 3}},
+    ]}
+    recs = [{"l": -(2**62), "i": -1, "s": "héllo", "b": b"\x00\xff",
+             "d": 2.5, "f": 0.5, "ok": True, "u": None,
+             "arr": [0, -1, 2**40], "m": {"k": "v"}, "e": "B",
+             "fx": b"abc"},
+            {"l": 2**62, "i": 0, "s": "", "b": b"", "d": -0.0,
+             "f": -2.0, "ok": False, "u": 7, "arr": [], "m": {},
+             "e": "A", "fx": b"xyz"}]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        avro_io.write_avro(p, schema, recs, codec=codec)
+        s2, got = avro_io.read_avro(p)
+        assert s2 == schema and got == recs
+
+
+def test_iceberg_snapshot_files(iceberg_table):
+    import os
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir, files = iceberg_table
+    got = iceberg_meta.snapshot_data_files(tdir)
+    assert got == [os.path.abspath(f) for f in files]
+    assert table.table_files_from_metadata(tdir) == got
+
+
+def test_iceberg_encode_path_via_metadata(spark, iceberg_table, tmp_path):
+    """End to end: snapshot file list -> encode_path(input_files=) ->
+    bit-identity. The north rule's 'over Iceberg tables' path without a
+    runtime jar."""
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    tdir, files = iceberg_table
+    out = str(tmp_path / "ice_enc")
+    flist = table.table_files_from_metadata(tdir)
+    totals = pipeline.encode_path(spark, tdir, out, input_files=flist)
+    assert totals["n_rows"] == 300
+    # verify against the actual data-file locations
+    src_dir = str(__import__("os").path.dirname(files[0]))
+    assert verify.verify_path(spark, src_dir, out)["ok"]
+
+
+def test_iceberg_mor_table_refused(tmp_path, tokens_dir):
+    import glob
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "mor_table")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(tdir, files, with_deletes=True)
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="DELETE"):
+        iceberg_meta.snapshot_data_files(tdir)
+
+
+def test_iceberg_missing_snapshot_raises(tmp_path, tokens_dir):
+    import glob
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "snap_table")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(tdir, files)
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="snapshot"):
+        iceberg_meta.snapshot_data_files(tdir, snapshot_id=999)
