@@ -1,9 +1,19 @@
 """Pluggable table source: Iceberg catalog table or plain Parquet path.
 
 The north rule names Iceberg tables of pre-tokenized sequences as the
-input. The sandbox has no Iceberg runtime jar, so the reader is
-format-pluggable with identical DataFrame shape either way (the approach
-SURVEY.md §7 step 1 commits to):
+input. Three paths, identical DataFrame/file shape:
+
+- Iceberg catalog via the Spark runtime jar when present
+  (``read_tokens_table(..., fmt="iceberg")``);
+- **Iceberg table format WITHOUT the jar**:
+  ``table_files_from_metadata`` reads the table's own metadata
+  (metadata.json -> manifest list -> manifests, pure-Python Avro in
+  ``iceberg_meta.py``) and returns the current snapshot's data files
+  for ``encode_path(input_files=...)`` — snapshot-consistent
+  file-granular encode with merge-on-read refusal;
+- plain Parquet trees.
+
+The original plugin notes (kept for the jar path):
 
 - ``read_tokens_table(spark, "db.tokens", fmt="iceberg")`` — catalog table
   via the Iceberg Spark runtime when present;
