@@ -539,6 +539,41 @@ def q45_columnar_read_agg(spark, sf_dir):
                   F.max("n_chars").alias("chars_max"))
 
 
+def q49_iceberg_snapshot_roundtrip(spark, sf_dir):
+    """The north rule's input shape end to end, oracle-gated: documents
+    written as parquet, wrapped in a spec-shaped Iceberg v2 table
+    (metadata.json + Avro manifest list + manifest via the pure-Python
+    reader/writer in sources/), the snapshot's data-file list resolved
+    FROM TABLE METADATA (no directory walk, no runtime jar), encoded
+    file-granularly from that frozen list, decoded, and aggregated.
+    Matching the plain-SQL oracle proves the whole
+    metadata -> snapshot -> encode -> decode chain loses nothing."""
+    base = _scratch(
+        f"spark_graft_q49_{os.path.basename(sf_dir.rstrip('/'))}")
+    docs = _t(spark, sf_dir, "documents")
+    (docs.select("doc_id", "n_chars", "source")
+     .repartition(3).write.parquet(f"{base}/data"))
+    import glob as _glob
+    from embulk_input_parquet_hadoop_spark.sources import (iceberg_meta,
+                                                           table)
+    files = sorted(_glob.glob(f"{base}/data/*.parquet"))
+    iceberg_meta.write_table_fixture(f"{base}/table", files)
+    flist = table.table_files_from_metadata(f"{base}/table")
+    pipeline.encode_path(spark, f"{base}/table", f"{base}/enc",
+                         input_files=flist, batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "n_chars", "source"],
+        "doc_id bigint, n_chars bigint, source string")
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 # sort NUMERICALLY, then render: lexicographic string
+                 # sort would diverge from the oracle's bigint sort
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def q46_columnar_multicol_agg(spark, sf_dir):
     """Row-aligned multi-column read from the per-column layout,
     oracle-gated: two columns decoded from separate Hive partitions and
@@ -843,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_columnar_multicol_agg": q46_columnar_multicol_agg,
         "q47_word_commonness": q47_word_commonness,
         "q48_sample_exact_k": q48_sample_exact_k,
+        "q49_iceberg_snapshot_roundtrip": q49_iceberg_snapshot_roundtrip,
     }
 
 
@@ -1510,6 +1546,13 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM doc JOIN documents d USING (doc_id)
             GROUP BY d.source
+        """,
+        "q49_iceberg_snapshot_roundtrip": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM documents GROUP BY source
         """,
         "q48_sample_exact_k": f"""
             WITH h AS (
