@@ -334,20 +334,29 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
     c0 = c0.astype(np.uint64)
     mb0 = np.uint64(model.mbits[st])
 
-    # step-major plan matrices: row s_i holds every lane's (f, c, mb, esc)
-    # for its s_i-th value, so the hot loop reads contiguous rows instead
-    # of doing four strided gathers per step. One fancy gather up front;
-    # rows past a lane's length are clamped junk, never read (the tail
-    # step slices [:rem]).
+    # step-major plan matrices: row s_i holds every lane's
+    # (f, c, M=2^mbits, renorm threshold, esc) for its s_i-th value, so
+    # the hot loop reads contiguous rows instead of doing strided
+    # gathers per step — and does NO variable-count shifts (measured
+    # slower than 64-bit division on this numpy): the threshold
+    # f << (64-mbits) and the table size M are precomputed en masse, so
+    # the per-step state update is q = s // f; s' = q*M + (s - q*f) + c.
+    # Rows past a lane's length are clamped junk, never read (the tail
+    # step slices [:rem]). Scratch: ~44 bytes/value; freed at return.
     steps = base + (1 if rem else 0)
     posm = np.minimum(starts[None, :] + np.arange(steps)[:, None],
                       n - 1)
+    thresh = f << (np.uint64(64) - mb)
+    Mv = (np.uint64(1) << mb)
     fm = f[posm]
-    cm = c[posm]
-    mbm = mb[posm]
+    cm = c[posm].astype(np.uint32)
+    Mm = Mv[posm].astype(np.uint32)
+    thm = thresh[posm]
     escm = (~found)[posm]
     esc_rows = np.flatnonzero(escm.any(axis=1))
     del posm
+    thresh0 = f0 << (np.uint64(64) - mb0)
+    M0 = np.uint64(1) << mb0
 
     # lane-parallel backward coding --------------------------------------
     state = np.full(lanes, 1 << 32, dtype=np.uint64)
@@ -357,18 +366,17 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
     wbase = np.arange(lanes, dtype=np.int64) * maxw
     U32 = np.uint64(32)
     MASK32 = np.uint64(0xFFFFFFFF)
-    U64C = np.uint64(64)
 
-    def push_sub(idx, fv, cv, mbv):
+    def push_sub(idx, fv, cv, Mvv, thv):
         s = state[idx]  # fancy indexing: already a copy
-        need = s >= (fv << (U64C - mbv))
+        need = s >= thv
         if need.any():
             ni = idx[need]
             buf[wbase[ni] + wptr[ni]] = s[need] & MASK32
             wptr[ni] += 1
             s[need] >>= U32
         q = s // fv
-        state[idx] = (q << mbv) + (s - q * fv) + cv
+        state[idx] = q * Mvv + (s - q * fv) + cv
 
     esc_rows_set = set(esc_rows.tolist())
     for s_i in range(steps - 1, -1, -1):
@@ -377,22 +385,21 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
             em = escm[s_i] if full else escm[s_i, :rem]
             ei = np.flatnonzero(em)
             ep = starts[ei] + s_i
-            push_sub(ei, f0[ep], c0[ep], mb0)
+            push_sub(ei, f0[ep], c0[ep], M0, thresh0[ep])
         if not full:
             push_sub(np.arange(rem, dtype=np.int64), fm[s_i, :rem],
-                     cm[s_i, :rem], mbm[s_i, :rem])
+                     cm[s_i, :rem], Mm[s_i, :rem], thm[s_i, :rem])
             continue
         # full-lane fast path: whole-array state ops, no fancy indexing
         fv = fm[s_i]
-        mbv = mbm[s_i]
-        need = state >= (fv << (U64C - mbv))
+        need = state >= thm[s_i]
         if need.any():
             ni = np.flatnonzero(need)
             buf[wbase[ni] + wptr[ni]] = state[ni] & MASK32
             wptr[ni] += 1
             state[ni] >>= U32
         q = state // fv
-        state[:] = (q << mbv) + (state - q * fv) + cm[s_i]
+        state[:] = q * Mm[s_i] + (state - q * fv) + cm[s_i]
 
     wcounts = wptr
     model_blob, rawlen = _serialize_model(model, lanes, state, wcounts)
