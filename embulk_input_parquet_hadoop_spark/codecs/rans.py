@@ -463,12 +463,17 @@ def rans_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     rptr = np.concatenate([[0], np.cumsum(wcounts)[:-1]]).astype(np.int64)
 
     prev = np.zeros(lanes, dtype=np.int64)
-    mb_t = model.mbits.astype(np.uint64)
     slot_off = model.slot_off
     sym_plane = model.sym_of_slot
     f_plane = model.f_of_slot.astype(np.uint64)
     c_plane = model.cbase_of_slot.astype(np.uint64)
     ctx_map = model.ctx_map.astype(np.int64)
+    # per-table slot mask and size, gathered by table id per step —
+    # variable-count shifts measure slower than gathers + division on
+    # this numpy (see the encode-side twin of this trade)
+    mask_t = ((np.uint64(1) << model.mbits.astype(np.uint64))
+              - np.uint64(1))
+    M_t = mask_t + np.uint64(1)
     LO = np.uint64(1 << 32)
     U32 = np.uint64(32)
     nsteps = base + (1 if rem else 0)
@@ -476,14 +481,13 @@ def rans_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     outm = np.empty((nsteps, lanes), dtype=np.int64)
 
     def pop_sub(idx, tid):
-        mbv = mb_t[tid]
         s = state[idx]
-        slot = s & ((np.uint64(1) << mbv) - np.uint64(1))
+        slot = s & mask_t[tid]
         g = slot_off[tid] + slot.astype(np.int64)
         sym = sym_plane[g]
         fv = f_plane[g]
         cb = c_plane[g]
-        s = fv * (s >> mbv) + slot - cb
+        s = fv * (s // M_t[tid]) + slot - cb
         need = s < LO
         if need.any():
             ni = idx[need]
@@ -511,11 +515,10 @@ def rans_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
             continue
         # full-lane fast path: whole-array state ops, no fancy indexing
         tid = ctx_map[prev & (B - 1)]
-        mbv = mb_t[tid]
-        slot = state & ((np.uint64(1) << mbv) - np.uint64(1))
+        slot = state & mask_t[tid]
         g = slot_off[tid] + slot.astype(np.int64)
         sym = sym_plane[g]
-        s = f_plane[g] * (state >> mbv) + slot - c_plane[g]
+        s = f_plane[g] * (state // M_t[tid]) + slot - c_plane[g]
         need = s < LO
         if need.any():
             ni = np.flatnonzero(need)
