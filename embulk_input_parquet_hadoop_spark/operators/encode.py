@@ -136,7 +136,8 @@ def _int_frame(a: np.ndarray, dtype_name: str) -> bytes:
     payload, params = _maybe_compress(payload, params,
                                       _codec_stride(codec, params))
     frame = framing.write_frame(codec, dtype_name, len(a), params, payload)
-    if _ENTROPY_MODE and len(a) >= _ENTROPY_MIN_N:
+    if _ENTROPY_MODE and len(a) >= _ENTROPY_MIN_N \
+            and _entropy_could_win(a, len(frame)):
         from ..codecs import rans
         try:
             rp, rparams = rans.rans_encode(a)
@@ -149,6 +150,29 @@ def _int_frame(a: np.ndarray, dtype_name: str) -> bytes:
             if len(rframe) < len(frame):
                 return rframe
     return frame
+
+
+def _entropy_could_win(a: np.ndarray, frame_bytes: int) -> bool:
+    """Cheap pre-gate for the rANS attempt: an OPTIMISTIC lower bound on
+    its output — sampled order-0 entropy with NO model/lane/order-1
+    allowance (sampling truncates the alphabet tail, so this H0
+    UNDERESTIMATES; order-1 structure lowers the optimum further, which
+    this bound already concedes by charging zero for it). Skipping is
+    therefore always safe, and it fires exactly where the cascade
+    already crushed the frame below any entropy coder's reach — runs,
+    sorted deltas, near-constant columns — which would otherwise pay
+    ~10x the cascade's CPU per frame for a guaranteed loss. Zipf-ish
+    frames always pass the gate and settle by actual-size pick-best."""
+    n = len(a)
+    idx = np.linspace(0, n - 1, 4096).astype(np.int64)
+    s = a[idx].astype(np.int64)
+    vmin = s.min()
+    if s.max() - vmin > 65534:
+        return False  # rans_encode would raise OverflowError anyway
+    cnt = np.bincount(s - vmin)
+    p = cnt[cnt > 0] / len(s)
+    h0_bits = float(-(p * np.log2(p)).sum())
+    return n * h0_bits / 8 < frame_bytes
 
 
 def _decode_int_frame(frame: framing.Frame) -> np.ndarray:
