@@ -75,3 +75,53 @@ def test_encode_job_via_spark_submit(tmp_path, spark):
     assert os.path.isdir(os.path.join(out, "manifest")), "no manifest"
     assert set(res["columnar"]) == {"doc_id", "tokens", "n_tok", "source"}
     assert os.path.isdir(str(tmp_path / "cols" / "name=tokens"))
+
+
+@pytest.mark.skipif(not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+                    reason="spark-submit not on PATH")
+def test_encode_job_iceberg_entropy_via_spark_submit(tmp_path, spark):
+    """The full north-rule deployment in one run: spark-submit
+    --py-files, input resolved from ICEBERG TABLE METADATA (--iceberg,
+    no runtime jar), the opt-in entropy competitor on (--entropy), and
+    the channel-free verify green."""
+    zpath = tmp_path / "engine.zip"
+    pkg = os.path.join(REPO, "embulk_input_parquet_hadoop_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    data = str(tmp_path / "table" / "data")
+    rows = [(f"d{i}", list(range(i % 50 + 1)), i % 50 + 1, f"s{i % 3}")
+            for i in range(200)]
+    (spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+     .repartition(2).write.parquet(data))
+    import glob
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    iceberg_meta.write_table_fixture(
+        str(tmp_path / "table"), sorted(glob.glob(f"{data}/*.parquet")))
+
+    out = str(tmp_path / "encoded")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zpath),
+         os.path.join(REPO, "jobs", "encode_job.py"),
+         "--input", str(tmp_path / "table"), "--output", out,
+         "--iceberg", "--entropy", "--verify-files"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["verify"]["ok"] is True, res
+    assert res["n_tokens"] == sum(i % 50 + 1 for i in range(200)), res
