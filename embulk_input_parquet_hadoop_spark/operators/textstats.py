@@ -217,7 +217,9 @@ def word_commonness(df: DataFrame, id_col: str = "doc_id",
     words (OCR noise, codes, boilerplate IDs) — the standard cheap
     perplexity proxy a quality filter thresholds on. Integer end to end:
     no float log, so the DuckDB oracle matches bit-for-bit (CLAUDE.md
-    parity conventions).
+    parity conventions; Spark's ``DIV`` truncates toward zero while
+    DuckDB's ``//`` floors — identical here because every operand,
+    counts and ppm sums, is non-negative).
 
     Plan shape at 10^12 rows: explode is map-side; the word-frequency
     aggregation is ONE shuffle with map-side partial aggregation over a

@@ -184,3 +184,23 @@ def test_entropy_mode_roundtrip_and_smaller(spark, tmp_path):
         for fr in framing.read_frames(blob):
             codecs_seen.add(fr.codec)
     assert "rans" in codecs_seen, codecs_seen
+
+
+def test_mixed_entropy_waves_decode_together(spark, tokens_path, tmp_path):
+    """A tree whose waves mix entropy on/off (e.g. a resume with the
+    flag flipped) must stay readable through the one read path — frames
+    are self-describing, so this is the documented contract."""
+    out = str(tmp_path / "mix_enc")
+    pipeline.encode_path(spark, tokens_path, out, waves=2)
+    # drop wave 1's manifest + chunks, then re-run with entropy=True:
+    # resume skips wave 0, re-encodes wave 1 with the flag on
+    import os
+    import shutil
+    os.remove(f"{out}/manifest/wave-1.json")
+    shutil.rmtree(f"{out}/chunks/wave=1")
+    totals = pipeline.encode_path(spark, tokens_path, out, waves=2,
+                                  resume=True, entropy=True)
+    assert totals["waves_skipped"] == 1 and totals["waves_run"] == 1
+    result = verify.verify_path(spark, tokens_path, out)
+    assert result["ok"], result
+    assert result["rows_compared"] == 3000
