@@ -156,19 +156,56 @@ def snapshot_data_files(table_dir: str,
     return sorted(files)
 
 
+def _write_snapshot(meta_dir: str, snapshot_id: int,
+                    parquet_files: list[str],
+                    record_counts: list[int]) -> str:
+    """Manifest + manifest list for one snapshot; returns the list path."""
+    entries = [{
+        "status": 1, "snapshot_id": snapshot_id,
+        "data_file": {
+            "content": 0,
+            "file_path": os.path.abspath(p),
+            "file_format": "PARQUET",
+            "record_count": int(n),
+            "file_size_in_bytes": os.path.getsize(p),
+        }} for p, n in zip(parquet_files, record_counts)]
+    man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
+    avro_io.write_avro(man_path, _MANIFEST_SCHEMA, entries)
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    avro_io.write_avro(mlist, _MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "added_snapshot_id": snapshot_id,
+    }])
+    return mlist
+
+
 def write_table_fixture(table_dir: str, parquet_files: list[str],
                         record_counts: list[int] | None = None,
                         snapshot_id: int = 1,
-                        with_deletes: bool = False) -> str:
+                        with_deletes: bool = False,
+                        older_snapshots: dict[int, list[str]] | None = None
+                        ) -> str:
     """Minimal spec-shaped Iceberg v2 table over existing Parquet files.
 
     Data files stay where they are (absolute paths in the manifest, as
     real writers do). Returns ``table_dir``. ``with_deletes`` adds a
-    positional-delete manifest so tests can prove the MOR refusal."""
+    positional-delete manifest so tests can prove the MOR refusal.
+    ``older_snapshots`` ({snapshot_id: files}) records historical
+    snapshots in the metadata so time-travel reads
+    (``snapshot_data_files(..., snapshot_id=)``) are testable — Iceberg
+    keeps every snapshot's manifest list live until expiry."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     if record_counts is None:
         record_counts = [0] * len(parquet_files)
+    snap_records = []
+    for sid, sfiles in sorted((older_snapshots or {}).items()):
+        ml = _write_snapshot(meta_dir, sid, sfiles, [0] * len(sfiles))
+        snap_records.append({"snapshot-id": sid, "manifest-list": ml,
+                             "summary": {"operation": "append"}})
     entries = [{
         "status": 1, "snapshot_id": snapshot_id,
         "data_file": {
@@ -213,7 +250,7 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         "table-uuid": str(uuid.uuid4()),
         "location": os.path.abspath(table_dir),
         "current-snapshot-id": snapshot_id,
-        "snapshots": [{
+        "snapshots": snap_records + [{
             "snapshot-id": snapshot_id,
             "manifest-list": mlist,
             "summary": {"operation": "append"},

@@ -123,3 +123,21 @@ def test_iceberg_missing_snapshot_raises(tmp_path, tokens_dir):
     iceberg_meta.write_table_fixture(tdir, files)
     with pytest.raises(iceberg_meta.IcebergMetaError, match="snapshot"):
         iceberg_meta.snapshot_data_files(tdir, snapshot_id=999)
+
+
+def test_iceberg_time_travel(tmp_path, tokens_dir):
+    """snapshot_data_files(snapshot_id=) reads an OLDER snapshot's file
+    set — the table grew by one file after snapshot 1, and the encode
+    over snapshot 1 must see only the original file (the frozen-snapshot
+    consistency claim)."""
+    import glob
+    import os
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    tdir = str(tmp_path / "tt_table")
+    iceberg_meta.write_table_fixture(
+        tdir, files, snapshot_id=2, older_snapshots={1: files[:1]})
+    assert iceberg_meta.snapshot_data_files(tdir) == \
+        [os.path.abspath(f) for f in files]
+    assert iceberg_meta.snapshot_data_files(tdir, snapshot_id=1) == \
+        [os.path.abspath(files[0])]
