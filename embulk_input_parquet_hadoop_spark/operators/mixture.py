@@ -122,10 +122,14 @@ def sample_exact_k(df: DataFrame, k: int, group_col: str = "source",
 
     TWO-PHASE selection like ``similarity.centroid_outliers``: each input
     partition keeps its own k smallest (group, hash) rows in O(k) state
-    (pandas map, no exchange), then one window sorts only
+    per group seen (pandas map, no exchange), then one window sorts only
     |partitions| x k rows per group — a skewed 55%-of-corpus source at
     10^12 rows never hits a single-task whole-group sort. The union of
-    per-partition top-ks provably contains the global top-k.
+    per-partition top-ks provably contains the global top-k. Local state
+    is O(|groups in the partition| x k): right for low-cardinality
+    strata (sources, languages, splits); for millions of groups,
+    repartition by ``group_col`` first so each task holds few groups —
+    the window shuffle that follows is on the same key anyway.
 
     Returns (group_col, id_col, rk) with rk in [1, k] by hash order.
     """
