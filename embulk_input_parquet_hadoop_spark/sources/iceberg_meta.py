@@ -52,20 +52,34 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
     ]}
 
-_MANIFEST_SCHEMA = {
-    "type": "record", "name": "manifest_entry", "fields": [
+def _manifest_schema(partition_fields: list[tuple[str, str]] | None = None
+                     ) -> dict:
+    """Manifest-entry schema; ``partition_fields`` [(name, avro_type)]
+    adds the spec's per-file ``partition`` record (``r102``), which is
+    what metadata-level partition pruning reads."""
+    df_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+    ]
+    if partition_fields:
+        df_fields.append({"name": "partition", "field-id": 102, "type": {
+            "type": "record", "name": "r102", "fields": [
+                {"name": nm, "type": ["null", t]}
+                for nm, t in partition_fields]}})
+    df_fields += [
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "data_file", "field-id": 2, "type": {
-            "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int", "field-id": 134},
-                {"name": "file_path", "type": "string", "field-id": 100},
-                {"name": "file_format", "type": "string", "field-id": 101},
-                {"name": "record_count", "type": "long", "field-id": 103},
-                {"name": "file_size_in_bytes", "type": "long",
-                 "field-id": 104},
-            ]}},
+        {"name": "data_file", "field-id": 2,
+         "type": {"type": "record", "name": "r2", "fields": df_fields}},
     ]}
+
+
+_MANIFEST_SCHEMA = _manifest_schema()
 
 _STATUS_DELETED = 2
 _CONTENT_DATA = 0
@@ -112,8 +126,18 @@ def read_table_meta(table_dir: str) -> dict:
 
 
 def snapshot_data_files(table_dir: str,
-                        snapshot_id: int | None = None) -> list[str]:
+                        snapshot_id: int | None = None,
+                        partition_filter: dict | None = None) -> list[str]:
     """Live data-file paths of a snapshot (default: current).
+
+    ``partition_filter`` ({field: value}) prunes at the METADATA level:
+    a file is kept only if its manifest ``partition`` record matches
+    every given field by equality — Iceberg scan planning's core move,
+    skipping data files without touching them (at 100 TB this is the
+    difference between listing 400k files and listing one partition's
+    slice). Files whose manifests carry no partition record (unknown
+    layout) are KEPT — pruning may only ever widen, never drop data it
+    cannot prove out of scope.
 
     Raises ``IcebergMetaError`` for merge-on-read snapshots (delete
     manifests / delete-content data files) — those need a full Iceberg
@@ -152,6 +176,12 @@ def snapshot_data_files(table_dir: str,
             if fmt != "PARQUET":
                 raise IcebergMetaError(
                     f"non-parquet data file ({fmt}): {df['file_path']}")
+            if partition_filter:
+                part = df.get("partition")
+                if isinstance(part, dict) and any(
+                        k in part and part[k] != v
+                        for k, v in partition_filter.items()):
+                    continue
             files.append(_resolve(table_dir, location, df["file_path"]))
     return sorted(files)
 
@@ -186,8 +216,8 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
                         record_counts: list[int] | None = None,
                         snapshot_id: int = 1,
                         with_deletes: bool = False,
-                        older_snapshots: dict[int, list[str]] | None = None
-                        ) -> str:
+                        older_snapshots: dict[int, list[str]] | None = None,
+                        partitions: list[dict] | None = None) -> str:
     """Minimal spec-shaped Iceberg v2 table over existing Parquet files.
 
     Data files stay where they are (absolute paths in the manifest, as
@@ -206,17 +236,31 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         ml = _write_snapshot(meta_dir, sid, sfiles, [0] * len(sfiles))
         snap_records.append({"snapshot-id": sid, "manifest-list": ml,
                              "summary": {"operation": "append"}})
-    entries = [{
-        "status": 1, "snapshot_id": snapshot_id,
-        "data_file": {
+    part_fields: list[tuple[str, str]] = []
+    if partitions:
+        if len(partitions) != len(parquet_files):
+            raise ValueError("one partition dict per data file required")
+        first = partitions[0]
+        part_fields = [
+            (k, "long" if isinstance(first[k], int) else "string")
+            for k in sorted(first)]
+    schema = _manifest_schema(part_fields or None)
+    entries = []
+    for i, (p, n) in enumerate(zip(parquet_files, record_counts)):
+        df_rec = {
             "content": 0,
             "file_path": os.path.abspath(p),
             "file_format": "PARQUET",
             "record_count": int(n),
             "file_size_in_bytes": os.path.getsize(p),
-        }} for p, n in zip(parquet_files, record_counts)]
+        }
+        if partitions:
+            df_rec["partition"] = {k: partitions[i].get(k)
+                                   for k, _t in part_fields}
+        entries.append({"status": 1, "snapshot_id": snapshot_id,
+                        "data_file": df_rec})
     man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
-    avro_io.write_avro(man_path, _MANIFEST_SCHEMA, entries)
+    avro_io.write_avro(man_path, schema, entries)
     manifests = [{
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),

@@ -141,3 +141,31 @@ def test_iceberg_time_travel(tmp_path, tokens_dir):
         [os.path.abspath(f) for f in files]
     assert iceberg_meta.snapshot_data_files(tdir, snapshot_id=1) == \
         [os.path.abspath(files[0])]
+
+
+def test_iceberg_partition_pruning(tmp_path, tokens_dir):
+    """partition_filter prunes at the metadata level — the filtered
+    snapshot lists only the matching partition's files, none others are
+    touched; files without a partition record are kept (pruning may only
+    widen)."""
+    import glob
+    import os
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    tdir = str(tmp_path / "part_table")
+    iceberg_meta.write_table_fixture(
+        tdir, files,
+        partitions=[{"source": "web"}, {"source": "books"}])
+    allf = iceberg_meta.snapshot_data_files(tdir)
+    assert allf == [os.path.abspath(f) for f in files]
+    web = iceberg_meta.snapshot_data_files(
+        tdir, partition_filter={"source": "web"})
+    assert web == [os.path.abspath(files[0])]
+    # unknown field: no entry carries it -> nothing provably excluded
+    assert iceberg_meta.snapshot_data_files(
+        tdir, partition_filter={"day": "2024-01-01"}) == allf
+    # unpartitioned table + filter -> everything kept
+    tdir2 = str(tmp_path / "nopart_table")
+    iceberg_meta.write_table_fixture(tdir2, files)
+    assert iceberg_meta.snapshot_data_files(
+        tdir2, partition_filter={"source": "web"}) == allf
