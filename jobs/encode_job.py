@@ -77,6 +77,10 @@ def main() -> int:
                         "resolve the current snapshot's data files from "
                         "the table metadata (pure-Python avro reader, no "
                         "runtime jar) and encode that frozen file list")
+    p.add_argument("--partition", action="append", default=None,
+                   metavar="FIELD=VALUE",
+                   help="with --iceberg: metadata-level partition "
+                        "pruning; repeatable, fields AND together")
     p.add_argument("--entropy", action="store_true",
                    help="opt-in order-1 rANS competitor for large int "
                         "frames: smaller output (bytes/token) at ~5-10x "
@@ -99,8 +103,14 @@ def main() -> int:
 
     input_files = None
     if args.iceberg:
-        from embulk_input_parquet_hadoop_spark.sources import table
-        input_files = table.table_files_from_metadata(args.input)
+        from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+        pf = None
+        if args.partition:
+            pf = dict(kv.split("=", 1) for kv in args.partition)
+        input_files = iceberg_meta.snapshot_data_files(
+            args.input, partition_filter=pf)
+    elif args.partition:
+        raise SystemExit("--partition requires --iceberg")
     t0 = time.perf_counter()
     totals = pipeline.encode_path(
         spark, args.input, args.output, waves=args.waves,
