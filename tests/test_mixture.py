@@ -156,3 +156,12 @@ def test_sample_exact_k_small_group_takes_all(spark):
 def test_sample_exact_k_validation(spark, docs):
     with pytest.raises(ValueError):
         mixture.sample_exact_k(docs, 0)
+
+
+def test_sample_exact_k_plan_shape(spark, docs):
+    """The two-phase selection must stay map-side until the single
+    window exchange: exactly one Exchange in the physical plan (the
+    per-group window), the local top-k a map-only mapInPandas."""
+    plan = mixture.sample_exact_k(docs, 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -83,3 +83,14 @@ def test_word_commonness_matches_local(spark):
     assert 4 not in out
     # the common-word doc scores strictly higher than the rare-word doc
     assert out[1][1] > out[2][1]
+
+
+def test_word_commonness_broadcasts_frequency_table(spark):
+    """The ppm rejoin must be a broadcast hash join — a shuffled join on
+    the exploded word stream would re-shuffle the whole corpus."""
+    from embulk_input_parquet_hadoop_spark.operators import textstats
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a d")], "doc_id long, text string")
+    plan = textstats.word_commonness(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
