@@ -129,14 +129,20 @@ def _decode(schema, buf: io.BytesIO, named: dict):
 def _encode(schema, v, out: bytearray, named: dict) -> None:
     if isinstance(schema, str):
         schema = named.get(schema, schema)
-    if isinstance(schema, list):  # union: pick first branch accepting v
-        for i, branch in enumerate(schema):
-            bt = branch["type"] if isinstance(branch, dict) else branch
-            if (v is None) == (bt == "null" or branch == "null"):
-                _write_long(out, i)
-                _encode(branch, v, out, named)
-                return
-        raise ValueError(f"no union branch for {v!r} in {schema!r}")
+    if isinstance(schema, list):
+        # writer supports only the ["null", X] unions Iceberg metadata
+        # uses; branch choice by None-ness alone would silently mis-code
+        # a general union, so refuse anything else loudly
+        nulls = [i for i, b in enumerate(schema) if b == "null"]
+        if len(schema) != 2 or len(nulls) != 1:
+            raise ValueError(f"unsupported union for encode: {schema!r}")
+        if v is None:
+            _write_long(out, nulls[0])
+            return
+        i = 1 - nulls[0]
+        _write_long(out, i)
+        _encode(schema[i], v, out, named)
+        return
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
