@@ -632,6 +632,20 @@ def q48_sample_exact_k(spark, sf_dir):
                                   seed=3)
 
 
+def q50_bounded_quantiles(spark, sf_dir):
+    """Exact per-source quantiles of a bounded integer domain
+    (document length), oracle-gated: one map-side-combined count
+    aggregation collapses the corpus to |sources| x |domain| cells, a
+    per-group cumulative window reads p50/p90/p99 off the cells — exact
+    at any scale, no sort of the data, no sketch error. The quantile
+    definition (smallest value whose cumulative count reaches
+    ceil(q*n)) is shared verbatim with the oracle, so parity is by
+    construction rather than by matching an engine's interpolation."""
+    docs = _t(spark, sf_dir, "documents")
+    return sketch.bounded_quantiles(docs, "n_chars", "source",
+                                    qs=(0.5, 0.9, 0.99))
+
+
 def q36_pack_sequences(spark, sf_dir):
     """Fixed-window training-sequence packing, oracle-gated end to end:
     documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
@@ -879,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_word_commonness": q47_word_commonness,
         "q48_sample_exact_k": q48_sample_exact_k,
         "q49_iceberg_snapshot_roundtrip": q49_iceberg_snapshot_roundtrip,
+        "q50_bounded_quantiles": q50_bounded_quantiles,
     }
 
 
@@ -1546,6 +1561,28 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM doc JOIN documents d USING (doc_id)
             GROUP BY d.source
+        """,
+        "q50_bounded_quantiles": """
+            WITH h AS (
+              SELECT source, n_chars, count(*) AS c
+              FROM documents GROUP BY source, n_chars
+            ),
+            cells AS (
+              SELECT source, n_chars, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM h
+            ),
+            qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)),
+                             (CAST(0.9 AS DOUBLE)),
+                             (CAST(0.99 AS DOUBLE))),
+            hit AS (
+              SELECT source, q, n_chars FROM cells, qs
+              WHERE cum >= ceil(q * n)
+            )
+            SELECT source, q, min(n_chars) AS value
+            FROM hit GROUP BY source, q
         """,
         "q49_iceberg_snapshot_roundtrip": """
             SELECT source, count(*) AS n_docs,

@@ -52,3 +52,45 @@ def kmv_distinct(df: DataFrame, key_col: str, value_col: str,
     return kth.select(F.col("key").alias(key_col),
                       F.col("n_exact"),
                       F.round(est, 2).alias("kmv_est"))
+
+
+def bounded_quantiles(df: DataFrame, value_col: str, group_col: str,
+                      qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+                      ) -> DataFrame:
+    """EXACT per-group quantiles of a bounded integer domain —
+    (group_col, q, value) — with O(|groups| x |domain|) total state.
+
+    The scale pattern: for a bounded domain (token counts <= 8192,
+    quality scores in basis points, byte lengths), exact quantiles need
+    no sort of the data and no sketch error — ONE map-side-combined
+    count aggregation collapses 10^12 rows to |groups| x |domain| cells,
+    then a per-group cumulative window over the cells (thousands of
+    rows) reads the answers off. approx_percentile trades error for the
+    same shuffle shape; this is exact for free when the domain is
+    bounded.
+
+    Quantile definition (shared verbatim with the oracle so parity is by
+    construction, not by matching an engine's interpolation flavor): the
+    smallest value whose cumulative count reaches ceil(q * n). Integer
+    threshold, no float interpolation.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    h = (df.groupBy(group_col, value_col)
+         .agg(F.count(F.lit(1)).alias("c")))
+    wcum = (Window.partitionBy(group_col).orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.partitionBy(group_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    cells = (h.withColumn("cum", F.sum("c").over(wcum))
+             .withColumn("n", F.sum("c").over(wall)))
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs],
+                                          "q double")
+    # threshold = ceil(q * n) as an integer comparison on counts
+    hit = (cells.join(F.broadcast(qdf))
+           .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n"))))
+    wmin = Window.partitionBy(group_col, "q").orderBy(value_col)
+    return (hit.withColumn("rk", F.row_number().over(wmin))
+            .filter(F.col("rk") == 1)
+            .select(group_col, "q", F.col(value_col).alias("value")))

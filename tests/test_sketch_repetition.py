@@ -94,3 +94,20 @@ def test_word_commonness_broadcasts_frequency_table(spark):
     plan = textstats.word_commonness(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bounded_quantiles_exact_and_partition_independent(spark):
+    from embulk_input_parquet_hadoop_spark.operators import sketch
+    # group a: values 1..100 once each -> p50 = 50 (cum 50 >= ceil(.5*100)),
+    # p90 = 90, p99 = 99. group b: heavy ties.
+    rows = [(f"a", v) for v in range(1, 101)] + [("b", 7)] * 95 + \
+        [("b", 9)] * 5
+    df = spark.createDataFrame(rows, "g string, v long")
+    def run(d):
+        return {(r.g, r.q): r.value
+                for r in sketch.bounded_quantiles(d, "v", "g").collect()}
+    got = run(df)
+    assert got[("a", 0.5)] == 50 and got[("a", 0.9)] == 90 \
+        and got[("a", 0.99)] == 99
+    assert got[("b", 0.5)] == 7 and got[("b", 0.99)] == 9
+    assert run(df.repartition(17)) == got
