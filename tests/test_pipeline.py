@@ -204,3 +204,36 @@ def test_mixed_entropy_waves_decode_together(spark, tokens_path, tmp_path):
     result = verify.verify_path(spark, tokens_path, out)
     assert result["ok"], result
     assert result["rows_compared"] == 3000
+
+
+def test_encode_df_entropy_flag(spark, tmp_path):
+    """The DataFrame-source path (encode_df / cluster mode) must thread
+    the entropy flag into its mapInArrow workers too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tests.test_rans import markov_tokens
+    rng = np.random.default_rng(4)
+    n_docs, doc_len, vocab = 1500, 200, 4096
+    flat = markov_tokens(rng, n_docs * doc_len, vocab)
+    offs = np.arange(0, (n_docs + 1) * doc_len, doc_len, dtype=np.int32)
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offs), pa.array(flat.astype(np.int32), type=pa.int32()))
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n_docs)]),
+        "tokens": tokens.cast(pa.list_(
+            pa.field("item", pa.int32(), nullable=False))),
+        "n_tok": pa.array(np.full(n_docs, doc_len, dtype=np.int32)),
+        "source": pa.array(["web"] * n_docs),
+    })
+    src = str(tmp_path / "df_src")
+    import os
+    os.makedirs(src)
+    pq.write_table(tbl, f"{src}/part-0.parquet")
+    df = spark.read.parquet(src).coalesce(1)
+
+    base = pipeline.encode_df(spark, df, str(tmp_path / "df_base"))
+    ent = pipeline.encode_df(spark, df, str(tmp_path / "df_ent"),
+                             entropy=True)
+    b = base.agg(F.sum("enc_bytes")).collect()[0][0]
+    e = ent.agg(F.sum("enc_bytes")).collect()[0][0]
+    assert e < 0.95 * b, (e, b)
