@@ -18,6 +18,7 @@ The reference explicitly lacks resume ("Resume supported: no",
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -155,3 +156,66 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
           r["n_tokens"], r["raw_bytes"], r["enc_bytes"],
           r.get("n_bad_files", 0), r.get("n_bad_rows", 0), r["wall_s"])
          for r in recs], schema)
+
+
+def vacuum(out_dir: str) -> dict:
+    """Remove crashed-job debris the manifest does not reference: chunk
+    directories and chunks_meta of UNCOMMITTED waves, plus stray ``.tmp``
+    part files anywhere under ``chunks/`` (a task killed mid-rename).
+
+    The manifest is the single visibility point, so nothing removed here
+    was ever readable (`read_chunks`/`decode_chunks` are manifest-gated);
+    a resume re-encodes the removed waves from their source files. Like
+    Iceberg's remove-orphan-files, this must NOT run concurrently with an
+    encode on the same tree — an in-flight wave is indistinguishable
+    from a crashed one until its commit record lands.
+
+    Local filesystems only (the write side's own constraint). Returns
+    {"waves_removed", "tmp_removed", "bytes_reclaimed"}.
+    """
+    import shutil
+
+    if not fsutil.is_local(out_dir):
+        raise NotImplementedError(
+            f"vacuum is os.walk-based; {out_dir!r} is not local")
+    out_dir = fsutil.strip_file_scheme(out_dir)
+    committed = {int(m.group(1))
+                 for f in (os.listdir(f"{out_dir}/manifest")
+                           if os.path.isdir(f"{out_dir}/manifest") else [])
+                 if (m := re.match(r"wave-(\d+)\.json$", f))}
+
+    def _tree_size(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _d, fs in os.walk(p) for f in fs)
+
+    waves_removed = tmp_removed = reclaimed = 0
+    chunks_root = f"{out_dir}/chunks"
+    if os.path.isdir(chunks_root):
+        for d in os.listdir(chunks_root):
+            m = re.match(r"wave=(\d+)$", d)
+            if m and int(m.group(1)) not in committed:
+                p = os.path.join(chunks_root, d)
+                reclaimed += _tree_size(p)
+                shutil.rmtree(p)
+                waves_removed += 1
+        for root, _dirs, files in os.walk(chunks_root):
+            for f in files:
+                if f.endswith(".tmp"):
+                    p = os.path.join(root, f)
+                    reclaimed += os.path.getsize(p)
+                    os.remove(p)
+                    tmp_removed += 1
+    meta_root = f"{out_dir}/chunks_meta"
+    if os.path.isdir(meta_root):
+        for d in os.listdir(meta_root):
+            m = re.match(r"wave-(\d+)(\.parquet)?$", d)
+            if m and int(m.group(1)) not in committed:
+                p = os.path.join(meta_root, d)
+                if os.path.isdir(p):
+                    reclaimed += _tree_size(p)
+                    shutil.rmtree(p)
+                else:
+                    reclaimed += os.path.getsize(p)
+                    os.remove(p)
+    return {"waves_removed": waves_removed, "tmp_removed": tmp_removed,
+            "bytes_reclaimed": reclaimed}

@@ -657,3 +657,36 @@ def test_encode_path_accepts_file_scheme_out_dir(spark, tokens_dir,
     assert totals["n_rows"] > 0
     assert os.path.isdir(f"{out}/manifest")
     assert not os.path.exists("file:")
+
+
+def test_vacuum_removes_uncommitted_debris(spark, tokens_dir, tmp_path):
+    """vacuum removes only what the manifest never referenced: an
+    uncommitted wave's chunks + meta and stray .tmp files; committed
+    waves and their data are untouched and still verify."""
+    out = str(tmp_path / "vac_out")
+    pipeline.encode_path(spark, tokens_dir, out, waves=2)
+    # forge a crash: wave 1 loses its commit record (chunks remain),
+    # plus a stray .tmp from a killed task
+    os.remove(f"{out}/manifest/wave-1.json")
+    stray = f"{out}/chunks/wave=0/.part-00000-f0000.deadbeef.tmp"
+    with open(stray, "wb") as f:
+        f.write(b"x" * 128)
+    res = mf.vacuum(out)
+    assert res["waves_removed"] == 1
+    assert res["tmp_removed"] == 1
+    assert res["bytes_reclaimed"] > 128
+    assert not os.path.exists(f"{out}/chunks/wave=1")
+    assert not os.path.exists(stray)
+    # committed wave intact; resume re-encodes the vacuumed wave
+    t = pipeline.encode_path(spark, tokens_dir, out, waves=2, resume=True)
+    assert t["waves_skipped"] == 1 and t["waves_run"] == 1
+    from embulk_input_parquet_hadoop_spark.plans import verify
+    assert verify.verify_path(spark, tokens_dir, out)["ok"]
+
+
+def test_vacuum_clean_tree_is_noop(spark, tokens_dir, tmp_path):
+    out = str(tmp_path / "vac_noop")
+    pipeline.encode_path(spark, tokens_dir, out)
+    res = mf.vacuum(out)
+    assert res == {"waves_removed": 0, "tmp_removed": 0,
+                   "bytes_reclaimed": 0}
