@@ -86,6 +86,11 @@ def main() -> int:
                         "frames: smaller output (bytes/token) at ~5-10x "
                         "the encode CPU on the tokens plane; read side "
                         "is unchanged (frames are self-describing)")
+    p.add_argument("--vacuum", action="store_true",
+                   help="before encoding: remove crashed-attempt debris "
+                        "(uncommitted waves, stray .tmp parts) from "
+                        "--output; pairs with --resume for a clean "
+                        "restart")
     p.add_argument("--verify-files", action="store_true",
                    help="channel-free positional verify (one task per "
                         "source file) instead of the global join")
@@ -111,6 +116,12 @@ def main() -> int:
             args.input, partition_filter=pf)
     elif args.partition:
         raise SystemExit("--partition requires --iceberg")
+    vacuum_result = None
+    if args.vacuum:
+        from embulk_input_parquet_hadoop_spark.plans import manifest as mf
+        import os as _os
+        if _os.path.isdir(args.output):
+            vacuum_result = mf.vacuum(args.output)
     t0 = time.perf_counter()
     totals = pipeline.encode_path(
         spark, args.input, args.output, waves=args.waves,
@@ -123,6 +134,8 @@ def main() -> int:
         bad_record_threshold=args.bad_record_threshold,
         meta_mode=args.meta_mode, entropy=args.entropy)
     totals["total_wall_s"] = time.perf_counter() - t0
+    if vacuum_result is not None:
+        totals["vacuum"] = vacuum_result
     if totals["wall_s"]:
         totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]
     if args.relayout_columnar:
