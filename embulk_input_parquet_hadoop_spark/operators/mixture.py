@@ -145,8 +145,10 @@ def sample_exact_k(df: DataFrame, k: int, group_col: str = "source",
         state = None
         for pdf in batches:
             both = pdf if state is None else pd.concat([state, pdf])
+            # dropna=False: SQL window semantics keep a NULL group; the
+            # pandas default would silently drop those rows map-side
             state = (both.sort_values(["_hk", id_col], kind="mergesort")
-                     .groupby(group_col, sort=False).head(k))
+                     .groupby(group_col, sort=False, dropna=False).head(k))
         if state is not None:
             yield state
 

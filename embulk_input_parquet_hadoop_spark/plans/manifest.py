@@ -217,5 +217,15 @@ def vacuum(out_dir: str) -> dict:
                 else:
                     reclaimed += os.path.getsize(p)
                     os.remove(p)
+        # committed waves can still hold .tmp sidecar debris: a task
+        # killed between write and os.replace whose RETRY then committed
+        # the wave — equally manifest-invisible, swept the same way
+        for root, _dirs, files in os.walk(meta_root):
+            for f in files:
+                if f.endswith(".tmp"):
+                    p = os.path.join(root, f)
+                    reclaimed += os.path.getsize(p)
+                    os.remove(p)
+                    tmp_removed += 1
     return {"waves_removed": waves_removed, "tmp_removed": tmp_removed,
             "bytes_reclaimed": reclaimed}

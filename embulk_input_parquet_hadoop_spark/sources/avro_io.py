@@ -220,8 +220,19 @@ def _decompress(codec: str, data: bytes) -> bytes:
     if codec == "snappy":
         import pyarrow as pa
         body, crc = data[:-4], data[-4:]
+        # pa.Codec.decompress needs the output size (CLAUDE.md); raw
+        # snappy self-describes it as a leading uvarint — parse it
+        size = 0
+        shift = 0
+        for i, b in enumerate(body):
+            size |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if i > 9:
+                raise ValueError("bad snappy length header")
         raw = bytes(pa.Codec("snappy").decompress(
-            body, decompressed_size=None))
+            body, decompressed_size=size))
         if struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF) != crc:
             raise ValueError("avro snappy block CRC mismatch")
         return raw

@@ -89,6 +89,24 @@ class IcebergMetaError(ValueError):
     pass
 
 
+def _part_eq(manifest_value, filter_value) -> bool:
+    """Partition equality with type coercion toward the MANIFEST value's
+    type: CLI filters arrive as strings (``--partition year=2024``) while
+    the manifest stores typed values — a strict ``!=`` would prune every
+    file of an int-typed partition and report an empty table."""
+    if manifest_value == filter_value:
+        return True
+    if isinstance(manifest_value, bool):
+        return str(manifest_value).lower() == str(filter_value).lower()
+    if isinstance(manifest_value, int) and not isinstance(filter_value,
+                                                          bool):
+        try:
+            return manifest_value == int(filter_value)
+        except (TypeError, ValueError):
+            return False
+    return str(manifest_value) == str(filter_value)
+
+
 def _latest_metadata(table_dir: str) -> str:
     meta_dir = os.path.join(table_dir, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
@@ -179,7 +197,7 @@ def snapshot_data_files(table_dir: str,
             if partition_filter:
                 part = df.get("partition")
                 if isinstance(part, dict) and any(
-                        k in part and part[k] != v
+                        k in part and not _part_eq(part[k], v)
                         for k, v in partition_filter.items()):
                     continue
             files.append(_resolve(table_dir, location, df["file_path"]))

@@ -118,9 +118,12 @@ def main() -> int:
         raise SystemExit("--partition requires --iceberg")
     vacuum_result = None
     if args.vacuum:
+        from embulk_input_parquet_hadoop_spark.plans import fsutil
         from embulk_input_parquet_hadoop_spark.plans import manifest as mf
         import os as _os
-        if _os.path.isdir(args.output):
+        # strip file:// like encode_path does — a URI output must not
+        # silently skip the vacuum the user asked for
+        if _os.path.isdir(fsutil.strip_file_scheme(args.output)):
             vacuum_result = mf.vacuum(args.output)
     t0 = time.perf_counter()
     totals = pipeline.encode_path(

@@ -165,3 +165,17 @@ def test_sample_exact_k_plan_shape(spark, docs):
     plan = mixture.sample_exact_k(docs, 5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_sample_exact_k_keeps_null_group(spark):
+    """SQL window semantics: NULL is a group; pandas' default
+    dropna=True would silently discard those rows map-side (review)."""
+    rows = [(i, "a") for i in range(20)] + [(100 + i, None)
+                                            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture.sample_exact_k(df, 3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rk)
+    assert sorted(by_src[None]) == [1, 2, 3]
+    assert sorted(by_src["a"]) == [1, 2, 3]

@@ -690,3 +690,18 @@ def test_vacuum_clean_tree_is_noop(spark, tokens_dir, tmp_path):
     res = mf.vacuum(out)
     assert res == {"waves_removed": 0, "tmp_removed": 0,
                    "bytes_reclaimed": 0}
+
+
+def test_vacuum_sweeps_committed_wave_meta_tmp(spark, tokens_dir,
+                                               tmp_path):
+    """A sidecar .tmp orphaned by a killed task whose RETRY committed the
+    wave must still be reclaimed (review: the sweep covered chunks/
+    only)."""
+    out = str(tmp_path / "vac_meta")
+    pipeline.encode_path(spark, tokens_dir, out, meta_mode="distributed")
+    stray = f"{out}/chunks_meta/wave-0/part-00000.parquet.dead.tmp"
+    with open(stray, "wb") as f:
+        f.write(b"x" * 64)
+    res = mf.vacuum(out)
+    assert res["tmp_removed"] == 1 and not os.path.exists(stray)
+    assert res["waves_removed"] == 0  # the committed wave is untouched

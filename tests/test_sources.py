@@ -169,3 +169,55 @@ def test_iceberg_partition_pruning(tmp_path, tokens_dir):
     iceberg_meta.write_table_fixture(tdir2, files)
     assert iceberg_meta.snapshot_data_files(
         tdir2, partition_filter={"source": "web"}) == allf
+
+
+def test_iceberg_partition_filter_coerces_types(tmp_path, tokens_dir):
+    """CLI filters arrive as strings; an int-typed partition field must
+    still match (review: strict != pruned every file and reported an
+    empty table)."""
+    import glob
+    import os
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    tdir = str(tmp_path / "typed_part")
+    iceberg_meta.write_table_fixture(
+        tdir, files, partitions=[{"year": 2024}, {"year": 2025}])
+    got = iceberg_meta.snapshot_data_files(
+        tdir, partition_filter={"year": "2024"})
+    assert got == [os.path.abspath(files[0])]
+    got2 = iceberg_meta.snapshot_data_files(
+        tdir, partition_filter={"year": 2024})
+    assert got2 == got
+
+
+def test_avro_snappy_codec_reads(tmp_path):
+    """Real writers commonly use avro.codec=snappy; the reader must
+    parse the raw-snappy length header for pyarrow's decompress
+    (review: it passed decompressed_size=None, which always raises)."""
+    import json
+    import struct
+    import zlib
+    import pyarrow as pa
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "x", "type": "long"}]}
+    recs = [{"x": i} for i in range(100)]
+    body = bytearray()
+    for r in recs:
+        avro_io._encode(schema, r, body, {})
+    raw = bytes(body)
+    payload = (bytes(pa.Codec("snappy").compress(raw))
+               + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+    out = bytearray(avro_io._MAGIC)
+    avro_io._encode({"type": "map", "values": "bytes"},
+                    {"avro.schema": json.dumps(schema).encode(),
+                     "avro.codec": b"snappy"}, out, {})
+    out.extend(avro_io._SYNC)
+    avro_io._write_long(out, len(recs))
+    avro_io._write_long(out, len(payload))
+    out.extend(payload)
+    out.extend(avro_io._SYNC)
+    p = str(tmp_path / "s.avro")
+    open(p, "wb").write(bytes(out))
+    _, got = avro_io.read_avro(p)
+    assert got == recs
