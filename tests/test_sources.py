@@ -221,3 +221,75 @@ def test_avro_snappy_codec_reads(tmp_path):
     open(p, "wb").write(bytes(out))
     _, got = avro_io.read_avro(p)
     assert got == recs
+
+
+def test_avro_roundtrip_hypothesis():
+    """Property: any value assignment to the manifest schema roundtrips
+    (zigzag varints at extremes, unicode paths, empty/large maps)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+    import tempfile
+    import os
+
+    schema = {"type": "record", "name": "e", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sid", "type": ["null", "long"]},
+        {"name": "path", "type": "string"},
+        {"name": "meta", "type": {"type": "map", "values": "string"}},
+        {"name": "sizes", "type": {"type": "array", "items": "long"}},
+    ]}
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @given(st.lists(st.fixed_dictionaries({
+        "status": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "sid": st.one_of(st.none(), longs),
+        "path": st.text(max_size=40),
+        "meta": st.dictionaries(st.text(min_size=1, max_size=8),
+                                st.text(max_size=8), max_size=4),
+        "sizes": st.lists(longs, max_size=6),
+    }), max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def check(recs):
+        fd, p = tempfile.mkstemp(suffix=".avro")
+        os.close(fd)
+        try:
+            avro_io.write_avro(p, schema, recs)
+            s2, got = avro_io.read_avro(p)
+            assert s2 == schema and got == recs
+        finally:
+            os.remove(p)
+
+    check()
+
+
+def test_avro_multi_block_read(tmp_path):
+    """Real writers emit many sync-delimited blocks per file; the reader
+    must consume them all (the fixture writer emits one, so hand-build a
+    two-block file)."""
+    import json
+    import zlib
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "x", "type": "long"}]}
+    blocks = [[{"x": i} for i in range(50)],
+              [{"x": i} for i in range(50, 120)]]
+    out = bytearray(avro_io._MAGIC)
+    avro_io._encode({"type": "map", "values": "bytes"},
+                    {"avro.schema": json.dumps(schema).encode(),
+                     "avro.codec": b"deflate"}, out, {})
+    out.extend(avro_io._SYNC)
+    for recs in blocks:
+        body = bytearray()
+        for r in recs:
+            avro_io._encode(schema, r, body, {})
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = comp.compress(bytes(body)) + comp.flush()
+        avro_io._write_long(out, len(recs))
+        avro_io._write_long(out, len(payload))
+        out.extend(payload)
+        out.extend(avro_io._SYNC)
+    p = str(tmp_path / "mb.avro")
+    open(p, "wb").write(bytes(out))
+    _, got = avro_io.read_avro(p)
+    assert got == blocks[0] + blocks[1]
