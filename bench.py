@@ -292,7 +292,10 @@ def main() -> None:
         vf_sf = verify.verify_files(spark, high["out_dir"])
         # entropy-mode tree must decode bit-exactly through the same
         # read path (rans frames dispatch on codec id)
+        t0 = time.perf_counter()
         vf_ent = verify.verify_files(spark, ent["out_dir"])
+        ent_decode_tps = vf_ent["tokens_compared"] / (
+            time.perf_counter() - t0)
         vres["ok"] = bool(vres["ok"] and vf_scale["ok"] and vf_sf["ok"]
                           and vf_ent["ok"])
     finally:
@@ -372,6 +375,10 @@ def main() -> None:
                 / (scale_disk / high_scale["n_tokens"]), 4),
             "speed_vs_default": round(
                 ent["tokens_per_sec"] / high_scale["tokens_per_sec"], 4),
+            # decode+compare of the rans-bearing tree (verify_files leg),
+            # so the trade curve records all three axes: size, encode
+            # speed, decode speed
+            "decode_verify_tokens_per_sec": round(ent_decode_tps, 1),
         },
         "verify_ok": vres["ok"],
         "decode_verify_tokens_per_sec": round(
