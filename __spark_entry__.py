@@ -646,6 +646,32 @@ def q50_bounded_quantiles(spark, sf_dir):
                                     qs=(0.5, 0.9, 0.99))
 
 
+def q51_dedup_clusters(spark, sf_dir):
+    """Candidate pairs -> duplicate CLUSTERS, oracle-gated: winnowing
+    fingerprints propose near-copy edges (equi-join on fp, never
+    all-pairs), min-label connected components assign every involved doc
+    its cluster's canonical id (the min doc_id), and the result reports
+    each multi-doc cluster's id, size, and id-set md5. The oracle
+    recomputes the same edges in SQL and closes them with a recursive
+    CTE — exact parity on the full clustering, not just pair counts."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = textstats.winnow_fingerprints(docs, "doc_id", "text",
+                                        k=4, w=5)
+    a, b = fps.alias("a"), fps.alias("b")
+    edges = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+             .distinct())
+    cc = dedup.connected_components(edges)
+    return (cc.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("v")),
+                     lambda x: x.cast("string")))).alias("ids_md5"))
+            .filter(F.col("n_docs") >= 2))
+
+
 def q36_pack_sequences(spark, sf_dir):
     """Fixed-window training-sequence packing, oracle-gated end to end:
     documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
@@ -894,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_sample_exact_k": q48_sample_exact_k,
         "q49_iceberg_snapshot_roundtrip": q49_iceberg_snapshot_roundtrip,
         "q50_bounded_quantiles": q50_bounded_quantiles,
+        "q51_dedup_clusters": q51_dedup_clusters,
     }
 
 
@@ -1288,6 +1315,50 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM fps JOIN documents USING (doc_id)
             GROUP BY source
+        """,
+        "q51_dedup_clusters": f"""
+            WITH RECURSIVE d AS (SELECT doc_id, {WORDS} AS ws
+                                 FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                        range(1, greatest(len(ws) - 3, 0) + 1),
+                        i -> {{'pos': i,
+                              'h': CAST('0x' || substr(md5(
+                                     ws[i] || ' ' || ws[i+1] || ' ' ||
+                                     ws[i+2] || ' ' || ws[i+3]), 1, 8)
+                                   AS BIGINT)}})) AS u
+              FROM d
+            ),
+            hh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sh),
+            wins AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 4 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 4 FOLLOWING) AS n
+              FROM hh
+            ),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE n = 5),
+            e0 AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS w
+              FROM fps a JOIN fps b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+            ),
+            e AS (SELECT u, w FROM e0 UNION SELECT w, u FROM e0),
+            reach(v, r) AS (
+              SELECT DISTINCT u, u FROM e
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON reach.v = e.w
+            ),
+            cc AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+            SELECT component AS cluster_id,
+                   count(*) AS n_docs,
+                   md5(array_to_string(list_sort(list(v)), ','))
+                       AS ids_md5
+            FROM cc GROUP BY component HAVING count(*) >= 2
         """,
         "q34_minhash_jaccard_dedup": f"""
             WITH sigs AS ({_MINHASH_SIGS}),

@@ -300,3 +300,57 @@ def contaminated_ids(train: DataFrame, bench: DataFrame, id_col: str,
     return (train_g.join(F.broadcast(bench_g), "shingle")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_gram_hits")))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 30
+                         ) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    (v, component) where component is the smallest vertex id in v's
+    component — the step that turns dedup CANDIDATE PAIRS (LSH bands,
+    SRP buckets, shared fingerprints) into duplicate CLUSTERS with a
+    canonical representative per cluster (keep min id, drop the rest).
+
+    Each round every vertex takes the min of its own label and its
+    neighbors' labels — one equi-join + one aggregation per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    stars/cliques: 2-4). Convergence is detected by the total label sum,
+    which strictly decreases until fixpoint (labels are monotone
+    non-increasing), so the per-round action is a cheap aggregate, not a
+    diff join. Each round ``localCheckpoint``s the labels: iterative
+    self-referential plans otherwise grow exponentially in Catalyst (on
+    a cluster with unreliable executors, use ``spark.sparkContext.
+    setCheckpointDir`` + ``checkpoint()`` instead — documented trade:
+    localCheckpoint is faster but not fault-tolerant).
+
+    Vertex ids must be numeric (the component id IS a vertex id); raises
+    if propagation hasn't converged after ``max_iter`` rounds (a
+    diameter that large means the input is not dedup-shaped).
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("w")))
+           .distinct())
+    labels = (sym.select(F.col("u").alias("v")).distinct()
+              .withColumn("lbl", F.col("v")))
+    labels = labels.localCheckpoint()
+    # decimal(38,0) sum: an int64 sum of 10^12 vertex ids would overflow
+    _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lsum).collect()[0][0]
+    if prev_sum is None:
+        return labels.select("v", F.col("lbl").alias("component"))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym.w == labels.v)
+               .groupBy("u").agg(F.min("lbl").alias("nl")))
+        labels = (labels.join(nbr, labels.v == nbr.u, "left")
+                  .select(labels.v,
+                          F.least(F.col("lbl"),
+                                  F.coalesce("nl", F.col("lbl")))
+                          .alias("lbl"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(_lsum).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select("v", F.col("lbl").alias("component"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")

@@ -109,3 +109,22 @@ def test_winnow_shared_run_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
     assert not (by_doc[1] & by_doc.get(3, set()))
     assert not (by_doc[2] & by_doc.get(3, set()))
+
+
+def test_connected_components_multi_hop(spark):
+    """A path graph needs label propagation across multiple rounds
+    (diameter > 1): 1-2-3-4-5 all collapse to component 1, the separate
+    edge 10-11 to 10, and the convergence check must terminate."""
+    from embulk_input_parquet_hadoop_spark.operators import dedup
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)],
+        "id_a long, id_b long")
+    got = {r.v: r.component
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    from embulk_input_parquet_hadoop_spark.operators import dedup
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(edges).count() == 0
