@@ -330,7 +330,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("w")))
-           .distinct())
+           .distinct()
+           # materialize ONCE: every propagation round joins against
+           # sym, and without this each round re-runs the whole
+           # upstream candidate-pair pipeline (measured 30s -> ~5s on
+           # the sf0.1 winnow edges)
+           .localCheckpoint())
     labels = (sym.select(F.col("u").alias("v")).distinct()
               .withColumn("lbl", F.col("v")))
     labels = labels.localCheckpoint()
