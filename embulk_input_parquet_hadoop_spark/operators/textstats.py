@@ -66,35 +66,57 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
               .withColumn("quality", score))
 
 
-def _top_ngram_frac(ws: Column, n_words: Column, k: int) -> Column:
-    """Fraction of words covered by the most frequent *repeated* k-gram
-    (0.0 when no k-gram occurs twice — a singleton top gram is not
-    repetition, and in a short doc its 2/n "fraction" would exceed any
-    threshold). O(n log n) per doc: sort the grams, then the top
-    frequency is the longest run of equal adjacent elements — boundary
-    positions where a new gram starts, max gap between consecutive
-    boundaries. (The naive distinct×filter scan is O(distinct * n): one
-    100k-word web doc would stall its task for hours.) No shuffle, no
-    UDF — still one map-only whole-stage-codegen scan."""
+def _with_top_ngram_frac(df: DataFrame, ws_col: str, k: int,
+                         out_name: str) -> DataFrame:
+    """Append ``out_name``: fraction of words covered by the most frequent
+    *repeated* k-gram (0.0 when no k-gram occurs twice — a singleton top
+    gram is not repetition, and in a short doc its 2/n "fraction" would
+    exceed any threshold). O(n log n) per doc: sort the grams, then the
+    top frequency is the longest run of equal adjacent elements —
+    boundary positions where a new gram starts, max gap between
+    consecutive boundaries. No shuffle, no UDF.
+
+    Every intermediate array lands as a REAL column (its own projection
+    step), and ``ws_col`` must be a materialized column too. This is
+    load-bearing, not style: a non-attribute subtree referenced from
+    inside a higher-order-function lambda is re-evaluated PER ELEMENT
+    (neither codegen CSE nor interpreted subexpression elimination
+    reaches into lambda bodies), so the inline-``Column`` version of
+    this function — identical algebra, no named steps — cost O(n^2 log n)
+    per doc: measured 810 s for 500 tiny docs at sf0.001. With named
+    steps each array is computed once per row and the lambdas only read
+    attributes. Catalyst's CollapseProject keeps the steps separate
+    (each intermediate is referenced more than once downstream, and
+    CollapseProject refuses to duplicate non-cheap expressions)."""
+    ws = F.col(ws_col)
+    n_words = F.size(ws)
     m = n_words - (k - 1)
     idx = (F.when(m >= 1, F.sequence(F.lit(1), m))
            .otherwise(F.array().cast("array<int>")))
     ng = F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(k)]))
-    sng = F.array_sort(ng)
+    d = df.withColumn("_tng_sng", F.array_sort(ng))
+    sng = F.col("_tng_sng")
+    idx2 = (F.when(F.size(sng) >= 1, F.sequence(F.lit(1), F.size(sng)))
+            .otherwise(F.array().cast("array<int>")))
     # F.get is 0-based and NULL-safe: at i=1 the i-2 lookup is out of
     # range -> NULL inequality -> the (i == 1) arm keeps the boundary
-    bounds = F.filter(
-        idx, lambda i: (i == 1) | (F.get(sng, i - 1) != F.get(sng, i - 2)))
-    ends = F.concat(bounds, F.array(F.size(ng) + 1))
-    runs = F.zip_with(
+    d = d.withColumn("_tng_bounds", F.filter(
+        idx2, lambda i: (i == 1) | (F.get(sng, i - 1) != F.get(sng, i - 2))))
+    d = d.withColumn("_tng_ends",
+                     F.concat(F.col("_tng_bounds"),
+                              F.array(F.size(sng) + 1)))
+    ends = F.col("_tng_ends")
+    d = d.withColumn("_tng_top", F.array_max(F.zip_with(
         F.slice(ends, 1, F.size(ends) - 1),
         F.slice(ends, 2, F.size(ends) - 1),
-        lambda a, b: b - a)
-    top = F.array_max(runs)
-    return F.when((m >= 1) & (top >= 2),
+        lambda a, b: b - a)))
+    top = F.col("_tng_top")
+    frac = F.when((m >= 1) & (top >= 2),
                   F.lit(k) * top / n_words).otherwise(0.0)
+    return (d.withColumn(out_name, frac)
+            .drop("_tng_sng", "_tng_bounds", "_tng_ends", "_tng_top"))
 
 
 def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
@@ -111,15 +133,14 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     Each fraction is a single integer division (or ``k * top / n``), so the
     per-doc doubles are bit-reproducible in the DuckDB oracle.
     """
-    ws = words(F.col(text_col))
+    d = df.withColumn("_rep_ws", words(F.col(text_col)))
+    ws = F.col("_rep_ws")
     n = F.size(ws)
-    dup_word_frac = F.when(
-        n > 0, 1 - F.size(F.array_distinct(ws)) / n).otherwise(0.0)
-    bi = _top_ngram_frac(ws, n, 2)
-    tri = _top_ngram_frac(ws, n, 3)
-    return (df.withColumn("dup_word_frac", dup_word_frac)
-              .withColumn("top_bigram_frac", bi)
-              .withColumn("top_trigram_frac", tri)
+    d = d.withColumn("dup_word_frac", F.when(
+        n > 0, 1 - F.size(F.array_distinct(ws)) / n).otherwise(0.0))
+    d = _with_top_ngram_frac(d, "_rep_ws", 2, "top_bigram_frac")
+    d = _with_top_ngram_frac(d, "_rep_ws", 3, "top_trigram_frac")
+    return (d.drop("_rep_ws")
               .withColumn("repetitive",
                           (F.col("dup_word_frac") > 0.30)
                           | (F.col("top_bigram_frac") > 0.20)
