@@ -48,7 +48,12 @@ def _unit(a: Column) -> Column:
     the whole job under Spark's default ANSI mode (DIVIDE_BY_ZERO)."""
     n = _norm(a)
     safe = F.when(n != 0.0, n).otherwise(F.lit(1.0))
-    return F.transform(a, lambda x: x.cast("double") / safe)
+    # safe rides in as a zip_with ARGUMENT (array_repeat), so the norm
+    # aggregate evaluates once per row — referencing it from inside the
+    # lambda body would re-run the O(d) aggregate per element (lambda
+    # bodies are outside codegen CSE's reach), O(d^2) per row
+    return F.zip_with(a, F.array_repeat(safe, F.size(a)),
+                      lambda x, s: x.cast("double") / s)
 
 
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 20,
