@@ -317,11 +317,21 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     stars/cliques: 2-4). Convergence is detected by the total label sum,
     which strictly decreases until fixpoint (labels are monotone
     non-increasing), so the per-round action is a cheap aggregate, not a
-    diff join. Each round ``localCheckpoint``s the labels: iterative
-    self-referential plans otherwise grow exponentially in Catalyst (on
-    a cluster with unreliable executors, use ``spark.sparkContext.
+    diff join. Two job-count levers matter here because every Spark job
+    on this class of iterative graph loop is dominated by fixed
+    scheduling cost, not data:
+
+    - **Round 1 is a groupBy, not a join.** With identity initial labels
+      the neighbor-min of v is simply min(w over sym[u=v]), so the first
+      round skips the join entirely.
+    - **Lazy ``localCheckpoint(eager=False)``** truncates the
+      self-referential lineage (which otherwise grows exponentially in
+      Catalyst) while letting the convergence-sum action materialize the
+      checkpoint — one job per round where the eager form pays two.
+
+    On a cluster with unreliable executors, use ``spark.sparkContext.
     setCheckpointDir`` + ``checkpoint()`` instead — documented trade:
-    localCheckpoint is faster but not fault-tolerant).
+    localCheckpoint is faster but not fault-tolerant.
 
     Vertex ids must be numeric (the component id IS a vertex id); raises
     if propagation hasn't converged after ``max_iter`` rounds (a
@@ -336,11 +346,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
            # upstream candidate-pair pipeline (measured 30s -> ~5s on
            # the sf0.1 winnow edges)
            .localCheckpoint())
-    labels = (sym.select(F.col("u").alias("v")).distinct()
-              .withColumn("lbl", F.col("v")))
-    labels = labels.localCheckpoint()
     # decimal(38,0) sum: an int64 sum of 10^12 vertex ids would overflow
     _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    # round 1 fused: labels start as identity, so min(self, neighbors)
+    # is one keyed aggregation over sym — no join, no identity table
+    labels = (sym.groupBy("u").agg(F.min("w").alias("_mw"))
+              .select(F.col("u").alias("v"),
+                      F.least(F.col("u"), F.col("_mw")).alias("lbl"))
+              .localCheckpoint(eager=False))
     prev_sum = labels.agg(_lsum).collect()[0][0]
     if prev_sum is None:
         return labels.select("v", F.col("lbl").alias("component"))
@@ -352,7 +365,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                           F.least(F.col("lbl"),
                                   F.coalesce("nl", F.col("lbl")))
                           .alias("lbl"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(_lsum).collect()[0][0]
         if cur_sum == prev_sum:
             return labels.select("v", F.col("lbl").alias("component"))
