@@ -146,6 +146,14 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
     inflation of an entire query leg); a single-shot timing measures the
     host's bad minute, not the plan. Best-of-2 with a warmup pass bounds
     that, mirroring the scaling leg's best-of-rounds discipline.
+
+    The timed action is ``collect()``, NOT ``count()``: under count()
+    Catalyst prunes every aggregate/projection expression the row count
+    doesn't need, so a query whose cost lives in its computed columns
+    (q38's per-doc repetition features, q15's quality score) times the
+    *pruned* plan — r3's recorded q38=1.09s was really distinct(source).
+    collect() forces every output column; results are oracle-sized (the
+    driver collects them too), so driver-side materialization is noise.
     """
     import __spark_entry__ as entrymod
     spark = get_spark("bench-queries", cores=CPUS)
@@ -158,7 +166,7 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
+                n = len(fn(spark, sf_dir).collect())
                 wall = time.perf_counter() - t0
                 best = wall if best is None else min(best, wall)
             timings[name] = round(best, 3)
