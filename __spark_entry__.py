@@ -22,8 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from embulk_input_parquet_hadoop_spark.functions.hashes import (  # noqa: E402
     token_ids, words)
 from embulk_input_parquet_hadoop_spark.operators import (  # noqa: E402
-    asof, dedup, ivf, mixture, multimodal, pack, rangejoin, similarity,
-    sketch, textstats, vocab)
+    asof, dedup, ivf, mixture, multimodal, pack, quant, rangejoin,
+    similarity, sketch, textstats, vocab)
 from embulk_input_parquet_hadoop_spark.plans import pipeline, verify  # noqa: E402
 
 VOCAB = 50257
@@ -672,6 +672,39 @@ def q51_dedup_clusters(spark, sf_dir):
             .filter(F.col("n_docs") >= 2))
 
 
+def q52_sq8_error_profile(spark, sf_dir):
+    """Corpus-wide int8 embedding-quantization error profile, oracle-gated:
+    per-label reconstruction-error stats (max / sum in integer ulps of
+    2^-30, exact-dimension count) for the per-vector max-abs SQ8 layout
+    q31's IVF index stores. The audit a pipeline owner runs before
+    flipping a 100 TB float32 vector column to int8. Plan: map-only
+    quantize + error fold, ONE groupBy(label) shuffle with map-side
+    partial aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return quant.sq8_error_stats(emb, "label", "embedding")
+
+
+_Q53_L, _Q53_S = 128, 96
+
+
+def q53_chunk_overlap(spark, sf_dir):
+    """Per-document sliding-window chunking (128-token windows every 96
+    tokens — 32 tokens of left-context overlap), oracle-gated on every
+    chunk: id, window index, length, and an md5 over the exact token
+    content. The long-context variant of q36's packing that preserves
+    document boundaries. Plan: map-only tokenize + bounded explode +
+    slice; zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       token_ids(F.col("text"), VOCAB).alias("tokens"))
+    ch = pack.chunk_with_overlap(toks, _Q53_L, _Q53_S,
+                                 id_col="doc_id", tokens_col="tokens")
+    return ch.select(
+        "doc_id", "chunk_id", "n_tok",
+        F.md5(F.concat_ws(",", F.transform(
+            "chunk", lambda x: x.cast("string")))).alias("chunk_md5"))
+
+
 def q36_pack_sequences(spark, sf_dir):
     """Fixed-window training-sequence packing, oracle-gated end to end:
     documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
@@ -921,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_iceberg_snapshot_roundtrip": q49_iceberg_snapshot_roundtrip,
         "q50_bounded_quantiles": q50_bounded_quantiles,
         "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_sq8_error_profile": q52_sq8_error_profile,
+        "q53_chunk_overlap": q53_chunk_overlap,
     }
 
 
@@ -1419,6 +1454,59 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q37_mixture_sample": _mixture_oracle_sql(),
+        "q52_sq8_error_profile": """
+            WITH ex AS (
+              SELECT vec_id, label, CAST(x AS DOUBLE) AS x
+              FROM (SELECT vec_id, label, unnest(embedding) AS x
+                    FROM embeddings)
+            ),
+            mm AS (
+              SELECT vec_id,
+                     CASE WHEN max(abs(x)) = 0 THEN 1.0
+                          ELSE max(abs(x)) END AS m
+              FROM ex GROUP BY vec_id
+            ),
+            err AS (
+              SELECT vec_id, label,
+                     CAST(floor(
+                         abs(x - floor(x * 127.0 / m + 0.5) * m / 127.0)
+                         * 1073741824.0 + 0.5) AS BIGINT) AS ierr
+              FROM ex JOIN mm USING (vec_id)
+            )
+            SELECT label,
+                   CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                   CAST(count(*) AS BIGINT) AS n_dims,
+                   CAST(max(ierr) AS BIGINT) AS max_ierr,
+                   CAST(sum(ierr) AS BIGINT) AS sum_ierr,
+                   CAST(sum(CASE WHEN ierr = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact
+            FROM err GROUP BY label
+        """,
+        "q53_chunk_overlap": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({WORDS},
+                         w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                              % 50257) AS tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, tokens,
+                     unnest(generate_series(0,
+                         CAST((greatest(len(tokens) - 128, 0) + 95) // 96
+                              AS INT))) AS chunk_id
+              FROM t
+            ),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     tokens[chunk_id * 96 + 1 : chunk_id * 96 + 128] AS chunk
+              FROM c
+            )
+            SELECT doc_id, chunk_id, len(chunk) AS n_tok,
+                   md5(array_to_string(list_transform(chunk,
+                       x -> CAST(x AS VARCHAR)), ',')) AS chunk_md5
+            FROM ch WHERE len(chunk) >= 1
+        """,
         "q36_pack_sequences": f"""
             WITH t AS (
               SELECT doc_id,

@@ -179,3 +179,49 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     if drop_last:
         packed = packed.filter(F.col("n_tok") == L)
     return packed
+
+
+def chunk_with_overlap(df: DataFrame, seq_len: int, stride: int,
+                       id_col: str = "doc_id",
+                       tokens_col: str = "tokens",
+                       min_len: int = 1) -> DataFrame:
+    """Per-document sliding-window chunking: cut each token array into
+    windows of ``seq_len`` starting every ``stride`` tokens — the
+    long-context preparation step that keeps document boundaries (unlike
+    :func:`pack_sequences`, which concatenates across them) while giving
+    each chunk ``seq_len - stride`` tokens of left context.
+
+    Chunk starts are ``0, stride, 2*stride, ...`` up to and including the
+    FIRST start with ``start + seq_len >= n`` — every token lands in at
+    least one chunk, no trailing sliver chunks are emitted beyond the one
+    that reaches the end (that last chunk may be short; ``min_len``
+    drops short chunks, e.g. ``min_len=seq_len`` keeps only full
+    windows). Integer arithmetic throughout (``DIV``-style ceil), exact
+    at any document length.
+
+    Scale shape: map-only — one ``explode`` whose fan-out per doc is
+    ``ceil((n - seq_len)/stride) + 1`` (bounded by n/stride), no shuffle,
+    no UDF; Catalyst pushes any downstream chunk-level filter below
+    nothing because there is nothing to cross. The token payload is
+    sliced per chunk from the exploded row, so a chunk row carries only
+    its own ``seq_len`` tokens.
+    """
+    if stride < 1 or seq_len < 1:
+        raise ValueError("seq_len and stride must be >= 1")
+    t = F.col(tokens_col)
+    # number of chunks - 1 == ceil(max(n - seq_len, 0) / stride)
+    last = F.expr(
+        f"CAST((greatest(size({tokens_col}) - {int(seq_len)}, 0)"
+        f" + {int(stride) - 1}) DIV {int(stride)} AS INT)")
+    keep = [c for c in df.columns if c != tokens_col]
+    ch = (df.select(*keep, t.alias("_t"),
+                    F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"))
+          .withColumn("chunk", F.slice(
+              F.col("_t"), F.col("chunk_id") * stride + 1, seq_len))
+          .drop("_t"))
+    ch = ch.withColumn("n_tok", F.size("chunk"))
+    if min_len > 0:
+        # min_len=1 (default) also drops the empty chunk a zero-token
+        # document would otherwise emit
+        ch = ch.filter(F.col("n_tok") >= min_len)
+    return ch

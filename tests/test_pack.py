@@ -111,3 +111,53 @@ def test_pack_giant_doc_among_tiny(spark):
     want = {w: stream[w * 101:(w + 1) * 101]
             for w in range((len(stream) + 100) // 101)}
     assert got == want
+
+
+def _local_chunks(docs, L, S, min_len=1):
+    """Reference: starts 0, S, 2S, ... up to the first start with
+    start + L >= n; slice [s, s+L)."""
+    out = {}
+    for _id, toks in docs:
+        n = len(toks)
+        last = (max(n - L, 0) + S - 1) // S
+        for c in range(last + 1):
+            ch = toks[c * S:c * S + L]
+            if len(ch) >= min_len:
+                out[(_id, c)] = ch
+    return out
+
+
+@pytest.mark.parametrize("L,S", [(128, 96), (7, 7), (16, 3), (1, 1)])
+def test_chunk_with_overlap_matches_local_reference(spark, L, S):
+    got = {(r["doc_id"], r["chunk_id"]): r["chunk"] for r in
+           pack.chunk_with_overlap(_docs_df(spark, DOCS), L, S)
+           .collect()}
+    want = _local_chunks(DOCS, L, S)
+    assert got == want
+
+
+def test_chunk_with_overlap_full_windows_only(spark):
+    rows = pack.chunk_with_overlap(_docs_df(spark, DOCS), 64, 32,
+                                   min_len=64).collect()
+    assert rows and all(r["n_tok"] == 64 for r in rows)
+    want = {k: v for k, v in _local_chunks(DOCS, 64, 32).items()
+            if len(v) == 64}
+    assert {(r["doc_id"], r["chunk_id"]) for r in rows} == set(want)
+
+
+def test_chunk_with_overlap_covers_every_token(spark):
+    # union of a doc's chunks == the doc's tokens (order-preserving on
+    # the stride grid): reconstruct from stride-aligned prefixes
+    L, S = 50, 30
+    rows = pack.chunk_with_overlap(_docs_df(spark, DOCS), L, S).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    for _id, toks in DOCS:
+        if not toks:
+            assert _id not in by_doc
+            continue
+        rec = []
+        for c in sorted(by_doc[_id]):
+            rec[c * S:] = by_doc[_id][c]
+        assert rec == toks
