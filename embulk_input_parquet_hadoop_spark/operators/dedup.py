@@ -302,8 +302,30 @@ def contaminated_ids(train: DataFrame, bench: DataFrame, id_col: str,
             .agg(F.count(F.lit(1)).alias("n_gram_hits")))
 
 
+def _numpy_cc(u: "np.ndarray", w: "np.ndarray") -> "np.ndarray":
+    """Min-label connected components over a symmetric edge list of
+    0..V-1 indexes, fully vectorized: alternate one edge-relax pass
+    (``np.minimum.at``) with pointer-jumping compression (``lbl[lbl]``)
+    until every edge is label-consistent. O((E+V) log V) worst case, a
+    few passes in practice."""
+    import numpy as np
+
+    n_v = int(max(int(u.max()), int(w.max()))) + 1 if len(u) else 0
+    lbl = np.arange(n_v, dtype=np.int64)
+    while True:
+        np.minimum.at(lbl, u, lbl[w])
+        while True:
+            nl = lbl[lbl]
+            if np.array_equal(nl, lbl):
+                break
+            lbl = nl
+        if np.all(lbl[u] == lbl[w]):
+            return lbl
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 30
+                         dst: str = "id_b", max_iter: int = 30,
+                         driver_max_edges: int = 1_000_000
                          ) -> DataFrame:
     """Distributed connected components by min-label propagation:
     (v, component) where component is the smallest vertex id in v's
@@ -336,6 +358,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Vertex ids must be numeric (the component id IS a vertex id); raises
     if propagation hasn't converged after ``max_iter`` rounds (a
     diameter that large means the input is not dedup-shaped).
+
+    **Size-gated driver fast path**: when the materialized edge set is
+    within ``driver_max_edges`` (counted on the already-checkpointed
+    edges — one cheap action), the closure runs as a vectorized numpy
+    union (:func:`_numpy_cc`) on the driver instead of the iterative
+    loop. Same bounded-driver-materialization discipline as
+    ``ivf_build``'s training sample: the default 1M edges is ~16 MB over
+    the ~17-40 MB/s JVM->Python channel, well under a second, vs 1-4
+    Spark jobs of pure scheduling overhead for the loop. Past the gate —
+    the 100 TB case where the candidate-pair set itself is huge — the
+    distributed loop runs unchanged. Set ``driver_max_edges=0`` to force
+    the loop.
     """
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
            .union(edges.select(F.col(dst).alias("u"),
@@ -346,6 +380,20 @@ def connected_components(edges: DataFrame, src: str = "id_a",
            # upstream candidate-pair pipeline (measured 30s -> ~5s on
            # the sf0.1 winnow edges)
            .localCheckpoint())
+    n_sym = sym.count() if driver_max_edges else 0
+    if 0 < n_sym <= 2 * driver_max_edges:
+        import numpy as np
+        import pandas as pd
+
+        tbl = sym.toArrow()
+        un = tbl.column("u").to_numpy()
+        wn = tbl.column("w").to_numpy()
+        ids = np.unique(np.concatenate([un, wn]))
+        lbl = _numpy_cc(np.searchsorted(ids, un), np.searchsorted(ids, wn))
+        # np.unique sorts, so index order == id order and the min-index
+        # label maps back to the min-id component representative
+        out = pd.DataFrame({"v": ids, "component": ids[lbl]})
+        return edges.sparkSession.createDataFrame(out)
     # decimal(38,0) sum: an int64 sum of 10^12 vertex ids would overflow
     _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     # round 1 fused: labels start as identity, so min(self, neighbors)

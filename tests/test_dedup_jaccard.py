@@ -128,3 +128,27 @@ def test_connected_components_empty(spark):
     from embulk_input_parquet_hadoop_spark.operators import dedup
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup.connected_components(edges).count() == 0
+
+
+def test_connected_components_driver_vs_distributed(spark):
+    """The size-gated driver union-find and the distributed loop assign
+    identical components on a random graph (chains, cliques, isolated
+    edges), and the default gate actually takes the driver path."""
+    import numpy as np
+
+    from embulk_input_parquet_hadoop_spark.operators import dedup
+    rng = np.random.default_rng(13)
+    # random sparse graph: 300 vertices, 250 edges -> mixed components
+    e = rng.integers(0, 300, size=(250, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in e], "id_a long, id_b long")
+    fast = {r.v: r.component
+            for r in dedup.connected_components(edges).collect()}
+    loop = {r.v: r.component
+            for r in dedup.connected_components(
+                edges, driver_max_edges=0).collect()}
+    assert fast == loop and fast
+    # canonical representative: every component id is its own label
+    for v, c in fast.items():
+        assert fast[c] == c and c <= v
