@@ -208,6 +208,11 @@ def chunk_with_overlap(df: DataFrame, seq_len: int, stride: int,
     """
     if stride < 1 or seq_len < 1:
         raise ValueError("seq_len and stride must be >= 1")
+    if stride > seq_len:
+        # gaps would silently drop the tokens between consecutive
+        # windows, breaking the every-token-lands-in-a-chunk invariant
+        raise ValueError(f"stride {stride} > seq_len {seq_len} "
+                         "would skip tokens between chunks")
     t = F.col(tokens_col)
     # number of chunks - 1 == ceil(max(n - seq_len, 0) / stride)
     last = F.expr(

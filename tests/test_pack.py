@@ -161,3 +161,9 @@ def test_chunk_with_overlap_covers_every_token(spark):
         for c in sorted(by_doc[_id]):
             rec[c * S:] = by_doc[_id][c]
         assert rec == toks
+
+
+def test_chunk_with_overlap_rejects_gapping_stride(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="skip tokens"):
+        pack.chunk_with_overlap(_docs_df(spark, DOCS), 16, 17)
