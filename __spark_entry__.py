@@ -705,6 +705,28 @@ def q53_chunk_overlap(spark, sf_dir):
             "chunk", lambda x: x.cast("string")))).alias("chunk_md5"))
 
 
+def q54_pack_boundaries(spark, sf_dir):
+    """Packed-window DOCUMENT-SPAN metadata, oracle-gated: for every
+    193-token window of q36's packing, which documents contributed which
+    token runs (id, window-local start, length, in order) — the exact
+    input a trainer needs to build the block-diagonal attention mask
+    over packed sequences and to trace windows back to sources. The
+    spans ride q36's existing per-window aggregation (second
+    collect_list, no extra shuffle); parity is an md5 over the ordered
+    id:start:len encoding plus span-sum == window length."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_ids(F.col("text"), VOCAB).alias("tokens"),
+        F.size(words(F.col("text"))).alias("n_w"))
+    packed = pack.pack_sequences(toks, 193, n_col="n_w", boundaries=True)
+    return packed.select(
+        "seq_id", F.col("n_tok").cast("long").alias("n_tok"),
+        F.size("doc_spans").cast("long").alias("n_docs"),
+        F.md5(F.concat_ws(",", F.transform(
+            "doc_spans", lambda x: F.concat_ws(
+                ":", x["id"].cast("string"), x["start"].cast("string"),
+                x["len"].cast("string"))))).alias("spans_md5"))
+
+
 def q36_pack_sequences(spark, sf_dir):
     """Fixed-window training-sequence packing, oracle-gated end to end:
     documents tokenize (md5 ids), concatenate in doc_id order, re-cut into
@@ -956,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_sq8_error_profile": q52_sq8_error_profile,
         "q53_chunk_overlap": q53_chunk_overlap,
+        "q54_pack_boundaries": q54_pack_boundaries,
     }
 
 
@@ -1481,6 +1504,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN ierr = 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_exact
             FROM err GROUP BY label
+        """,
+        "q54_pack_boundaries": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({WORDS},
+                         w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                              % 50257) AS tokens
+              FROM documents
+            ),
+            off AS (
+              SELECT doc_id, len(tokens) AS n,
+                     CAST(COALESCE(sum(len(tokens)) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS s
+              FROM t WHERE len(tokens) > 0
+            ),
+            wins AS (
+              SELECT doc_id, s, n,
+                     unnest(generate_series(s // 193, (s + n - 1) // 193))
+                         AS w
+              FROM off
+            ),
+            sp AS (
+              SELECT w, doc_id,
+                     greatest(w * 193, s) - w * 193 AS start,
+                     least((w + 1) * 193, s + n) - greatest(w * 193, s)
+                         AS len
+              FROM wins
+            )
+            SELECT w AS seq_id,
+                   CAST(sum(len) AS BIGINT) AS n_tok,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   md5(string_agg(doc_id::VARCHAR || ':' ||
+                       start::VARCHAR || ':' || len::VARCHAR,
+                       ',' ORDER BY start)) AS spans_md5
+            FROM sp GROUP BY w
         """,
         "q53_chunk_overlap": f"""
             WITH t AS (

@@ -143,7 +143,8 @@ def doc_offsets(df: DataFrame, id_col: str = "doc_id",
 
 def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
                    tokens_col: str = "tokens", drop_last: bool = False,
-                   parts: int = 32, n_col: str | None = None) -> DataFrame:
+                   parts: int = 32, n_col: str | None = None,
+                   boundaries: bool = False) -> DataFrame:
     """Pack ragged per-document token arrays into fixed ``seq_len`` windows.
 
     Returns (seq_id, tokens, n_tok): window w holds global token positions
@@ -151,6 +152,16 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     Only the final window may be short; ``drop_last=True`` drops it (the
     usual pretraining convention). ``n_col`` (see ``doc_offsets``) keeps a
     derived ``tokens_col`` expression off the metadata scans.
+
+    ``boundaries=True`` additionally emits ``doc_spans``: an
+    array<struct<id, start, len>> (sorted by ``start``, within-window
+    0-based positions) recording which document each token run came
+    from — the metadata a trainer needs to build the block-diagonal
+    attention mask over packed sequences (tokens must not attend across
+    document boundaries) and to trace any window back to its sources.
+    Same plan shape: the spans ride the existing per-window aggregation
+    as a second ``collect_list`` over the piece rows already being
+    grouped — no extra shuffle, no extra scan.
     """
     L = int(seq_len)
     if L <= 0:
@@ -169,13 +180,26 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
             tokens_col,
             (F.col("gstart") - F.col("s") + 1).cast("int"),
             (F.col("gend") - F.col("gstart")).cast("int"))))
-    packed = (
-        pieces.groupBy("w")
-        .agg(F.flatten(F.transform(
-            F.array_sort(F.collect_list(F.struct("gstart", "piece"))),
-            lambda x: x["piece"])).alias(tokens_col))
-        .select(F.col("w").alias("seq_id"), tokens_col,
-                F.size(tokens_col).alias("n_tok")))
+    aggs = [F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct("gstart", "piece"))),
+        lambda x: x["piece"])).alias(tokens_col)]
+    if boundaries:
+        # zero-length docs produce empty pieces (harmless in the token
+        # flatten) — keep them out of the span metadata
+        aggs.append(F.filter(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("gstart", F.col(id_col).alias("id"), "gend"))),
+            lambda x: F.struct(
+                x["id"].alias("id"),
+                (x["gstart"] - F.col("w") * L).cast("int").alias("start"),
+                (x["gend"] - x["gstart"]).cast("int").alias("len"))),
+            lambda x: x["len"] > 0).alias("doc_spans"))
+    packed = pieces.groupBy("w").agg(*aggs)
+    cols = [F.col("w").alias("seq_id"), F.col(tokens_col),
+            F.size(tokens_col).alias("n_tok")]
+    if boundaries:
+        cols.append(F.col("doc_spans"))
+    packed = packed.select(*cols)
     if drop_last:
         packed = packed.filter(F.col("n_tok") == L)
     return packed

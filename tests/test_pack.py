@@ -167,3 +167,28 @@ def test_chunk_with_overlap_rejects_gapping_stride(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="skip tokens"):
         pack.chunk_with_overlap(_docs_df(spark, DOCS), 16, 17)
+
+
+@pytest.mark.parametrize("L", [17, 256])
+def test_pack_boundaries_spans(spark, L):
+    """doc_spans reconstruct the window exactly: spans tile [0, n_tok)
+    in order, each span's tokens equal the source doc's slice, and doc
+    order within a window follows global offsets."""
+    rows = pack.pack_sequences(_docs_df(spark, DOCS), L,
+                               boundaries=True).collect()
+    docs = dict(DOCS)
+    want = _local_pack(DOCS, L)
+    assert {r["seq_id"] for r in rows} == set(want)
+    for r in rows:
+        assert r["tokens"] == want[r["seq_id"]]
+        pos = 0
+        for sp in r["doc_spans"]:
+            assert sp["start"] == pos
+            pos += sp["len"]
+            # span content == the matching slice of the source doc
+            src = docs[sp["id"]]
+            got = r["tokens"][sp["start"]:sp["start"] + sp["len"]]
+            found = any(src[o:o + sp["len"]] == got
+                        for o in range(len(src) - sp["len"] + 1))
+            assert found
+        assert pos == r["n_tok"]
