@@ -41,6 +41,21 @@ def completed_waves(spark: SparkSession, out_dir: str) -> set[int]:
             if (m := _WAVE_RE.match(f))}
 
 
+def committed_input_files(out_dir: str) -> set[str]:
+    """Union of every committed wave's input-file lineage — the set an
+    incremental (``append``) encode subtracts so already-encoded source
+    files are never re-encoded. O(waves) driver-side JSON reads; at 100 TB
+    (~64 waves) this is a few MB of strings."""
+    mdir = _manifest_dir(out_dir)
+    out: set[str] = set()
+    if not fsutil.isdir(mdir):
+        return out
+    for f in fsutil.listdir(mdir):
+        if _WAVE_RE.match(f):
+            out.update(fsutil.read_json(f"{mdir}/{f}")["input_files"])
+    return out
+
+
 def _chunk_stats(chunks: DataFrame) -> DataFrame:
     return (chunks
             .select("chunk_id", "part_id", "n_rows", "n_tokens", "wall_ms",

@@ -605,8 +605,22 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 schema_mode: str = "single",
                 meta_mode: str = "driver",
                 entropy: bool = False,
-                input_files: list[str] | None = None) -> dict:
+                input_files: list[str] | None = None,
+                append: bool = False) -> dict:
     """Run the full encode job; returns aggregate metrics.
+
+    ``append=True`` is the INCREMENTAL mode: source files already present
+    in any committed wave's manifest lineage are subtracted from the
+    input, and the remaining (new) files are encoded as fresh waves
+    numbered past the existing ones. Feed it a growing directory, or an
+    Iceberg snapshot diff (``iceberg_meta.added_data_files``), and each
+    run encodes exactly the unseen files — idempotent under crashes for
+    the same reason ``resume`` is: a killed append run's committed waves
+    are in the manifest, so the re-run subtracts their files and only
+    encodes the remainder (file identity is the listing string, which is
+    stable across runs of the same listing path). ``resume`` and
+    ``append`` are mutually exclusive: resume re-runs a fixed input's
+    missing waves; append extends a tree with new input.
 
     ``input_files``: explicit data-file list overriding the tree listing
     of ``input_path`` — the integration point for table formats whose
@@ -673,6 +687,10 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         raise ValueError(f"unknown schema_mode {schema_mode!r}")
     if meta_mode not in ("driver", "distributed"):
         raise ValueError(f"unknown meta_mode {meta_mode!r}")
+    if append and resume:
+        raise ValueError("append and resume are mutually exclusive: "
+                         "resume re-runs a fixed input's missing waves, "
+                         "append extends the tree with new input")
     from . import fsutil
     if not fsutil.is_local(out_dir):
         # the per-file commit protocol is os.replace-based (workers write
@@ -738,6 +756,25 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         # parity with the reference's empty-glob failure
         # (ParquetHadoopInputPlugin.java:92-94 -> PathNotFoundException)
         raise FileNotFoundError(f"no parquet files under {input_path}")
+    totals = {"waves_run": 0, "waves_skipped": 0, "n_rows": 0, "n_tokens": 0,
+              "raw_bytes": 0, "enc_bytes": 0, "wall_s": 0.0}
+    wave_base = 0
+    if append:
+        seen = mf.committed_input_files(out_dir)
+        totals["n_files_already_committed"] = 0
+        if seen:
+            pruned = []
+            for gfiles in groups:
+                kept = [f for f in gfiles if f not in seen]
+                totals["n_files_already_committed"] += \
+                    len(gfiles) - len(kept)
+                pruned.append(kept)
+            groups = pruned
+            existing = mf.completed_waves(spark, out_dir)
+            wave_base = (max(existing) + 1) if existing else 0
+        if not any(groups):
+            # nothing new — a legitimate no-op, NOT the empty-glob error
+            return totals
     # flatten (group, wave-slice) into a deterministic global wave list so
     # wave ids are resume-stable across runs over the same file tree
     wave_files: list[list[str]] = []
@@ -746,9 +783,7 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         wave_files.extend(w for w in slices if w)
 
     done = mf.completed_waves(spark, out_dir) if resume else set()
-    totals = {"waves_run": 0, "waves_skipped": 0, "n_rows": 0, "n_tokens": 0,
-              "raw_bytes": 0, "enc_bytes": 0, "wall_s": 0.0}
-    for wave_id, wfiles in enumerate(wave_files):
+    for wave_id, wfiles in enumerate(wave_files, start=wave_base):
         if wave_id in done:
             totals["waves_skipped"] += 1
             continue

@@ -204,6 +204,25 @@ def snapshot_data_files(table_dir: str,
     return sorted(files)
 
 
+def added_data_files(table_dir: str, from_snapshot_id: int,
+                     to_snapshot_id: int | None = None,
+                     partition_filter: dict | None = None) -> list[str]:
+    """Data files live in ``to`` (default: current) but not in ``from`` —
+    the incremental-ingest unit: feed the diff to
+    ``encode_path(input_files=..., append=True)`` and each run encodes
+    exactly the bytes new since the last processed snapshot. Defined as
+    the live-file set difference, so compaction rewrites (new files
+    carrying old rows) are *included* — they are new bytes the encode
+    tree has not seen; dedup against re-encoded rows is the reader's
+    concern, as in Iceberg itself. Two metadata reads (O(manifests),
+    measured ~80k entries/s), no data IO.
+    """
+    old = set(snapshot_data_files(table_dir, from_snapshot_id,
+                                  partition_filter))
+    new = snapshot_data_files(table_dir, to_snapshot_id, partition_filter)
+    return sorted(f for f in new if f not in old)
+
+
 def _write_snapshot(meta_dir: str, snapshot_id: int,
                     parquet_files: list[str],
                     record_counts: list[int]) -> str:

@@ -81,6 +81,16 @@ def main() -> int:
                    metavar="FIELD=VALUE",
                    help="with --iceberg: metadata-level partition "
                         "pruning; repeatable, fields AND together")
+    p.add_argument("--append", action="store_true",
+                   help="incremental mode: subtract source files already "
+                        "in the manifest lineage, encode only new ones "
+                        "as fresh waves (combine with --iceberg "
+                        "--since-snapshot for snapshot-diff ingest)")
+    p.add_argument("--since-snapshot", type=int, default=None,
+                   metavar="ID",
+                   help="with --iceberg: encode only data files added "
+                        "after snapshot ID (live-set diff vs the "
+                        "current/selected snapshot)")
     p.add_argument("--entropy", action="store_true",
                    help="opt-in order-1 rANS competitor for large int "
                         "frames: smaller output (bytes/token) at ~5-10x "
@@ -112,10 +122,21 @@ def main() -> int:
         pf = None
         if args.partition:
             pf = dict(kv.split("=", 1) for kv in args.partition)
-        input_files = iceberg_meta.snapshot_data_files(
-            args.input, partition_filter=pf)
+        if args.since_snapshot is not None:
+            input_files = iceberg_meta.added_data_files(
+                args.input, args.since_snapshot, partition_filter=pf)
+            if not input_files:
+                print(json.dumps({"waves_run": 0, "n_tokens": 0,
+                                  "note": "no files added since snapshot "
+                                          f"{args.since_snapshot}"}))
+                return 0
+        else:
+            input_files = iceberg_meta.snapshot_data_files(
+                args.input, partition_filter=pf)
     elif args.partition:
         raise SystemExit("--partition requires --iceberg")
+    elif args.since_snapshot is not None:
+        raise SystemExit("--since-snapshot requires --iceberg")
     vacuum_result = None
     if args.vacuum:
         from embulk_input_parquet_hadoop_spark.plans import fsutil
@@ -129,7 +150,8 @@ def main() -> int:
     totals = pipeline.encode_path(
         spark, args.input, args.output, waves=args.waves,
         input_files=input_files,
-        resume=args.resume, cluster_partitions=args.cluster_partitions,
+        resume=args.resume, append=args.append,
+        cluster_partitions=args.cluster_partitions,
         batch_rows=args.batch_rows,
         columns=args.columns.split(",") if args.columns else None,
         schema_mode=args.schema_mode,

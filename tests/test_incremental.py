@@ -1,0 +1,107 @@
+"""Incremental (append) encode: growing directories and Iceberg
+snapshot diffs feed new files into an existing tree as fresh waves."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from embulk_input_parquet_hadoop_spark.plans import manifest as mf
+from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+from embulk_input_parquet_hadoop_spark.sources.datagen import generate
+
+
+def _grow_dir(tmp_path: Path) -> tuple[str, list[str], list[str]]:
+    """A corpus directory that grows: 2 initial files + 2 arrivals."""
+    a = tmp_path / "batch_a"
+    b = tmp_path / "batch_b"
+    generate(str(a), n_docs=800, seed=5, n_files=2)
+    generate(str(b), n_docs=700, seed=7, n_files=2, start_doc=800)
+    grow = tmp_path / "grow"
+    grow.mkdir()
+    first, second = [], []
+    for f in sorted(a.glob("*.parquet")):
+        first.append(str(grow / f"a-{f.name}"))
+        shutil.copy(f, first[-1])
+    for f in sorted(b.glob("*.parquet")):
+        second.append(str(grow / f"b-{f.name}"))
+    return str(grow), first, second
+
+
+def test_append_encodes_only_new_files(spark, tmp_path):
+    grow, first, second = _grow_dir(tmp_path)
+    out = str(tmp_path / "enc")
+    t1 = pipeline.encode_path(spark, grow, out, waves=2)
+    assert t1["waves_run"] == 2
+    n1 = t1["n_rows"]
+
+    # nothing new yet: append is a no-op, not an error
+    t_noop = pipeline.encode_path(spark, grow, out, waves=2, append=True)
+    assert t_noop["waves_run"] == 0
+    assert t_noop["n_files_already_committed"] == 2
+
+    # two new files arrive
+    src = sorted((tmp_path / "batch_b").glob("*.parquet"))
+    for f, dst in zip(src, second):
+        shutil.copy(f, dst)
+    t2 = pipeline.encode_path(spark, grow, out, waves=2, append=True)
+    assert t2["waves_run"] == 2
+    assert t2["n_files_already_committed"] == 2
+    assert t2["n_rows"] == 1500 - n1
+
+    # wave ids continue past the existing ones; lineage is disjoint
+    m = mf.read_manifest(spark, out)
+    assert sorted(r["wave_id"] for r in m.collect()) == [0, 1, 2, 3]
+    seen = [f for r in m.select("input_files").collect()
+            for f in r["input_files"]]
+    assert len(seen) == len(set(seen)) == 4
+
+    # the union tree decodes bit-identical to the union source, once each
+    res = verify.verify_path(spark, grow, out)
+    assert res["ok"], res
+    assert res["rows_compared"] == 1500
+    assert verify.verify_files(spark, out)["ok"]
+
+    # idempotent: a third append run sees nothing new
+    t3 = pipeline.encode_path(spark, grow, out, waves=2, append=True)
+    assert t3["waves_run"] == 0
+    assert t3["n_files_already_committed"] == 4
+
+
+def test_append_resume_mutually_exclusive(spark, tmp_path):
+    import pytest
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pipeline.encode_path(spark, str(tmp_path), str(tmp_path / "o"),
+                             append=True, resume=True)
+
+
+def test_iceberg_snapshot_diff_incremental(spark, tmp_path):
+    """End to end: encode snapshot 1, append the snapshot-2 diff, decode
+    equals the full snapshot-2 table."""
+    d = tmp_path / "data"
+    generate(str(d), n_docs=900, seed=11, n_files=3)
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    old, added = files[:2], files[2:]
+    table = str(tmp_path / "table")
+    iceberg_meta.write_table_fixture(table, files, snapshot_id=2,
+                                     older_snapshots={1: old})
+
+    diff = iceberg_meta.added_data_files(table, 1)
+    assert diff == [str(Path(f).resolve()) for f in added]
+    assert iceberg_meta.added_data_files(table, 2) == []
+
+    out = str(tmp_path / "enc")
+    t1 = pipeline.encode_path(
+        spark, table, out,
+        input_files=iceberg_meta.snapshot_data_files(table, 1))
+    t2 = pipeline.encode_path(spark, table, out, input_files=diff,
+                              append=True)
+    assert t1["waves_run"] == 1 and t2["waves_run"] == 1
+    dec = verify.decoded_df(spark, out)
+    assert dec.count() == 900
+    assert dec.select(F.countDistinct("doc_id")).collect()[0][0] == 900
+    res = verify.verify_path(spark, str(d), out)
+    assert res["ok"], res
