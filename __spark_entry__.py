@@ -698,7 +698,7 @@ def q53_chunk_overlap(spark, sf_dir):
     toks = docs.select("doc_id",
                        token_ids(F.col("text"), VOCAB).alias("tokens"))
     ch = pack.chunk_with_overlap(toks, _Q53_L, _Q53_S,
-                                 id_col="doc_id", tokens_col="tokens")
+                                 tokens_col="tokens")
     return ch.select(
         "doc_id", "chunk_id", "n_tok",
         F.md5(F.concat_ws(",", F.transform(

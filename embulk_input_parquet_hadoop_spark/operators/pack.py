@@ -184,16 +184,17 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
         F.array_sort(F.collect_list(F.struct("gstart", "piece"))),
         lambda x: x["piece"])).alias(tokens_col)]
     if boundaries:
-        # zero-length docs produce empty pieces (harmless in the token
-        # flatten) — keep them out of the span metadata
-        aggs.append(F.filter(F.transform(
+        # every piece row here has gend > gstart: zero-token documents
+        # never reach the pieces plan (doc_offsets inner-joins them away)
+        # and each window in [first_w, last_w] overlaps its doc by >= 1
+        aggs.append(F.transform(
             F.array_sort(F.collect_list(
                 F.struct("gstart", F.col(id_col).alias("id"), "gend"))),
             lambda x: F.struct(
                 x["id"].alias("id"),
                 (x["gstart"] - F.col("w") * L).cast("int").alias("start"),
-                (x["gend"] - x["gstart"]).cast("int").alias("len"))),
-            lambda x: x["len"] > 0).alias("doc_spans"))
+                (x["gend"] - x["gstart"]).cast("int").alias("len")))
+            .alias("doc_spans"))
     packed = pieces.groupBy("w").agg(*aggs)
     cols = [F.col("w").alias("seq_id"), F.col(tokens_col),
             F.size(tokens_col).alias("n_tok")]
@@ -206,14 +207,15 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
 
 
 def chunk_with_overlap(df: DataFrame, seq_len: int, stride: int,
-                       id_col: str = "doc_id",
                        tokens_col: str = "tokens",
                        min_len: int = 1) -> DataFrame:
     """Per-document sliding-window chunking: cut each token array into
     windows of ``seq_len`` starting every ``stride`` tokens — the
     long-context preparation step that keeps document boundaries (unlike
     :func:`pack_sequences`, which concatenates across them) while giving
-    each chunk ``seq_len - stride`` tokens of left context.
+    each chunk ``seq_len - stride`` tokens of left context. Chunking is
+    purely per-row; every non-token column (ids, labels, source) passes
+    through onto each of its document's chunk rows.
 
     Chunk starts are ``0, stride, 2*stride, ...`` up to and including the
     FIRST start with ``start + seq_len >= n`` — every token lands in at
@@ -238,9 +240,10 @@ def chunk_with_overlap(df: DataFrame, seq_len: int, stride: int,
         raise ValueError(f"stride {stride} > seq_len {seq_len} "
                          "would skip tokens between chunks")
     t = F.col(tokens_col)
-    # number of chunks - 1 == ceil(max(n - seq_len, 0) / stride)
+    # number of chunks - 1 == ceil(max(n - seq_len, 0) / stride);
+    # backticks keep non-identifier column names valid in the SQL text
     last = F.expr(
-        f"CAST((greatest(size({tokens_col}) - {int(seq_len)}, 0)"
+        f"CAST((greatest(size(`{tokens_col}`) - {int(seq_len)}, 0)"
         f" + {int(stride) - 1}) DIV {int(stride)} AS INT)")
     keep = [c for c in df.columns if c != tokens_col]
     ch = (df.select(*keep, t.alias("_t"),

@@ -33,21 +33,27 @@ from pyspark.sql import functions as F
 ERR_SCALE = 1 << 30  # ~1e-9 resolution on unit-normalized components
 
 
-def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """(id, qvec array<int>, scale double): per-vector max-abs int8
-    quantization. Map-only — no shuffle, no UDF; every lambda reads only
-    attributes or its own element (CLAUDE.md: subtrees referenced inside
-    HOF lambdas re-evaluate per element, so the scale is materialized as
-    a real column first)."""
+def _with_scale(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Append ``_m``: the per-vector max-abs quantization scale (1.0 for
+    the all-zero vector), materialized as a real column so the lambdas
+    that reference it read an attribute (CLAUDE.md: subtrees referenced
+    inside HOF lambdas re-evaluate per element)."""
     v = F.col(vec_col)
     d = emb.withColumn(
         "_m", F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))))
-    d = d.withColumn(
+    return d.withColumn(
         "_m", F.when(F.col("_m") != 0.0, F.col("_m")).otherwise(F.lit(1.0)))
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, qvec array<int>, scale double): per-vector max-abs int8
+    quantization. Map-only — no shuffle, no UDF."""
+    d = _with_scale(emb, vec_col)
     q = F.transform(
-        v, lambda x: F.floor(x.cast("double") * 127.0 / F.col("_m")
-                             + F.lit(0.5)).cast("int"))
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 127.0 / F.col("_m")
+                          + F.lit(0.5)).cast("int"))
     return d.select(id_col, q.alias("qvec"), F.col("_m").alias("scale"))
 
 
@@ -60,12 +66,13 @@ def sq8_error_stats(emb: DataFrame, group_col: str = "label",
     Plan shape at scale: quantize + per-vector error fold are map-only
     projections; the only shuffle is the final groupBy on ``group_col``
     with map-side partial aggregation — same cost as a count(*) per
-    group, regardless of dimension."""
+    group, regardless of dimension.
+
+    Zero-dimension vectors are excluded (they carry no quantization
+    information, and keeping the engines' ``n_vecs`` in agreement
+    requires it: SQL's unnest emits no rows for an empty list)."""
     v = F.col(vec_col)
-    d = emb.withColumn(
-        "_m", F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))))
-    d = d.withColumn(
-        "_m", F.when(F.col("_m") != 0.0, F.col("_m")).otherwise(F.lit(1.0)))
+    d = _with_scale(emb.filter(F.size(v) > 0), vec_col)
     # per-element integer error; materialized before the aggregate fold
     # so the fold lambda reads one attribute
     ierr = F.transform(

@@ -594,6 +594,17 @@ def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
     return spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
 
 
+def _lineage_key(path: str) -> str:
+    """Scheme-normalized file identity for manifest-lineage comparison:
+    ``file:/p``, ``file:///p`` and ``/p`` all mean the same local file
+    (Spark's ``inputFiles()`` emits URIs; pyarrow listings emit paths)."""
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
 def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 waves: int = 1, resume: bool = False,
                 cluster_partitions: int | None = None,
@@ -691,6 +702,16 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         raise ValueError("append and resume are mutually exclusive: "
                          "resume re-runs a fixed input's missing waves, "
                          "append extends the tree with new input")
+    if input_files is not None and not input_files:
+        # an explicit empty list must NEVER fall back to listing
+        # input_path (`if input_files` is falsy for []) — under append it
+        # is the snapshot-diff steady state (nothing new), otherwise it
+        # is the empty-glob error
+        if append:
+            return {"waves_run": 0, "waves_skipped": 0, "n_rows": 0,
+                    "n_tokens": 0, "raw_bytes": 0, "enc_bytes": 0,
+                    "wall_s": 0.0, "n_files_already_committed": 0}
+        raise FileNotFoundError("input_files is empty")
     from . import fsutil
     if not fsutil.is_local(out_dir):
         # the per-file commit protocol is os.replace-based (workers write
@@ -760,12 +781,16 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
               "raw_bytes": 0, "enc_bytes": 0, "wall_s": 0.0}
     wave_base = 0
     if append:
-        seen = mf.committed_input_files(out_dir)
+        # lineage identity is scheme-normalized: the single-schema path
+        # lists via Spark (file:/ URIs) while mixed mode and input_files
+        # carry plain paths — a cross-mode append must still recognize
+        # already-committed files
+        seen = {_lineage_key(f) for f in mf.committed_input_files(out_dir)}
         totals["n_files_already_committed"] = 0
         if seen:
             pruned = []
             for gfiles in groups:
-                kept = [f for f in gfiles if f not in seen]
+                kept = [f for f in gfiles if _lineage_key(f) not in seen]
                 totals["n_files_already_committed"] += \
                     len(gfiles) - len(kept)
                 pruned.append(kept)

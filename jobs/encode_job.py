@@ -90,7 +90,7 @@ def main() -> int:
                    metavar="ID",
                    help="with --iceberg: encode only data files added "
                         "after snapshot ID (live-set diff vs the "
-                        "current/selected snapshot)")
+                        "current snapshot); implies --append")
     p.add_argument("--entropy", action="store_true",
                    help="opt-in order-1 rANS competitor for large int "
                         "frames: smaller output (bytes/token) at ~5-10x "
@@ -123,13 +123,12 @@ def main() -> int:
         if args.partition:
             pf = dict(kv.split("=", 1) for kv in args.partition)
         if args.since_snapshot is not None:
+            # a snapshot diff is incremental by definition; an empty diff
+            # flows through encode_path's append no-op so --vacuum /
+            # --verify-files and the totals line still run
+            args.append = True
             input_files = iceberg_meta.added_data_files(
                 args.input, args.since_snapshot, partition_filter=pf)
-            if not input_files:
-                print(json.dumps({"waves_run": 0, "n_tokens": 0,
-                                  "note": "no files added since snapshot "
-                                          f"{args.since_snapshot}"}))
-                return 0
         else:
             input_files = iceberg_meta.snapshot_data_files(
                 args.input, partition_filter=pf)

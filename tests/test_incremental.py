@@ -105,3 +105,35 @@ def test_iceberg_snapshot_diff_incremental(spark, tmp_path):
     assert dec.select(F.countDistinct("doc_id")).collect()[0][0] == 900
     res = verify.verify_path(spark, str(d), out)
     assert res["ok"], res
+
+
+def test_append_empty_input_files_is_noop_not_fallback(spark, tmp_path):
+    """An explicit empty input_files (the snapshot-diff steady state)
+    must be an append no-op — never a silent fallback to listing
+    input_path — and an error without append."""
+    import pytest
+    d = tmp_path / "data"
+    generate(str(d), n_docs=200, seed=3, n_files=1)
+    out = str(tmp_path / "enc")
+    pipeline.encode_path(spark, str(d), out)
+    t = pipeline.encode_path(spark, str(d), out, input_files=[],
+                             append=True)
+    assert t["waves_run"] == 0
+    # out tree untouched: still exactly the original rows
+    assert verify.decoded_df(spark, out).count() == 200
+    with pytest.raises(FileNotFoundError, match="empty"):
+        pipeline.encode_path(spark, str(d), out + "2", input_files=[])
+
+
+def test_append_recognizes_files_across_listing_modes(spark, tmp_path):
+    """First run via explicit plain paths, append via directory listing
+    (Spark file: URIs): lineage identity is scheme-normalized, so the
+    append sees nothing new."""
+    d = tmp_path / "data"
+    generate(str(d), n_docs=300, seed=9, n_files=2)
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    out = str(tmp_path / "enc")
+    pipeline.encode_path(spark, str(d), out, input_files=files)
+    t = pipeline.encode_path(spark, str(d), out, append=True)
+    assert t["waves_run"] == 0
+    assert t["n_files_already_committed"] == 2
