@@ -192,3 +192,12 @@ def test_pack_boundaries_spans(spark, L):
                         for o in range(len(src) - sp["len"] + 1))
             assert found
         assert pos == r["n_tok"]
+
+
+def test_chunk_plan_is_map_only(spark):
+    # chunking must stay one embarrassingly parallel scan: no shuffle,
+    # no Python eval — the 100 TB shape claimed in the docstring
+    plan = (pack.chunk_with_overlap(_docs_df(spark, DOCS), 128, 96)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -69,3 +69,12 @@ def test_sq8_exact_vectors_have_zero_error(spark):
     out = quant.sq8_error_stats(_emb_df(spark, vecs, [0, 0])).collect()
     assert len(out) == 1 and out[0]["max_ierr"] == 0
     assert out[0]["n_exact"] == out[0]["n_dims"] == 16
+
+
+def test_sq8_plan_single_shuffle_no_python(spark):
+    # quantize + error fold are projections; the only exchange is the
+    # final groupBy (map-side partial agg), and nothing drops to Python
+    plan = (quant.sq8_error_stats(_emb_df(spark, VECS))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
