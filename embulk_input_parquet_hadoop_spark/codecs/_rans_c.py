@@ -1,0 +1,214 @@
+"""Optional C hot loop for the rANS coder (``codecs/rans.py``).
+
+The numpy coder is the REFERENCE implementation: it runs the lane loop
+as O(n / L) interpreter steps of L-wide vector ops, which bounds encode
+at a few Mtok/s/core no matter the lane count (measured: 4.6 -> 5.1
+Mtok/s from 1024 -> 8192 lanes — the bottleneck is per-step kernel
+dispatch, not arithmetic). This module compiles the same two loops as
+scalar C with the system compiler at first use and binds them via
+ctypes; the frame format, model, and emitted bits are IDENTICAL
+(equality-tested against the numpy path on random inputs), so trees
+written by either implementation decode with either.
+
+Build notes:
+- cc -O2 -shared -fPIC into a content-addressed path under
+  ``$XDG_CACHE_HOME`` (fallback /tmp) + atomic rename, so concurrent
+  Spark workers racing to build collide harmlessly on the same bytes.
+- No compiler / failed build -> ``LIB is None`` and rans.py keeps the
+  numpy path. Nothing is installed; only the stdlib + cc are used.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = r"""
+#include <stdint.h>
+
+/* push one value: at most one 32-bit word out, then the state update */
+static inline uint64_t push(uint64_t s, uint64_t f, uint64_t c,
+                            uint64_t M, uint64_t thresh,
+                            uint32_t *buf, int64_t *w) {
+    if (s >= thresh) { buf[(*w)++] = (uint32_t)s; s >>= 32; }
+    uint64_t q = s / f;
+    return q * M + (s - q * f) + c;
+}
+
+/* Encode all lanes. Per position the caller pre-selected (fsel, csel,
+   mb) = dedicated entry or the ESC entry, plus the shared-table entry
+   (f0, c0, mb0) used when escflag is set. Emission order per escaped
+   position: shared value first, then ESC — matching the numpy coder. */
+void rans_encode_lanes(int64_t lanes, const int64_t *starts,
+                       const int64_t *lens,
+                       const uint64_t *fsel, const uint64_t *csel,
+                       const uint8_t *mb, const uint8_t *escflag,
+                       const uint64_t *f0, const uint64_t *c0,
+                       uint8_t mb0,
+                       uint32_t *buf, int64_t maxw,
+                       int64_t *wptr, uint64_t *states) {
+    uint64_t M0 = 1ULL << mb0;
+    for (int64_t l = 0; l < lanes; l++) {
+        uint64_t s = 1ULL << 32;
+        uint32_t *b = buf + l * maxw;
+        int64_t w = 0;
+        int64_t lo = starts[l];
+        for (int64_t p = lo + lens[l] - 1; p >= lo; p--) {
+            if (escflag[p]) {
+                uint64_t th0 = f0[p] << (64 - mb0);
+                s = push(s, f0[p], c0[p], M0, th0, b, &w);
+            }
+            uint64_t M = 1ULL << mb[p];
+            uint64_t th = fsel[p] << (64 - mb[p]);
+            s = push(s, fsel[p], csel[p], M, th, b, &w);
+        }
+        wptr[l] = w;
+        states[l] = s;
+    }
+}
+
+/* Fused dense-plane encode: per position looks up (tid<<16|u) in the
+   fd/cd gather planes inside the loop — no 2M-element numpy
+   intermediates. Valid only when the dense planes exist (ntab <= 64);
+   the pre-gathered entry point above covers the searchsorted case. */
+void rans_encode_lanes_dense(int64_t lanes, const int64_t *starts,
+                             const int64_t *lens,
+                             const int64_t *u, const int64_t *tids,
+                             const int64_t *fd, const int64_t *cd,
+                             const uint64_t *esc_f, const uint64_t *esc_c,
+                             const uint8_t *mbits, int64_t shared_tid,
+                             uint32_t *buf, int64_t maxw,
+                             int64_t *wptr, uint64_t *states) {
+    uint8_t mb0 = mbits[shared_tid];
+    uint64_t M0 = 1ULL << mb0;
+    for (int64_t l = 0; l < lanes; l++) {
+        uint64_t s = 1ULL << 32;
+        uint32_t *b = buf + l * maxw;
+        int64_t w = 0;
+        int64_t lo = starts[l];
+        for (int64_t p = lo + lens[l] - 1; p >= lo; p--) {
+            int64_t tid = tids[p];
+            int64_t key = (tid << 16) | u[p];
+            uint64_t f = (uint64_t)fd[key];
+            uint64_t c, M, th;
+            if (f == 0) {                       /* escape */
+                int64_t sk = (shared_tid << 16) | u[p];
+                uint64_t f0 = (uint64_t)fd[sk];
+                th = f0 << (64 - mb0);
+                s = push(s, f0, (uint64_t)cd[sk], M0, th, b, &w);
+                f = esc_f[tid];
+                c = esc_c[tid];
+            } else {
+                c = (uint64_t)cd[key];
+            }
+            uint8_t mb = mbits[tid];
+            M = 1ULL << mb;
+            th = f << (64 - mb);
+            s = push(s, f, c, M, th, b, &w);
+        }
+        wptr[l] = w;
+        states[l] = s;
+    }
+}
+
+/* pop one symbol from table tid; reads at most one stream word.
+   M is a power of two, so the state split is mask+shift, never a div. */
+static inline uint16_t pop(uint64_t *sp, int64_t tid,
+                           const int64_t *slot_off,
+                           const uint16_t *sym_plane,
+                           const uint32_t *f_plane,
+                           const uint32_t *c_plane,
+                           const uint8_t *mbits,
+                           const uint32_t *stream, int64_t *rp) {
+    uint64_t s = *sp;
+    uint8_t mb = mbits[tid];
+    uint64_t slot = s & ((1ULL << mb) - 1);
+    int64_t g = slot_off[tid] + (int64_t)slot;
+    uint16_t sym = sym_plane[g];
+    s = (uint64_t)f_plane[g] * (s >> mb) + slot - (uint64_t)c_plane[g];
+    if (s < (1ULL << 32)) s = (s << 32) | (uint64_t)stream[(*rp)++];
+    *sp = s;
+    return sym;
+}
+
+void rans_decode_lanes(int64_t lanes, const int64_t *starts,
+                       const int64_t *lens,
+                       const int64_t *slot_off, const uint16_t *sym_plane,
+                       const uint32_t *f_plane, const uint32_t *c_plane,
+                       const uint8_t *mbits,
+                       const int64_t *ctx_map, int64_t B,
+                       int64_t shared_tid, uint16_t esc_sym,
+                       const uint32_t *stream, const int64_t *rstart,
+                       const uint64_t *states, int64_t *out) {
+    for (int64_t l = 0; l < lanes; l++) {
+        uint64_t s = states[l];
+        int64_t r = rstart[l];
+        int64_t prev = 0;
+        int64_t lo = starts[l];
+        for (int64_t k = 0; k < lens[l]; k++) {
+            int64_t tid = ctx_map[prev & (B - 1)];
+            uint16_t sym = pop(&s, tid, slot_off, sym_plane, f_plane,
+                               c_plane, mbits, stream, &r);
+            if (sym == esc_sym)
+                sym = pop(&s, shared_tid, slot_off, sym_plane, f_plane,
+                          c_plane, mbits, stream, &r);
+            out[lo + k] = (int64_t)sym;
+            prev = (int64_t)sym;
+        }
+    }
+}
+"""
+
+
+def _build() -> ctypes.CDLL | None:
+    tag = hashlib.md5(_SRC.encode()).hexdigest()[:16]
+    cache = os.environ.get("XDG_CACHE_HOME") or tempfile.gettempdir()
+    lib_dir = os.path.join(cache, "spark_graft_rans")
+    lib_path = os.path.join(lib_dir, f"rans_{tag}.so")
+    if not os.path.exists(lib_path):
+        try:
+            os.makedirs(lib_dir, exist_ok=True)
+            with tempfile.TemporaryDirectory(dir=lib_dir) as td:
+                src = os.path.join(td, "rans.c")
+                with open(src, "w") as f:
+                    f.write(_SRC)
+                tmp_so = os.path.join(td, "rans.so")
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp_so, lib_path)  # atomic; racers agree
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rans_encode_lanes.argtypes = [
+        ctypes.c_int64, i64p, i64p, u64p, u64p, u8p, u8p, u64p, u64p,
+        ctypes.c_uint8, u32p, ctypes.c_int64, i64p, u64p]
+    lib.rans_encode_lanes.restype = None
+    lib.rans_encode_lanes_dense.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, u64p, u64p,
+        u8p, ctypes.c_int64, u32p, ctypes.c_int64, i64p, u64p]
+    lib.rans_encode_lanes_dense.restype = None
+    lib.rans_decode_lanes.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, u16p, u32p, u32p, u8p,
+        i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint16, u32p,
+        i64p, u64p, i64p]
+    lib.rans_decode_lanes.restype = None
+    return lib
+
+
+LIB = None if os.environ.get("SPARK_GRAFT_NO_RANS_C") else _build()
+
+
+def as_ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))

@@ -17,7 +17,10 @@ Design constraints, in order:
 2. **No per-value Python.** The coder runs L independent rANS lanes over
    L contiguous segments; every per-symbol operation is a numpy op over
    the lane vector, so the interpreter executes ``O(n / L)`` steps of
-   ``O(L)``-wide arithmetic. Escapes are a masked sub-step.
+   ``O(L)``-wide arithmetic. Escapes are a masked sub-step. When the
+   system compiler is available, the same two loops run as scalar C
+   (``_rans_c.py``) — bit-identical frames, equality-tested; the numpy
+   form remains the reference implementation and the fallback.
 3. **Compact per-chunk model.** Closed-alphabet order-1 tables would be
    megabytes (dense contexts); instead each *dedicated* context keeps
    only its frequent symbols plus an ESC entry, escaping to a shared
@@ -48,8 +51,12 @@ order-1 over *tokens*.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 import pyarrow as pa
+
+from . import _rans_c
 
 _ZSTD = pa.Codec("zstd", compression_level=1)
 
@@ -278,6 +285,24 @@ def _pick_lanes(n: int) -> int:
     return int(min(2048, max(64, n // 1024))) if n >= 128 else max(1, n)
 
 
+def _pack_payload(model: _Model, lanes: int, states: np.ndarray,
+                  wcounts: np.ndarray, buf: np.ndarray,
+                  maxw: int) -> bytes:
+    """Frame payload from per-lane word buffers: model blob + per-lane
+    streams reversed (emission is LIFO, the decoder reads forward)."""
+    model_blob, rawlen = _serialize_model(model, lanes, states, wcounts)
+    total_w = int(wcounts.sum())
+    stream = np.empty(total_w, dtype=np.uint32)
+    off = 0
+    for li in range(lanes):
+        w = int(wcounts[li])
+        o = li * maxw
+        stream[off:off + w] = buf[o:o + w][::-1]
+        off += w
+    return (np.array([len(model_blob), rawlen], dtype=np.uint32).tobytes()
+            + model_blob + stream.tobytes())
+
+
 def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
     n = len(arr)
     if n == 0:
@@ -303,6 +328,27 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
     # dense per-position coding plan, all vectorized up front ------------
     tids = model.ctx_map[ctx].astype(np.int64)
     ntab = len(model.tables)
+    if _rans_c.LIB is not None and ntab <= 64:
+        # fully fused C path: the per-position plane lookup happens
+        # inside the lane loop — no 2M-element intermediates at all
+        fd, cd = _dense_planes(model)
+        maxw = int(2 * (n // lanes + 2) + 4)
+        buf = np.empty(lanes * maxw, dtype=np.uint32)
+        wptr = np.zeros(lanes, dtype=np.int64)
+        states_c = np.empty(lanes, dtype=np.uint64)
+        i64, u64, u32, u8 = (ctypes.c_int64, ctypes.c_uint64,
+                             ctypes.c_uint32, ctypes.c_uint8)
+        _rans_c.LIB.rans_encode_lanes_dense(
+            lanes, _rans_c.as_ptr(starts, i64), _rans_c.as_ptr(lens, i64),
+            _rans_c.as_ptr(u, i64), _rans_c.as_ptr(tids, i64),
+            _rans_c.as_ptr(fd, i64), _rans_c.as_ptr(cd, i64),
+            _rans_c.as_ptr(model.esc_f.astype(np.uint64), u64),
+            _rans_c.as_ptr(model.esc_c.astype(np.uint64), u64),
+            _rans_c.as_ptr(np.ascontiguousarray(model.mbits), u8),
+            int(model.shared_tid), _rans_c.as_ptr(buf, u32), maxw,
+            _rans_c.as_ptr(wptr, i64), _rans_c.as_ptr(states_c, u64))
+        return (_pack_payload(model, lanes, states_c, wptr, buf, maxw),
+                {"min": vmin, "B": B, "L": lanes})
     poskey = (tids << 16) | u
     if ntab <= 64:
         # dense (tid, sym) gather planes: 64 tables x 65536 x 8B = 32MB
@@ -333,6 +379,28 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
     f0 = f0.astype(np.uint64)
     c0 = c0.astype(np.uint64)
     mb0 = np.uint64(model.mbits[st])
+
+    if _rans_c.LIB is not None:
+        # scalar C lane loop over the pre-gathered per-position plan
+        # (the >64-table case): same emission order, bit-identical
+        # output (tests force both paths and compare)
+        maxw = int(2 * (n // lanes + 2) + 4)
+        buf = np.empty(lanes * maxw, dtype=np.uint32)
+        wptr = np.zeros(lanes, dtype=np.int64)
+        states_c = np.empty(lanes, dtype=np.uint64)
+        escflag = (~found).astype(np.uint8)
+        i64, u64, u32, u8 = (ctypes.c_int64, ctypes.c_uint64,
+                             ctypes.c_uint32, ctypes.c_uint8)
+        _rans_c.LIB.rans_encode_lanes(
+            lanes, _rans_c.as_ptr(starts, i64), _rans_c.as_ptr(lens, i64),
+            _rans_c.as_ptr(f, u64), _rans_c.as_ptr(c, u64),
+            _rans_c.as_ptr(mb.astype(np.uint8), u8),
+            _rans_c.as_ptr(escflag, u8),
+            _rans_c.as_ptr(f0, u64), _rans_c.as_ptr(c0, u64),
+            int(mb0), _rans_c.as_ptr(buf, u32), maxw,
+            _rans_c.as_ptr(wptr, i64), _rans_c.as_ptr(states_c, u64))
+        return (_pack_payload(model, lanes, states_c, wptr, buf, maxw),
+                {"min": vmin, "B": B, "L": lanes})
 
     # step-major plan matrices: row s_i holds every lane's
     # (f, c, M=2^mbits, renorm threshold, esc) for its s_i-th value, so
@@ -457,10 +525,34 @@ def rans_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     mlen, rawlen = np.frombuffer(payload, dtype=np.uint32, count=2)
     model, state, wcounts = _deserialize_model(
         bytes(payload[8:8 + int(mlen)]), int(rawlen), lanes)
-    stream = np.frombuffer(payload, dtype=np.uint32,
-                           offset=8 + int(mlen)).astype(np.uint64)
+    raw_stream = np.frombuffer(payload, dtype=np.uint32,
+                               offset=8 + int(mlen))
     starts, lens, base, rem = _lane_layout(n, lanes)
     rptr = np.concatenate([[0], np.cumsum(wcounts)[:-1]]).astype(np.int64)
+
+    if _rans_c.LIB is not None:
+        out = np.empty(n, dtype=np.int64)
+        stream_c = np.ascontiguousarray(raw_stream)
+        ctx64 = model.ctx_map.astype(np.int64)
+        f32 = np.ascontiguousarray(model.f_of_slot)
+        c32 = np.ascontiguousarray(model.cbase_of_slot)
+        sym16 = np.ascontiguousarray(model.sym_of_slot)
+        i64, u64, u32, u16, u8 = (ctypes.c_int64, ctypes.c_uint64,
+                                  ctypes.c_uint32, ctypes.c_uint16,
+                                  ctypes.c_uint8)
+        _rans_c.LIB.rans_decode_lanes(
+            lanes, _rans_c.as_ptr(starts, i64), _rans_c.as_ptr(lens, i64),
+            _rans_c.as_ptr(model.slot_off, i64),
+            _rans_c.as_ptr(sym16, u16), _rans_c.as_ptr(f32, u32),
+            _rans_c.as_ptr(c32, u32),
+            _rans_c.as_ptr(np.ascontiguousarray(model.mbits), u8),
+            _rans_c.as_ptr(ctx64, i64),
+            int(model.B), int(model.shared_tid), int(ESC),
+            _rans_c.as_ptr(stream_c, u32), _rans_c.as_ptr(rptr, i64),
+            _rans_c.as_ptr(state, u64), _rans_c.as_ptr(out, i64))
+        return out + np.int64(params["min"])
+
+    stream = raw_stream.astype(np.uint64)
 
     prev = np.zeros(lanes, dtype=np.int64)
     slot_off = model.slot_off

@@ -163,3 +163,42 @@ def test_deterministic_encode():
 def test_small_context_bucket_count():
     a = RNG.integers(0, 1_000, 50_000, dtype=np.int64)
     _roundtrip(a, B=256)
+
+
+def test_c_and_numpy_coders_bit_identical():
+    """The optional C hot loop (codecs/_rans_c.py) must produce
+    byte-identical frames to the numpy reference and cross-decode in
+    both directions, across the dense-plane (<=64 tables), searchsorted
+    (>64 tables via a structured stream), and tail/edge regimes."""
+    import numpy as np
+    import pytest
+
+    from embulk_input_parquet_hadoop_spark.codecs import _rans_c, rans
+    if _rans_c.LIB is None:
+        pytest.skip("no C compiler available")
+    rng = np.random.default_rng(77)
+    cases = [rng.integers(0, 50_000, size=100_003).astype(np.int64)]
+    T = 300
+    trans = rng.integers(0, T, size=(T, 4))
+    seq = np.empty(120_000, dtype=np.int64)
+    s = 0
+    ch = rng.integers(0, 4, size=len(seq))
+    for i in range(len(seq)):
+        s = trans[s, ch[i]]
+        seq[i] = s
+    cases.append(seq)                      # many dedicated tables
+    cases.append(rng.integers(0, 3, size=257).astype(np.int64))
+    cases.append(np.array([7, 9] * 40, dtype=np.int64))
+    for arr in cases:
+        pc, prc = rans.rans_encode(arr)
+        lib = _rans_c.LIB
+        try:
+            _rans_c.LIB = None
+            pn, prn = rans.rans_encode(arr)
+            dec_numpy = rans.rans_decode(pc, prc, len(arr))
+        finally:
+            _rans_c.LIB = lib
+        dec_c = rans.rans_decode(pn, prn, len(arr))
+        assert pc == pn and prc == prn
+        assert np.array_equal(dec_numpy, arr)
+        assert np.array_equal(dec_c, arr)
