@@ -1,0 +1,98 @@
+"""Export an encoded tree back to a plain Parquet table.
+
+The consumer-facing inverse of ``encode_job``: manifest-gated chunk
+read -> optional zone-map range pruning -> distributed decode ->
+``df.write.parquet``. Completes the lifecycle for downstream systems
+that want ordinary Parquet (a trainer's data loader, an ad-hoc DuckDB
+session) without linking the decode kernels.
+
+    spark-submit --py-files pkg.zip jobs/decode_job.py \
+        --input /data/encoded --output /data/tokens_export \
+        --range n_tok:128:4096
+
+Only committed waves are visible (the manifest gate), so an export
+taken mid-encode is a consistent snapshot of whole waves. The range
+filter prunes at chunk granularity BEFORE any payload decode and
+re-applies exactly on the decoded rows — the reader-side analogue of
+Parquet row-group statistics pruning.
+
+Prints one JSON line: rows exported, wall seconds, output path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from embulk_input_parquet_hadoop_spark.plans import pipeline  # noqa: E402
+from embulk_input_parquet_hadoop_spark.plans.verify import (  # noqa: E402
+    TOKENS_COLUMNS, TOKENS_SPARK_SCHEMA)
+from embulk_input_parquet_hadoop_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="encoded tree (out_dir "
+                   "of encode_job)")
+    p.add_argument("--output", required=True,
+                   help="parquet output directory")
+    p.add_argument("--schema", default=TOKENS_SPARK_SCHEMA,
+                   help="DDL of the decoded table (default: the "
+                        "input-hint tokens schema)")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated column projection (default: "
+                        "every schema column)")
+    p.add_argument("--range", action="append", default=None,
+                   metavar="COL:LO:HI",
+                   help="zone-map-pruned int range filter, repeatable; "
+                        "empty LO/HI means unbounded (e.g. n_tok:128:)")
+    p.add_argument("--overwrite", action="store_true",
+                   help="replace an existing output directory")
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] run without spark-submit")
+    args = p.parse_args()
+
+    if args.cores is not None:
+        spark = get_spark("decode-job", cores=args.cores)
+    else:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.appName("decode-job").getOrCreate()
+
+    full = spark.createDataFrame([], args.schema).schema
+    if args.columns:
+        columns = args.columns.split(",")
+        unknown = [c for c in columns if c not in full.fieldNames()]
+        if unknown:
+            raise SystemExit(f"--columns {unknown} not in schema "
+                             f"{full.simpleString()}")
+        schema = ", ".join(f"{full[c].name} {full[c].dataType.simpleString()}"
+                           for c in columns)
+    else:
+        columns = full.fieldNames()
+        schema = args.schema
+    ranges = None
+    if args.range:
+        ranges = {}
+        for spec in args.range:
+            col, lo, hi = spec.split(":")
+            ranges[col] = (int(lo) if lo else None, int(hi) if hi else None)
+
+    t0 = time.perf_counter()
+    df = pipeline.read_decoded(spark, args.input, columns, schema,
+                               int_ranges=ranges)
+    mode = "overwrite" if args.overwrite else "errorifexists"
+    df.write.mode(mode).parquet(args.output)
+    rows = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": rows,
+                      "wall_s": round(time.perf_counter() - t0, 3),
+                      "output": args.output}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

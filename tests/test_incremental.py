@@ -137,3 +137,36 @@ def test_append_recognizes_files_across_listing_modes(spark, tmp_path):
     t = pipeline.encode_path(spark, str(d), out, append=True)
     assert t["waves_run"] == 0
     assert t["n_files_already_committed"] == 2
+
+
+def test_decode_job_exports_parquet(spark, tmp_path, monkeypatch):
+    """decode_job round-trip: encode -> export to parquet -> the export
+    equals the source; a --range export equals the filtered source."""
+    import sys as _sys
+
+    from jobs import decode_job
+
+    d = tmp_path / "data"
+    generate(str(d), n_docs=400, seed=21, n_files=2)
+    enc = str(tmp_path / "enc")
+    pipeline.encode_path(spark, str(d), enc, waves=2)
+
+    out = str(tmp_path / "export")
+    monkeypatch.setattr(_sys, "argv", [
+        "decode_job.py", "--input", enc, "--output", out, "--cores", "8"])
+    assert decode_job.main() == 0
+    src = spark.read.parquet(str(d)).orderBy("doc_id").collect()
+    got = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in src]
+
+    out2 = str(tmp_path / "export_filtered")
+    monkeypatch.setattr(_sys, "argv", [
+        "decode_job.py", "--input", enc, "--output", out2,
+        "--columns", "doc_id,n_tok", "--range", "n_tok:100:400",
+        "--cores", "8"])
+    assert decode_job.main() == 0
+    want = {(r.doc_id, r.n_tok) for r in
+            spark.read.parquet(str(d))
+            .filter("n_tok between 100 and 400").collect()}
+    got2 = {(r.doc_id, r.n_tok) for r in spark.read.parquet(out2).collect()}
+    assert got2 == want and want
