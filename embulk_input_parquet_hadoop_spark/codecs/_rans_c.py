@@ -16,6 +16,11 @@ Build notes:
   Spark workers racing to build collide harmlessly on the same bytes.
 - No compiler / failed build -> ``LIB is None`` and rans.py keeps the
   numpy path. Nothing is installed; only the stdlib + cc are used.
+- Input trust: payloads reach either decoder only AFTER the frame
+  CRC32 check (``framing.decode_frames`` raises on mismatch), so the C
+  loop never sees corrupt bytes short of a 2^-32 CRC collision. The
+  numpy path's bounds-checked indexing is the extra defense-in-depth
+  there; set ``SPARK_GRAFT_NO_RANS_C=1`` when decoding untrusted trees.
 """
 
 from __future__ import annotations
@@ -166,11 +171,21 @@ void rans_decode_lanes(int64_t lanes, const int64_t *starts,
 def _build() -> ctypes.CDLL | None:
     tag = hashlib.md5(_SRC.encode()).hexdigest()[:16]
     cache = os.environ.get("XDG_CACHE_HOME") or tempfile.gettempdir()
-    lib_dir = os.path.join(cache, "spark_graft_rans")
+    # per-uid, 0700: CDLL() executes library constructors, so loading a
+    # .so from a predictable world-writable path would let any local
+    # user plant code. Refuse a pre-existing dir we don't exclusively
+    # own rather than silently "fixing" it.
+    lib_dir = os.path.join(cache, f"spark_graft_rans_{os.getuid()}")
     lib_path = os.path.join(lib_dir, f"rans_{tag}.so")
+    try:
+        os.makedirs(lib_dir, mode=0o700, exist_ok=True)
+        st = os.stat(lib_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            return None
+    except OSError:
+        return None
     if not os.path.exists(lib_path):
         try:
-            os.makedirs(lib_dir, exist_ok=True)
             with tempfile.TemporaryDirectory(dir=lib_dir) as td:
                 src = os.path.join(td, "rans.c")
                 with open(src, "w") as f:

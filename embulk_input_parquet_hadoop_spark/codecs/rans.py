@@ -469,21 +469,8 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
         q = state // fv
         state[:] = q * Mm[s_i] + (state - q * fv) + cm[s_i]
 
-    wcounts = wptr
-    model_blob, rawlen = _serialize_model(model, lanes, state, wcounts)
-    total_w = int(wcounts.sum())
-    stream = np.empty(total_w, dtype=np.uint32)
-    off = 0
-    for li in range(lanes):
-        w = int(wcounts[li])
-        # decoder reads forward; emission order was LIFO — reverse per lane
-        o = li * maxw
-        stream[off:off + w] = buf[o:o + w][::-1]
-        off += w
-    payload = (np.array([len(model_blob), rawlen],
-                        dtype=np.uint32).tobytes()
-               + model_blob + stream.tobytes())
-    return payload, {"min": vmin, "B": B, "L": lanes}
+    return (_pack_payload(model, lanes, state, wptr, buf, maxw),
+            {"min": vmin, "B": B, "L": lanes})
 
 
 def _dense_planes(model: _Model) -> tuple[np.ndarray, np.ndarray]:
@@ -532,7 +519,11 @@ def rans_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
 
     if _rans_c.LIB is not None:
         out = np.empty(n, dtype=np.int64)
-        stream_c = np.ascontiguousarray(raw_stream)
+        # the word stream starts at 8 + model-blob length — arbitrary, so
+        # ~3/4 of frames are 4-byte MISaligned; ascontiguousarray does
+        # NOT fix alignment, and a misaligned uint32* is UB in C
+        stream_c = (raw_stream if raw_stream.flags["ALIGNED"]
+                    else raw_stream.copy())
         ctx64 = model.ctx_map.astype(np.int64)
         f32 = np.ascontiguousarray(model.f_of_slot)
         c32 = np.ascontiguousarray(model.cbase_of_slot)

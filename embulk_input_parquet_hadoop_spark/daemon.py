@@ -27,10 +27,9 @@ import pyarrow  # noqa: F401
 # initialization, so even numpy's lazily-created cast loops are inherited.
 from embulk_input_parquet_hadoop_spark.operators import encode  # noqa: F401
 from embulk_input_parquet_hadoop_spark.plans import pipeline  # noqa: F401
-# rans is imported lazily on the encode path; pre-importing it here also
-# pre-builds (or pre-loads) the optional C hot loop, so forked workers
-# inherit the bound library instead of racing to compile it on first use
-from embulk_input_parquet_hadoop_spark.codecs import rans  # noqa: F401
+# (the encode import above also pulls in codecs.rans via intcodecs'
+# codec registry, which builds/loads the optional C hot loop — forked
+# workers inherit the bound library instead of compiling on first use)
 
 from pyspark.daemon import manager
 

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from embulk_input_parquet_hadoop_spark.plans import pipeline  # noqa: E402
 from embulk_input_parquet_hadoop_spark.plans.verify import (  # noqa: E402
-    TOKENS_COLUMNS, TOKENS_SPARK_SCHEMA)
+    TOKENS_SPARK_SCHEMA)
 from embulk_input_parquet_hadoop_spark.session import get_spark  # noqa: E402
 
 
