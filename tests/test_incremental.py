@@ -170,3 +170,22 @@ def test_decode_job_exports_parquet(spark, tmp_path, monkeypatch):
             .filter("n_tok between 100 and 400").collect()}
     got2 = {(r.doc_id, r.n_tok) for r in spark.read.parquet(out2).collect()}
     assert got2 == want and want
+
+
+def test_snapshot_diff_composes_with_partition_filter(spark, tmp_path):
+    """added_data_files prunes the diff at the metadata level too: only
+    new files whose partition record matches are returned."""
+    d = tmp_path / "data"
+    generate(str(d), n_docs=400, seed=31, n_files=4)
+    files = [str(Path(f).resolve()) for f in
+             sorted(d.glob("*.parquet"))]
+    table = str(tmp_path / "ptable")
+    iceberg_meta.write_table_fixture(
+        table, files, snapshot_id=2, older_snapshots={1: files[:2]},
+        partitions=[{"source": "web"}, {"source": "books"},
+                    {"source": "web"}, {"source": "books"}])
+    assert iceberg_meta.added_data_files(table, 1) == files[2:]
+    assert iceberg_meta.added_data_files(
+        table, 1, partition_filter={"source": "web"}) == [files[2]]
+    assert iceberg_meta.added_data_files(
+        table, 1, partition_filter={"source": "books"}) == [files[3]]
