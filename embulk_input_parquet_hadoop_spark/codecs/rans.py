@@ -516,6 +516,19 @@ def rans_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
                                offset=8 + int(mlen))
     starts, lens, base, rem = _lane_layout(n, lanes)
     rptr = np.concatenate([[0], np.cumsum(wcounts)[:-1]]).astype(np.int64)
+    # the C loop does no bounds checking (the numpy path raises
+    # IndexError on a short stream) — reject internally-inconsistent
+    # frames (truncation that slipped past the CRC, or a caller handing
+    # a cut buffer straight to rans_decode) before handing it pointers
+    if int(wcounts.sum()) != len(raw_stream):
+        raise ValueError(
+            f"rANS frame inconsistent: lane word counts sum to "
+            f"{int(wcounts.sum())} but stream holds {len(raw_stream)} "
+            f"words (truncated frame?)")
+    if int(lens.sum()) != n:
+        raise ValueError(
+            f"rANS frame inconsistent: lane layout covers {int(lens.sum())} "
+            f"values for n={n}")
 
     if _rans_c.LIB is not None:
         out = np.empty(n, dtype=np.int64)

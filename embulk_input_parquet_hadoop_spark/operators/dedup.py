@@ -393,7 +393,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # np.unique sorts, so index order == id order and the min-index
         # label maps back to the min-id component representative
         out = pd.DataFrame({"v": ids, "component": ids[lbl]})
-        return edges.sparkSession.createDataFrame(out)
+        # explicit schema matching the distributed path: v/component carry
+        # the src column's type (both paths' ids ARE input vertex ids), so
+        # downstream schema-sensitive consumers see one contract
+        # regardless of which gate fired
+        id_type = edges.schema[src].dataType
+        from pyspark.sql.types import StructField, StructType
+        schema = StructType([StructField("v", id_type, True),
+                             StructField("component", id_type, True)])
+        return edges.sparkSession.createDataFrame(out, schema=schema)
     # decimal(38,0) sum: an int64 sum of 10^12 vertex ids would overflow
     _lsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     # round 1 fused: labels start as identity, so min(self, neighbors)

@@ -66,6 +66,22 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
               .withColumn("quality", score))
 
 
+def _tmp_names(df: DataFrame, *bases: str) -> list[str]:
+    """Scratch column names guaranteed absent from ``df.columns`` — a user
+    DataFrame that already carries a ``_tng_sng`` (etc.) column must not
+    have it silently overwritten and dropped."""
+    taken = set(df.columns)
+    out = []
+    for base in bases:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        out.append(name)
+    return out
+
+
 def _with_top_ngram_frac(df: DataFrame, ws_col: str, k: int,
                          out_name: str) -> DataFrame:
     """Append ``out_name``: fraction of words covered by the most frequent
@@ -91,32 +107,34 @@ def _with_top_ngram_frac(df: DataFrame, ws_col: str, k: int,
     ws = F.col(ws_col)
     n_words = F.size(ws)
     m = n_words - (k - 1)
+    c_sng, c_bounds, c_ends, c_top = _tmp_names(
+        df, "_tng_sng", "_tng_bounds", "_tng_ends", "_tng_top")
     idx = (F.when(m >= 1, F.sequence(F.lit(1), m))
            .otherwise(F.array().cast("array<int>")))
     ng = F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(k)]))
-    d = df.withColumn("_tng_sng", F.array_sort(ng))
-    sng = F.col("_tng_sng")
+    d = df.withColumn(c_sng, F.array_sort(ng))
+    sng = F.col(c_sng)
     idx2 = (F.when(F.size(sng) >= 1, F.sequence(F.lit(1), F.size(sng)))
             .otherwise(F.array().cast("array<int>")))
     # F.get is 0-based and NULL-safe: at i=1 the i-2 lookup is out of
     # range -> NULL inequality -> the (i == 1) arm keeps the boundary
-    d = d.withColumn("_tng_bounds", F.filter(
+    d = d.withColumn(c_bounds, F.filter(
         idx2, lambda i: (i == 1) | (F.get(sng, i - 1) != F.get(sng, i - 2))))
-    d = d.withColumn("_tng_ends",
-                     F.concat(F.col("_tng_bounds"),
+    d = d.withColumn(c_ends,
+                     F.concat(F.col(c_bounds),
                               F.array(F.size(sng) + 1)))
-    ends = F.col("_tng_ends")
-    d = d.withColumn("_tng_top", F.array_max(F.zip_with(
+    ends = F.col(c_ends)
+    d = d.withColumn(c_top, F.array_max(F.zip_with(
         F.slice(ends, 1, F.size(ends) - 1),
         F.slice(ends, 2, F.size(ends) - 1),
         lambda a, b: b - a)))
-    top = F.col("_tng_top")
+    top = F.col(c_top)
     frac = F.when((m >= 1) & (top >= 2),
                   F.lit(k) * top / n_words).otherwise(0.0)
     return (d.withColumn(out_name, frac)
-            .drop("_tng_sng", "_tng_bounds", "_tng_ends", "_tng_top"))
+            .drop(c_sng, c_bounds, c_ends, c_top))
 
 
 def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
@@ -133,14 +151,15 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     Each fraction is a single integer division (or ``k * top / n``), so the
     per-doc doubles are bit-reproducible in the DuckDB oracle.
     """
-    d = df.withColumn("_rep_ws", words(F.col(text_col)))
-    ws = F.col("_rep_ws")
+    (c_ws,) = _tmp_names(df, "_rep_ws")
+    d = df.withColumn(c_ws, words(F.col(text_col)))
+    ws = F.col(c_ws)
     n = F.size(ws)
     d = d.withColumn("dup_word_frac", F.when(
         n > 0, 1 - F.size(F.array_distinct(ws)) / n).otherwise(0.0))
-    d = _with_top_ngram_frac(d, "_rep_ws", 2, "top_bigram_frac")
-    d = _with_top_ngram_frac(d, "_rep_ws", 3, "top_trigram_frac")
-    return (d.drop("_rep_ws")
+    d = _with_top_ngram_frac(d, c_ws, 2, "top_bigram_frac")
+    d = _with_top_ngram_frac(d, c_ws, 3, "top_trigram_frac")
+    return (d.drop(c_ws)
               .withColumn("repetitive",
                           (F.col("dup_word_frac") > 0.30)
                           | (F.col("top_bigram_frac") > 0.20)

@@ -152,3 +152,16 @@ def test_connected_components_driver_vs_distributed(spark):
     # canonical representative: every component id is its own label
     for v, c in fast.items():
         assert fast[c] == c and c <= v
+
+
+def test_connected_components_paths_return_identical_schema(spark):
+    """The driver fast path must not leak pandas-inferred types: both
+    gates return (v, component) typed as the input src column."""
+    from embulk_input_parquet_hadoop_spark.operators import dedup
+    edges = spark.createDataFrame([(2, 1), (3, 2)], "id_a int, id_b int")
+    fast = dedup.connected_components(edges)
+    loop = dedup.connected_components(edges, driver_max_edges=0)
+    assert [f.dataType for f in fast.schema.fields] == \
+           [f.dataType for f in loop.schema.fields]
+    assert fast.schema.fieldNames() == loop.schema.fieldNames()
+    assert fast.schema["v"].dataType == edges.schema["id_a"].dataType

@@ -202,3 +202,16 @@ def test_c_and_numpy_coders_bit_identical():
         assert pc == pn and prc == prn
         assert np.array_equal(dec_numpy, arr)
         assert np.array_equal(dec_c, arr)
+
+
+def test_truncated_frame_raises_not_crashes():
+    """A frame whose word stream is shorter than the lane word counts
+    claim (truncation that bypassed the outer CRC, e.g. a cut buffer
+    handed straight to rans_decode) must raise, not read past the
+    buffer — the C decode loop does no bounds checking, so the guard
+    sits in front of it."""
+    a = markov_tokens(np.random.default_rng(3), 50_000, 512)
+    payload, params = rans.rans_encode(a)
+    cut = payload[:-8]  # drop two 4-byte stream words
+    with pytest.raises(ValueError, match="truncated|inconsistent"):
+        rans.rans_decode(cut, params, len(a))

@@ -111,3 +111,15 @@ def test_bounded_quantiles_exact_and_partition_independent(spark):
         and got[("a", 0.99)] == 99
     assert got[("b", 0.5)] == 7 and got[("b", 0.99)] == 9
     assert run(df.repartition(17)) == got
+
+
+def test_repetition_preserves_reserved_user_columns(spark):
+    """User columns that collide with the operator's scratch names must
+    survive untouched (scratch names uniquify around them)."""
+    from embulk_input_parquet_hadoop_spark.operators import textstats
+    df = spark.createDataFrame(
+        [("a a a a", "keep1", "keep2")],
+        "text string, _rep_ws string, _tng_sng string")
+    out = textstats.repetition_features(df, "text").collect()[0]
+    assert out._rep_ws == "keep1" and out._tng_sng == "keep2"
+    assert out.dup_word_frac == 0.75
