@@ -136,7 +136,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.2,
                         max_df: int | None = None,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_pairs: int | None = 50_000_000) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle inverted index.
 
     join on shingle -> per-pair intersection counts -> union by
@@ -171,6 +172,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     inverted-index self-join at scale: the shingle join then touches only
     docs appearing in some candidate pair, and the pair space is the
     candidate set, not shingle co-occurrence.
+
+    ``max_pairs`` (full-self-join path only): fail-fast guardrail — one
+    cheap keyed aggregation computes the exact candidate-pair count
+    (sum over shingles of f*(f-1)/2 on the capped index) BEFORE the
+    quadratic join runs, and raises past the bound. This operator is the
+    documented exact BASELINE (the standing wall-time tail at sf0.1);
+    an accidental invocation at 100x the intended corpus must refuse in
+    seconds, not run for hours — ``minhash_jaccard_dedup`` is the scale
+    path. ``None`` disables the pre-count (and its one extra job).
     """
     sh = word_shingles(df, id_col, text_col, k)
     if max_df is not None:
@@ -192,6 +202,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                       F.first("sz_a").alias("sz_a"),
                       F.first("sz_b").alias("sz_b")))
     else:
+        if max_pairs is not None:
+            est = (sh.groupBy("shingle")
+                   .agg(F.count(F.lit(1)).alias("f"))
+                   .agg(F.sum(F.col("f") * (F.col("f") - 1) / 2)
+                        .alias("p"))
+                   .collect()[0]["p"])
+            if est is not None and int(est) > max_pairs:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: inverted-index self-join would "
+                    f"generate ~{int(est)} candidate pairs > max_pairs="
+                    f"{max_pairs}. This exact all-pairs operator is the "
+                    f"small-scale baseline; use minhash_jaccard_dedup "
+                    f"(LSH->verify) at this corpus size, tighten max_df, "
+                    f"or raise max_pairs explicitly.")
         a = sh.select(F.col(id_col).alias("id_a"), "shingle",
                       F.col("sz").alias("sz_a"))
         b = sh.select(F.col(id_col).alias("id_b"), "shingle",

@@ -71,7 +71,8 @@ def _chunk_stats(chunks: DataFrame) -> DataFrame:
 def wave_chunk_stats(spark: SparkSession, out_dir: str,
                      wave_id: int) -> DataFrame:
     """Per-(chunk, column) metrics for one wave; blobs column pruned."""
-    return _chunk_stats(spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}"))
+    return _chunk_stats(spark.read.parquet(
+        fsutil.spark_path(f"{out_dir}/chunks/wave={wave_id}")))
 
 
 def all_chunk_stats(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -119,7 +120,8 @@ def commit_wave(spark: SparkSession, out_dir: str, wave_id: int,
             meta_table.column("n_bad_rows")).as_py() or 0) \
             if "n_bad_rows" in names else 0
     else:
-        chunks = spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
+        chunks = spark.read.parquet(
+            fsutil.spark_path(f"{out_dir}/chunks/wave={wave_id}"))
         row = (chunks.agg(F.count(F.lit(1)).alias("n_chunks"),
                           F.sum("n_rows").alias("n_rows"),
                           F.sum("n_tokens").alias("n_tokens"),
@@ -185,62 +187,65 @@ def vacuum(out_dir: str) -> dict:
     encode on the same tree — an in-flight wave is indistinguishable
     from a crashed one until its commit record lands.
 
-    Local filesystems only (the write side's own constraint). Returns
+    Works on any supported filesystem through the ``fsutil`` layer
+    (os.walk locally, pyarrow recursive listing + prefix delete on
+    remote/object-store trees). Returns
     {"waves_removed", "tmp_removed", "bytes_reclaimed"}.
     """
-    import shutil
+    from pyarrow import fs as pafs
 
-    if not fsutil.is_local(out_dir):
-        raise NotImplementedError(
-            f"vacuum is os.walk-based; {out_dir!r} is not local")
-    out_dir = fsutil.strip_file_scheme(out_dir)
+    filesystem, root = fsutil.get_fs(out_dir)
     committed = {int(m.group(1))
-                 for f in (os.listdir(f"{out_dir}/manifest")
-                           if os.path.isdir(f"{out_dir}/manifest") else [])
+                 for f in fsutil.listdir(f"{out_dir}/manifest")
                  if (m := re.match(r"wave-(\d+)\.json$", f))}
 
     def _tree_size(p):
-        return sum(os.path.getsize(os.path.join(r, f))
-                   for r, _d, fs in os.walk(p) for f in fs)
+        info = filesystem.get_file_info(p)
+        if info.type == pafs.FileType.File:
+            return info.size or 0
+        return sum(f.size or 0 for f in filesystem.get_file_info(
+            pafs.FileSelector(p, recursive=True))
+            if f.type == pafs.FileType.File)
+
+    def _rm(p):
+        info = filesystem.get_file_info(p)
+        if info.type == pafs.FileType.Directory:
+            filesystem.delete_dir(p)
+        elif info.type == pafs.FileType.File:
+            filesystem.delete_file(p)
 
     waves_removed = tmp_removed = reclaimed = 0
-    chunks_root = f"{out_dir}/chunks"
-    if os.path.isdir(chunks_root):
-        for d in os.listdir(chunks_root):
+    chunks_root = f"{root}/chunks"
+    if fsutil.isdir(f"{out_dir}/chunks"):
+        for d in fsutil.listdir(f"{out_dir}/chunks"):
             m = re.match(r"wave=(\d+)$", d)
             if m and int(m.group(1)) not in committed:
-                p = os.path.join(chunks_root, d)
+                p = f"{chunks_root}/{d}"
                 reclaimed += _tree_size(p)
-                shutil.rmtree(p)
+                _rm(p)
                 waves_removed += 1
-        for root, _dirs, files in os.walk(chunks_root):
-            for f in files:
-                if f.endswith(".tmp"):
-                    p = os.path.join(root, f)
-                    reclaimed += os.path.getsize(p)
-                    os.remove(p)
-                    tmp_removed += 1
-    meta_root = f"{out_dir}/chunks_meta"
-    if os.path.isdir(meta_root):
-        for d in os.listdir(meta_root):
+        for f in filesystem.get_file_info(
+                pafs.FileSelector(chunks_root, recursive=True)):
+            if f.type == pafs.FileType.File and f.path.endswith(".tmp"):
+                reclaimed += f.size or 0
+                filesystem.delete_file(f.path)
+                tmp_removed += 1
+    meta_root = f"{root}/chunks_meta"
+    if fsutil.isdir(f"{out_dir}/chunks_meta"):
+        for d in fsutil.listdir(f"{out_dir}/chunks_meta"):
             m = re.match(r"wave-(\d+)(\.parquet)?$", d)
             if m and int(m.group(1)) not in committed:
-                p = os.path.join(meta_root, d)
-                if os.path.isdir(p):
-                    reclaimed += _tree_size(p)
-                    shutil.rmtree(p)
-                else:
-                    reclaimed += os.path.getsize(p)
-                    os.remove(p)
+                p = f"{meta_root}/{d}"
+                reclaimed += _tree_size(p)
+                _rm(p)
         # committed waves can still hold .tmp sidecar debris: a task
         # killed between write and os.replace whose RETRY then committed
         # the wave — equally manifest-invisible, swept the same way
-        for root, _dirs, files in os.walk(meta_root):
-            for f in files:
-                if f.endswith(".tmp"):
-                    p = os.path.join(root, f)
-                    reclaimed += os.path.getsize(p)
-                    os.remove(p)
-                    tmp_removed += 1
+        for f in filesystem.get_file_info(
+                pafs.FileSelector(meta_root, recursive=True)):
+            if f.type == pafs.FileType.File and f.path.endswith(".tmp"):
+                reclaimed += f.size or 0
+                filesystem.delete_file(f.path)
+                tmp_removed += 1
     return {"waves_removed": waves_removed, "tmp_removed": tmp_removed,
             "bytes_reclaimed": reclaimed}

@@ -345,21 +345,40 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
             schema=FILE_SUMMARY_ARROW_SCHEMA)
 
     def encode_files(batches):
+        from . import fsutil
         set_entropy_mode(entropy)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        os.makedirs(wave_dir, exist_ok=True)
-        if meta_dir is not None:
-            os.makedirs(meta_dir, exist_ok=True)
+        # local out_dirs commit with in-place tmp + os.replace; non-local
+        # ones spool the chunk file on task-local disk and publish it via
+        # fsutil.put_file (atomic-at-visibility: direct final-key PUT on
+        # object stores, temp+move on rename-capable remote filesystems)
+        local = fsutil.is_local(wave_dir)
+        if local:
+            os.makedirs(wave_dir, exist_ok=True)
+            if meta_dir is not None:
+                os.makedirs(meta_dir, exist_ok=True)
+        else:
+            fsutil.makedirs_any(wave_dir)
+            if meta_dir is not None:
+                fsutil.makedirs_any(meta_dir)
         bidx = 0
         fseq = 0
         for b in batches:
             for path in b.column("path").to_pylist():
-                final = os.path.join(
-                    wave_dir, f"part-{pid:05d}-f{fseq:04d}.parquet")
-                tmp = os.path.join(
-                    wave_dir,
-                    f".part-{pid:05d}-f{fseq:04d}.{uuid.uuid4().hex}.tmp")
+                if local:
+                    final = os.path.join(
+                        wave_dir, f"part-{pid:05d}-f{fseq:04d}.parquet")
+                    tmp = os.path.join(
+                        wave_dir,
+                        f".part-{pid:05d}-f{fseq:04d}."
+                        f"{uuid.uuid4().hex}.tmp")
+                else:
+                    final = f"{wave_dir}/part-{pid:05d}-f{fseq:04d}.parquet"
+                    import tempfile as _tf
+                    tmp = os.path.join(
+                        _tf.gettempdir(),
+                        f".spool-{uuid.uuid4().hex}.parquet")
                 fseq += 1
                 writer = None
                 pending = []  # stat rows held until the file commits
@@ -368,7 +387,7 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                 committed_final = None  # set once os.replace lands
                 mtmp = None
                 try:
-                    pf = pq.ParquetFile(path)
+                    pf = fsutil.parquet_file(path)
                     total_rows = pf.metadata.num_rows
                     for rg in range(pf.metadata.num_row_groups):
                         rg_rows = pf.metadata.row_group(rg).num_rows
@@ -413,26 +432,38 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                     if writer is not None:
                         writer.close()
                         writer = None
-                        os.replace(tmp, final)  # per-file commit point
+                        if local:
+                            os.replace(tmp, final)  # per-file commit point
+                        else:
+                            # publish the spooled chunk file at its final
+                            # key (atomic at upload completion), then drop
+                            # the spool
+                            fsutil.put_file(final, tmp)
+                            os.remove(tmp)
                         committed_final = final
                     if meta_dir is not None:
                         # sidecar commits WITH the chunk file: same
-                        # tmp+rename discipline, so meta never describes
-                        # uncommitted data (and a sidecar failure rolls
-                        # the already-renamed chunk file back — see the
-                        # except path — so "failed file contributes
-                        # nothing" holds in meta mode too)
+                        # atomic-visibility discipline, so meta never
+                        # describes uncommitted data (and a sidecar
+                        # failure rolls the already-published chunk file
+                        # back — see the except path — so "failed file
+                        # contributes nothing" holds in meta mode too)
                         if pending:
-                            mfinal = os.path.join(
-                                meta_dir,
-                                f"part-{pid:05d}-f{fseq - 1:04d}.parquet")
-                            mtmp = f"{mfinal}.{uuid.uuid4().hex}.tmp"
-                            pq.write_table(
-                                pa.Table.from_batches(
-                                    pending, CHUNK_META_ARROW_SCHEMA),
-                                mtmp)
-                            os.replace(mtmp, mfinal)
-                            mtmp = None
+                            mname = f"part-{pid:05d}-f{fseq - 1:04d}.parquet"
+                            mtable = pa.Table.from_batches(
+                                pending, CHUNK_META_ARROW_SCHEMA)
+                            if local:
+                                mfinal = os.path.join(meta_dir, mname)
+                                mtmp = f"{mfinal}.{uuid.uuid4().hex}.tmp"
+                                pq.write_table(mtable, mtmp)
+                                os.replace(mtmp, mfinal)
+                                mtmp = None
+                            else:
+                                import io as _io
+                                buf = _io.BytesIO()
+                                pq.write_table(mtable, buf)
+                                fsutil.put_bytes(f"{meta_dir}/{mname}",
+                                                 buf.getvalue())
                         yield summary_row(path, pending,
                                           n_bad_rows=bad_rows)
                     else:
@@ -451,18 +482,26 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                     if writer is not None:
                         writer.close()
                         writer = None
-                    for stale in (tmp, committed_final, mtmp):
-                        # a sidecar failure AFTER the chunk rename must
-                        # roll the chunk back: a chunk file without its
-                        # meta sidecar would be served with no lineage
-                        # while the source file re-encodes in a later
-                        # wave (duplicate rows)
+                    for stale in (tmp, mtmp):
                         if stale is None:
                             continue
                         try:
                             os.remove(stale)
                         except OSError:
                             pass
+                    if committed_final is not None:
+                        # a sidecar failure AFTER the chunk publish must
+                        # roll the chunk back: a chunk file without its
+                        # meta sidecar would be served with no lineage
+                        # while the source file re-encodes in a later
+                        # wave (duplicate rows)
+                        if local:
+                            try:
+                                os.remove(committed_final)
+                            except OSError:
+                                pass
+                        else:
+                            fsutil.delete_quiet(committed_final)
                     err = f"{type(exc).__name__}: {exc}"
                     if meta_dir is not None:
                         yield summary_row(path, [], error=err)
@@ -586,22 +625,34 @@ def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
     """
     if cluster_partitions:
         df = cluster_for_encode(df, cluster_partitions)
+    from . import fsutil
+    wave_path = fsutil.spark_path(f"{out_dir}/chunks/wave={wave_id}")
     enc = df.mapInArrow(make_encode_fn(wave_id, entropy=entropy),
                         CHUNK_SPARK_SCHEMA)
     (enc.write.mode("overwrite")
         .option("compression", "uncompressed")
-        .parquet(f"{out_dir}/chunks/wave={wave_id}"))
-    return spark.read.parquet(f"{out_dir}/chunks/wave={wave_id}")
+        .parquet(wave_path))
+    return spark.read.parquet(wave_path)
 
 
 def _lineage_key(path: str) -> str:
     """Scheme-normalized file identity for manifest-lineage comparison:
-    ``file:/p``, ``file:///p`` and ``/p`` all mean the same local file
-    (Spark's ``inputFiles()`` emits URIs; pyarrow listings emit paths)."""
-    if path.startswith("file:"):
-        path = path[len("file:"):]
-        while path.startswith("//"):
-            path = path[1:]
+    ``file:/p``, ``file:///p``, ``file://localhost/p`` and ``/p`` all mean
+    the same local file (Spark's ``inputFiles()`` emits URIs; pyarrow
+    listings emit paths). Parsed with urllib so a host-qualified authority
+    is recognized as such rather than folded into the path; non-local
+    authorities keep their netloc in the key (``s3://bkt/p`` from two
+    buckets must not collide)."""
+    if ":" not in path.split("/", 1)[0]:
+        return path  # plain path, no scheme
+    from urllib.parse import urlparse
+    u = urlparse(path)
+    if u.scheme == "file":
+        if u.netloc in ("", "localhost"):
+            return u.path
+        return f"//{u.netloc}{u.path}"  # genuinely remote file:// host
+    if u.scheme:
+        return f"{u.scheme}://{u.netloc}{u.path}"
     return path
 
 
@@ -713,17 +764,13 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                     "wall_s": 0.0, "n_files_already_committed": 0}
         raise FileNotFoundError("input_files is empty")
     from . import fsutil
-    if not fsutil.is_local(out_dir):
-        # the per-file commit protocol is os.replace-based (workers write
-        # wave parts + sidecars with tmp+rename); a remote out_dir would
-        # fail deep inside tasks with filesystem errors — refuse loudly
-        # here instead. Read paths (manifest, meta_files, read_chunks)
-        # stay URI-aware for trees copied to remote storage after encode.
-        raise NotImplementedError(
-            f"encode_path writes via local atomic rename; out_dir "
-            f"{out_dir!r} is not a local path. Encode locally (or to a "
-            f"mounted filesystem) and copy/serve the tree remotely.")
-    out_dir = fsutil.strip_file_scheme(out_dir)  # os.* paths below
+    if fsutil.is_local(out_dir):
+        out_dir = fsutil.strip_file_scheme(out_dir)  # os.* fast paths below
+    # non-local out_dirs run the same wave protocol through fsutil's
+    # capability layer: tasks spool chunk files locally and publish them
+    # with atomic-at-visibility PUTs (direct final-key write on object
+    # stores, temp+move on rename-capable remotes), and the wave manifest
+    # record stays the single visibility point (SCALE.md commit protocol)
     if schema_mode == "single":
         try:
             df0 = (spark.read.parquet(*input_files) if input_files
@@ -787,6 +834,12 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         # already-committed files
         seen = {_lineage_key(f) for f in mf.committed_input_files(out_dir)}
         totals["n_files_already_committed"] = 0
+        # wave_base must advance past EVERY committed wave, independent of
+        # whether any lineage was recorded (a committed wave with empty
+        # lineage — e.g. a future meta-only wave — must still not be
+        # overwritten by the next append run)
+        existing = mf.completed_waves(spark, out_dir)
+        wave_base = (max(existing) + 1) if existing else 0
         if seen:
             pruned = []
             for gfiles in groups:
@@ -795,8 +848,6 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                     len(gfiles) - len(kept)
                 pruned.append(kept)
             groups = pruned
-            existing = mf.completed_waves(spark, out_dir)
-            wave_base = (max(existing) + 1) if existing else 0
         if not any(groups):
             # nothing new — a legitimate no-op, NOT the empty-glob error
             return totals
@@ -817,7 +868,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         # an uncommitted wave dir may hold parts from a previous failed
         # attempt; a retry with a different file list would otherwise
         # leave stale parts behind and duplicate data on decode
-        shutil.rmtree(wave_dir, ignore_errors=True)
+        # (prefix delete on object stores, rmtree locally)
+        fsutil.rmtree_any(wave_dir)
         if cluster_partitions:
             df = spark.read.parquet(*wfiles)
             encode_df(spark, df, out_dir, wave_id, cluster_partitions)
@@ -836,7 +888,7 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                              if distributed else None)
             if distributed:
                 # stale sidecars from a failed attempt would double-count
-                shutil.rmtree(wave_meta_dir, ignore_errors=True)
+                fsutil.rmtree_any(wave_meta_dir)
             enc = paths.mapInArrow(
                 make_encode_files_fn(wave_id, wave_dir, batch_rows,
                                      columns=columns,
@@ -858,9 +910,16 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                     f"files failed exceeds bad_file_threshold="
                     f"{bad_file_threshold}: {errs[:3]}")
             if not distributed:
-                meta_dir = f"{out_dir}/chunks_meta"
-                os.makedirs(meta_dir, exist_ok=True)
-                pq.write_table(meta, f"{meta_dir}/wave-{wave_id}.parquet")
+                meta_path = (f"{out_dir}/chunks_meta/"
+                             f"wave-{wave_id}.parquet")
+                if fsutil.is_local(out_dir):
+                    os.makedirs(f"{out_dir}/chunks_meta", exist_ok=True)
+                    pq.write_table(meta, meta_path)
+                else:
+                    import io
+                    buf = io.BytesIO()
+                    pq.write_table(meta, buf)
+                    fsutil.put_bytes(meta_path, buf.getvalue())
         wall_s = time.perf_counter() - t0
         stats = mf.commit_wave(spark, out_dir, wave_id, wfiles, wall_s,
                                meta_table=meta)
@@ -890,7 +949,9 @@ def _list_parquet_files(input_path: str) -> list[str]:
     reference's ``HiddenFileFilter`` and ``spark.read.parquet``'s behavior
     on the single-schema path."""
     from pyarrow import fs as pafs
-    filesystem, root = pafs.FileSystem.from_uri(input_path)
+
+    from . import fsutil
+    filesystem, root = fsutil.get_fs(input_path)
     info = filesystem.get_file_info(root)
     if info.type == pafs.FileType.File:
         return [root]
@@ -927,8 +988,11 @@ def read_chunks(spark: SparkSession, out_dir: str,
     lives in the data (``wave_id``), so no partition-discovery column is
     needed. ``committed_only=False`` bypasses the gate for debugging.
     """
+    from . import fsutil
     if not committed_only:
-        return spark.read.parquet(f"{out_dir}/chunks").drop("wave")
+        return (spark.read
+                .parquet(fsutil.spark_path(f"{out_dir}/chunks"))
+                .drop("wave"))
     paths = _committed_wave_paths(spark, out_dir)
     if not paths:
         return spark.createDataFrame([], CHUNK_SPARK_SCHEMA)
@@ -939,9 +1003,11 @@ def _committed_wave_paths(spark: SparkSession, out_dir: str) -> list[str]:
     """Committed wave dirs that contain chunk parts (a committed wave whose
     files all failed is legitimately empty — unreadable for schema).
     URI-aware via pyarrow.fs, matching ``_list_parquet_files`` (ADVICE r2:
-    the two halves of the pipeline must agree on supported filesystems)."""
+    the two halves of the pipeline must agree on supported filesystems).
+    Paths come back Spark-readable (mock-s3 resolves to its local view)."""
     from . import fsutil
-    return [p for w in sorted(mf.completed_waves(spark, out_dir))
+    return [fsutil.spark_path(p)
+            for w in sorted(mf.completed_waves(spark, out_dir))
             if fsutil.has_parquet_files(p := f"{out_dir}/chunks/wave={w}")]
 
 

@@ -97,7 +97,8 @@ VERIFY_FILES_SCHEMA = ("source_file string, chunk_file string, "
 def _source_batches(path: str, batch_rows: int, columns: list[str]):
     """The encoder's exact source iteration (row-group at a time, corrupt
     groups skipped mid-stream) so batch boundaries line up with chunks."""
-    pf = pq.ParquetFile(path)
+    from . import fsutil
+    pf = fsutil.parquet_file(path)
     for rg in range(pf.metadata.num_row_groups):
         it = pf.iter_batches(batch_size=batch_rows, row_groups=[rg],
                              columns=columns, use_threads=False)
@@ -111,13 +112,14 @@ def _source_batches(path: str, batch_rows: int, columns: list[str]):
 
 
 def _verify_one(src: str, chk: str, batch_rows: int) -> tuple:
+    from . import fsutil
     rows = toks = mism = 0
     err = None
     try:
-        if not os.path.exists(chk):
+        if not fsutil.exists(chk):
             # every row group of the file was skipped within threshold
             return (src, chk, 0, 0, 0, None)
-        cpf = pq.ParquetFile(chk)
+        cpf = fsutil.parquet_file(chk)
         columns: list[str] | None = None
         src_iter = None
         for cb in cpf.iter_batches(batch_size=32, use_threads=False):
@@ -193,11 +195,12 @@ def verify_files(spark: SparkSession, out_dir: str,
     source-file -> chunk-file lineage); ``batch_rows`` must match the
     encode run's. Only O(n_files) stat rows cross the JVM<->Python channel.
     """
+    from . import fsutil
     pairs = set()
     for w in sorted(mf.completed_waves(spark, out_dir)):
         for p in pipeline.meta_files(out_dir, w):
-            t = pq.read_table(p,
-                              columns=["source_file", "chunk_file", "error"])
+            t = fsutil.read_parquet(
+                p, columns=["source_file", "chunk_file", "error"])
             for s, c, e in zip(t.column("source_file").to_pylist(),
                                t.column("chunk_file").to_pylist(),
                                t.column("error").to_pylist()):

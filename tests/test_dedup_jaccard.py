@@ -5,6 +5,8 @@ VERDICT r1 "What's wrong" #2: the q12 surface returned 0 rows at sf0.001
 hot-shingle cap. These tests pin both fixes.
 """
 
+import pytest
+
 from embulk_input_parquet_hadoop_spark.operators import dedup
 
 
@@ -165,3 +167,20 @@ def test_connected_components_paths_return_identical_schema(spark):
            [f.dataType for f in loop.schema.fields]
     assert fast.schema.fieldNames() == loop.schema.fieldNames()
     assert fast.schema["v"].dataType == edges.schema["id_a"].dataType
+
+
+def test_ngram_jaccard_max_pairs_guardrail(spark):
+    """The exact inverted-index baseline refuses fast when the candidate
+    pair count would exceed max_pairs — before the quadratic join runs."""
+    from embulk_input_parquet_hadoop_spark.operators import dedup
+    docs = [(i, "the same boilerplate text repeated everywhere")
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_pairs"):
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3,
+                                  max_pairs=100).collect()
+    # same corpus under the bound (the estimate counts pre-dedup
+    # per-shingle candidates, ~4*C(40,2)=3120 here): runs and finds pairs
+    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3,
+                                    max_pairs=5000)
+    assert got.count() == 40 * 39 // 2

@@ -189,3 +189,47 @@ def test_snapshot_diff_composes_with_partition_filter(spark, tmp_path):
         table, 1, partition_filter={"source": "web"}) == [files[2]]
     assert iceberg_meta.added_data_files(
         table, 1, partition_filter={"source": "books"}) == [files[3]]
+
+
+def test_lineage_key_uri_forms():
+    """Scheme normalization handles authority forms: host-qualified
+    file:// URIs are local, remote schemes keep their bucket, and a
+    literal '/localhost/...' path is NOT conflated with
+    'file://localhost/...'."""
+    k = pipeline._lineage_key
+    assert k("/a/b.parquet") == "/a/b.parquet"
+    assert k("file:/a/b.parquet") == "/a/b.parquet"
+    assert k("file:///a/b.parquet") == "/a/b.parquet"
+    assert k("file://localhost/a/b.parquet") == "/a/b.parquet"
+    assert k("/localhost/a/b.parquet") == "/localhost/a/b.parquet"
+    assert k("file://otherhost/a/b") != "/a/b"
+    assert k("s3://bkt/a/b") == "s3://bkt/a/b"
+    assert k("s3://bkt2/a/b") != k("s3://bkt/a/b")
+    # windows-style drive letters are not schemes to urlparse's eye but
+    # contain ':' — ensure no crash and stability
+    assert k("hdfs://nn:8020/a/b") == "hdfs://nn:8020/a/b"
+
+
+def test_append_wave_base_advances_past_lineage_free_waves(spark, tmp_path):
+    """A committed wave with EMPTY manifest lineage must still advance
+    append's wave numbering — wave ids are never reused/overwritten."""
+    d = tmp_path / "data"
+    generate(str(d), n_docs=200, seed=41, n_files=1)
+    out = str(tmp_path / "enc")
+    pipeline.encode_path(spark, str(d), out)
+    # simulate a meta-only wave: commit a record with no lineage
+    rec = mf.read_manifest(spark, out).collect()[0].asDict()
+    from embulk_input_parquet_hadoop_spark.plans import fsutil
+    rec["wave_id"], rec["input_files"] = 7, []
+    fsutil.write_json_atomic(f"{out}/manifest", "wave-7.json", rec)
+    # the chunk dir for wave 7 exists but is empty of parts; append of a
+    # new file must start at wave 8, not clobber 0..7
+    d2 = tmp_path / "more"
+    generate(str(d2), n_docs=100, seed=43, n_files=1)
+    import shutil as _sh
+    for f in d2.glob("*.parquet"):
+        _sh.copy(f, d / f"new-{f.name}")
+    t = pipeline.encode_path(spark, str(d), out, append=True)
+    assert t["waves_run"] == 1
+    waves = mf.completed_waves(spark, out)
+    assert 8 in waves and waves == {0, 7, 8}

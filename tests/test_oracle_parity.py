@@ -89,7 +89,7 @@ def test_all_queries_have_oracles_or_are_documented():
     # the driver's rows-only check. q22/q26 were de-exempted in r3
     # (VERDICT r2 #2): md5-derived exact planes + sequential folds made
     # them oracle-gated.
-    assert missing == {"q25_multimodal_features", "q31_ivf_topk"}, missing
+    assert missing == {"q53_multimodal_features", "q54_ivf_topk"}, missing
 
 
 def test_weak_queries_run(spark):

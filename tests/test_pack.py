@@ -75,7 +75,7 @@ def test_bucketed_offsets_equal_global_window(spark):
         run += len(toks)
 
 
-def test_string_id_fallback(spark):
+def test_string_id_packing(spark):
     docs = [(f"doc-{i:04d}", t) for i, t in DOCS[:40]]
     df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
     got = {r["seq_id"]: r["tokens"] for r in
@@ -83,6 +83,45 @@ def test_string_id_fallback(spark):
     stream = [x for _id, t in sorted(docs) for x in t]
     assert got == {w: stream[w * 100:(w + 1) * 100]
                    for w in range((len(stream) + 99) // 100)}
+
+
+def test_string_id_offsets_bucketed_matches_windowed(spark):
+    """String ids take the DISTRIBUTED two-phase prefix sum (r5): results
+    equal the global-window fallback on an adversarial id set — shared
+    long prefixes (projection collisions land in one bucket where the
+    exact string sort decides), multibyte UTF-8, and length-prefix pairs
+    like 'b' vs 'aaa' that break non-padded projections."""
+    rng = np.random.default_rng(5)
+    ids = ([f"prefix-shared-very-long-{i:03d}" for i in range(40)]
+           + ["b", "aaa", "ab", "ab0", "", "zz", "Ωmega", "αlpha",
+              "日本語-doc", "é", "é"]
+           + [f"doc{i}" for i in range(30)])
+    docs = [(s, rng.integers(0, 999, int(n)).tolist())
+            for s, n in zip(ids, rng.integers(1, 50, len(ids)))]
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    meta = (df.select("doc_id", F.size("tokens").cast("long").alias("n"))
+            .filter(F.col("n") > 0))
+    offs = pack.doc_offsets(df, "doc_id")
+    bucketed = {r["doc_id"]: r["s"] for r in offs.collect()}
+    windowed = {r["doc_id"]: r["s"] for r in
+                pack._windowed_offsets(meta, "doc_id").collect()}
+    assert bucketed == windowed and bucketed
+    # the distributed path must not contain a single-partition exchange
+    plan = offs._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_string_order_surrogate_is_monotone():
+    """The 56-bit prefix projection is monotone w.r.t. UTF-8 byte order
+    (pure-python mirror of the SQL expression)."""
+    def proj(s: str) -> int:
+        h = s.encode("utf-8").hex().upper()[:14].ljust(14, "0")
+        return int(h, 16)
+    ids = sorted(["b", "aaa", "ab", "ab0", "", "zz", "Ωmega", "αlpha",
+                  "日本語", "é", "é", "doc-1", "doc-10", "doc-2"],
+                 key=lambda s: s.encode("utf-8"))
+    ps = [proj(s) for s in ids]
+    assert ps == sorted(ps)
 
 
 def test_n_col_equals_derived_size(spark):

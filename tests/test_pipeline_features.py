@@ -641,11 +641,14 @@ def test_meta_files_accepts_file_scheme(spark, tokens_dir, tmp_path):
         [os.path.basename(p) for p in local]
 
 
-def test_encode_path_rejects_remote_out_dir(spark, tokens_dir):
-    """The encode write side is os.replace-based; a remote out_dir must
-    fail loudly at entry, not deep inside tasks (review r3)."""
-    with pytest.raises(NotImplementedError, match="local"):
+def test_encode_path_remote_out_dir_reaches_fs_layer(spark, tokens_dir):
+    """Remote out_dirs are supported since r5 (tests/test_object_store.py
+    drives the full protocol on the mock store); an unreachable hdfs://
+    must now fail in the filesystem layer — connection/environment error,
+    never the old NotImplementedError refusal."""
+    with pytest.raises(Exception) as ei:
         pipeline.encode_path(spark, tokens_dir, "hdfs://nn/out")
+    assert not isinstance(ei.value, NotImplementedError)
 
 
 def test_encode_path_accepts_file_scheme_out_dir(spark, tokens_dir,
