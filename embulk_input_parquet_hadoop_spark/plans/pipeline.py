@@ -42,6 +42,7 @@ import shutil
 import time
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark import TaskContext
@@ -263,6 +264,32 @@ def make_encode_fn(wave_id: int, entropy: bool = False):
     return encode_batches
 
 
+def _read_delete_positions(data_path: str, delete_files: list[str]):
+    """Sorted unique row positions deleted from ``data_path``, gathered
+    from Iceberg position-delete Parquet files (spec columns
+    ``file_path``/``pos``).
+
+    Runs INSIDE the encode task that owns ``data_path``: the
+    ``file_path ==`` filter pushes down to the delete file's row groups
+    (the spec orders delete rows by (file_path, pos)), so each task reads
+    only its own file's delete rows — per-task cost is O(own deletes),
+    never O(table deletes). The filter matches every common spelling of
+    the path (plain, ``file:`` single- and double-slash URIs) — writers
+    record absolute URIs while scan plans carry plain paths.
+    """
+    plain = _lineage_key(data_path)
+    keys = sorted({data_path, plain, f"file:{plain}", f"file://{plain}"})
+    parts = []
+    for dp in delete_files:
+        t = pq.read_table(dp, columns=["pos"],
+                          filters=[("file_path", "in", keys)])
+        if t.num_rows:
+            parts.append(t.column("pos").to_numpy(zero_copy_only=False))
+    if not parts:
+        return None
+    return np.unique(np.concatenate(parts))
+
+
 def make_encode_files_fn(wave_id: int, wave_dir: str,
                          batch_rows: int = DEFAULT_BATCH_ROWS,
                          columns: list[str] | None = None,
@@ -365,7 +392,13 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
         bidx = 0
         fseq = 0
         for b in batches:
-            for path in b.column("path").to_pylist():
+            # optional per-file Iceberg position-delete file lists ride
+            # the path DataFrame itself (array<string> column) — no
+            # closure state, Spark distributes them with the file
+            dcol = (b.column("deletes").to_pylist()
+                    if "deletes" in b.schema.names
+                    else [None] * b.num_rows)
+            for path, dfiles in zip(b.column("path").to_pylist(), dcol):
                 if local:
                     final = os.path.join(
                         wave_dir, f"part-{pid:05d}-f{fseq:04d}.parquet")
@@ -389,6 +422,9 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                 try:
                     pf = fsutil.parquet_file(path)
                     total_rows = pf.metadata.num_rows
+                    del_pos = (_read_delete_positions(path, dfiles)
+                               if dfiles else None)
+                    rg_start = 0  # file-absolute row offset of this group
                     for rg in range(pf.metadata.num_row_groups):
                         rg_rows = pf.metadata.row_group(rg).num_rows
                         rows_read = 0
@@ -412,6 +448,21 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                                 bad_rows += rg_rows - rows_read
                                 bad_groups += 1
                                 break
+                            n_read = batch.num_rows
+                            if del_pos is not None:
+                                # apply position deletes for this batch's
+                                # file-absolute row range [off, off+n)
+                                off = rg_start + rows_read
+                                lo = int(np.searchsorted(del_pos, off))
+                                hi = int(np.searchsorted(del_pos,
+                                                         off + n_read))
+                                if hi > lo:
+                                    keep = np.ones(n_read, dtype=bool)
+                                    keep[del_pos[lo:hi] - off] = False
+                                    batch = batch.filter(pa.array(keep))
+                                if batch.num_rows == 0:
+                                    rows_read += n_read
+                                    continue
                             chunk_row, stats = _encode_one_batch(
                                 batch, wave_id, pid, bidx)
                             if writer is None:
@@ -421,8 +472,9 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                             writer.write_batch(chunk_row)
                             pending.append(meta_row(stats, path, final,
                                                     _cols_of(chunk_row)))
-                            rows_read += batch.num_rows
+                            rows_read += n_read
                             bidx += 1
+                        rg_start += rg_rows
                     if total_rows and bad_rows > (bad_record_threshold
                                                   * total_rows):
                         raise RuntimeError(
@@ -668,8 +720,19 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 meta_mode: str = "driver",
                 entropy: bool = False,
                 input_files: list[str] | None = None,
-                append: bool = False) -> dict:
+                append: bool = False,
+                row_deletes: dict[str, list[str]] | None = None) -> dict:
     """Run the full encode job; returns aggregate metrics.
+
+    ``row_deletes`` ({data_file_path: [position-delete parquet paths]})
+    applies Iceberg merge-on-read POSITION deletes during encode: each
+    task reads its own file's deleted row positions (filter-pushed into
+    the delete files) and masks them out batch-by-batch before encoding,
+    so the tree holds exactly the snapshot's live rows. Feed it
+    ``iceberg_meta.snapshot_scan(...)["position_deletes"]`` together
+    with ``input_files=scan["data_files"]``. File-source path only
+    (``cluster_partitions`` reads through Spark, which has no
+    row-position access).
 
     ``append=True`` is the INCREMENTAL mode: source files already present
     in any committed wave's manifest lineage are subtracted from the
@@ -753,6 +816,11 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         raise ValueError("append and resume are mutually exclusive: "
                          "resume re-runs a fixed input's missing waves, "
                          "append extends the tree with new input")
+    if row_deletes and cluster_partitions:
+        raise ValueError(
+            "row_deletes needs the file-source path (row positions are "
+            "per-file); cluster_partitions reads through Spark — "
+            "pre-apply deletes and use encode_df instead")
     if input_files is not None and not input_files:
         # an explicit empty list must NEVER fall back to listing
         # input_path (`if input_files` is falsy for []) — under append it
@@ -880,9 +948,23 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             # files on ~1/3 of partitions and leaves the rest empty, which
             # doubles the straggler tail; parallelize's even slicing is
             # exact)
-            rdd = spark.sparkContext.parallelize(
-                [(f,) for f in wfiles], len(wfiles))
-            paths = spark.createDataFrame(rdd, "path string")
+            if row_deletes:
+                # per-file delete-file lists ride the path DataFrame; a
+                # file's lineage identity is unchanged (deletes alter
+                # row content, not which source files were consumed).
+                # Keys match on the scheme-normalized identity: the
+                # single-schema path lists via Spark (file:/ URIs) while
+                # scan plans carry plain paths
+                rd = {_lineage_key(k): v for k, v in row_deletes.items()}
+                rdd = spark.sparkContext.parallelize(
+                    [(f, rd.get(_lineage_key(f))) for f in wfiles],
+                    len(wfiles))
+                paths = spark.createDataFrame(
+                    rdd, "path string, deletes array<string>")
+            else:
+                rdd = spark.sparkContext.parallelize(
+                    [(f,) for f in wfiles], len(wfiles))
+                paths = spark.createDataFrame(rdd, "path string")
             distributed = meta_mode == "distributed"
             wave_meta_dir = (f"{out_dir}/chunks_meta/wave-{wave_id}"
                              if distributed else None)

@@ -17,12 +17,15 @@ snapshot-consistent: concurrent commits after the metadata read cannot
 change the file set mid-job (Iceberg files are immutable; a snapshot is
 a frozen list).
 
-Merge-on-read safety: a snapshot whose manifests carry DELETE content
-(position/equality deletes, spec v2 ``content`` 1/2) cannot be encoded
-file-by-file — reading its data files directly would resurrect deleted
-rows. ``snapshot_data_files`` raises in that case (mirroring
-``table.table_files``); such tables must go through a real Iceberg
-reader and ``encode_df``.
+Merge-on-read: a snapshot whose manifests carry POSITION deletes (spec
+v2 ``content`` 1) is handled by ``snapshot_scan``, which returns the
+data files plus a {data_file: [position-delete files]} mapping that
+``encode_path(row_deletes=...)`` applies row-positionally inside each
+encode task — reading the data files without it would resurrect deleted
+rows, so the strict ``snapshot_data_files`` still refuses any MOR
+snapshot. EQUALITY deletes (``content`` 2) identify rows by column
+value and always raise; those tables need a full Iceberg reader and
+``encode_df``.
 
 ``write_table_fixture`` writes a minimal spec-shaped table (v2
 metadata.json + manifest list + one manifest per data file) over
@@ -83,6 +86,8 @@ _MANIFEST_SCHEMA = _manifest_schema()
 
 _STATUS_DELETED = 2
 _CONTENT_DATA = 0
+_CONTENT_POS_DELETES = 1
+_CONTENT_EQ_DELETES = 2
 
 
 class IcebergMetaError(ValueError):
@@ -143,23 +148,18 @@ def read_table_meta(table_dir: str) -> dict:
         return json.load(f)
 
 
-def snapshot_data_files(table_dir: str,
-                        snapshot_id: int | None = None,
-                        partition_filter: dict | None = None) -> list[str]:
-    """Live data-file paths of a snapshot (default: current).
+def _scan(table_dir: str, snapshot_id: int | None,
+          partition_filter: dict | None
+          ) -> tuple[list[str], list[str]]:
+    """(sorted data files, sorted POSITION-delete files) of a snapshot.
 
-    ``partition_filter`` ({field: value}) prunes at the METADATA level:
-    a file is kept only if its manifest ``partition`` record matches
-    every given field by equality — Iceberg scan planning's core move,
-    skipping data files without touching them (at 100 TB this is the
-    difference between listing 400k files and listing one partition's
-    slice). Files whose manifests carry no partition record (unknown
-    layout) are KEPT — pruning may only ever widen, never drop data it
-    cannot prove out of scope.
-
-    Raises ``IcebergMetaError`` for merge-on-read snapshots (delete
-    manifests / delete-content data files) — those need a full Iceberg
-    reader, not a file-granular scan.
+    Walks manifest list -> manifests; data entries prune by
+    ``partition_filter`` (equality at the metadata level). Delete
+    manifests (spec v2 manifest-list ``content`` 1) are read the same
+    way: position-delete files (``data_file.content`` 1) are returned for
+    the caller to apply; EQUALITY deletes (``content`` 2) raise — they
+    identify rows by column values, which a file-granular positional scan
+    cannot apply without a full Iceberg evaluator.
     """
     meta = read_table_meta(table_dir)
     snap_id = snapshot_id if snapshot_id is not None \
@@ -174,26 +174,28 @@ def snapshot_data_files(table_dir: str,
     mlist_path = _resolve(table_dir, location, snap["manifest-list"])
     _, manifests = avro_io.read_avro(mlist_path)
     files: list[str] = []
+    delete_files: list[str] = []
     for m in manifests:
-        if m.get("content", 0) != 0:
-            raise IcebergMetaError(
-                f"manifest {m['manifest_path']} carries DELETE content — "
-                "merge-on-read table; use a full Iceberg reader + "
-                "encode_df")
         man_path = _resolve(table_dir, location, m["manifest_path"])
         _, entries = avro_io.read_avro(man_path)
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
             df = e["data_file"]
-            if df.get("content", _CONTENT_DATA) != _CONTENT_DATA:
+            content = df.get("content", _CONTENT_DATA)
+            if content == _CONTENT_EQ_DELETES:
                 raise IcebergMetaError(
-                    f"delete file in manifest {man_path}: "
-                    f"{df['file_path']} — merge-on-read table")
+                    f"equality-delete file in manifest {man_path}: "
+                    f"{df['file_path']} — needs a full Iceberg reader "
+                    "(equality deletes match rows by value, not position)")
             fmt = df.get("file_format", "PARQUET").upper()
             if fmt != "PARQUET":
                 raise IcebergMetaError(
-                    f"non-parquet data file ({fmt}): {df['file_path']}")
+                    f"non-parquet file ({fmt}): {df['file_path']}")
+            if content == _CONTENT_POS_DELETES:
+                delete_files.append(
+                    _resolve(table_dir, location, df["file_path"]))
+                continue
             if partition_filter:
                 part = df.get("partition")
                 if isinstance(part, dict) and any(
@@ -201,7 +203,70 @@ def snapshot_data_files(table_dir: str,
                         for k, v in partition_filter.items()):
                     continue
             files.append(_resolve(table_dir, location, df["file_path"]))
-    return sorted(files)
+    return sorted(files), sorted(delete_files)
+
+
+def snapshot_data_files(table_dir: str,
+                        snapshot_id: int | None = None,
+                        partition_filter: dict | None = None) -> list[str]:
+    """Live data-file paths of a snapshot (default: current).
+
+    ``partition_filter`` ({field: value}) prunes at the METADATA level:
+    a file is kept only if its manifest ``partition`` record matches
+    every given field by equality — Iceberg scan planning's core move,
+    skipping data files without touching them (at 100 TB this is the
+    difference between listing 400k files and listing one partition's
+    slice). Files whose manifests carry no partition record (unknown
+    layout) are KEPT — pruning may only ever widen, never drop data it
+    cannot prove out of scope.
+
+    Raises ``IcebergMetaError`` for merge-on-read snapshots (any delete
+    files present) — this is the strict COW-only entry point whose file
+    list alone fully describes the snapshot; ``snapshot_scan`` is the
+    MOR-aware one (position deletes applied at encode).
+    """
+    files, delete_files = _scan(table_dir, snapshot_id, partition_filter)
+    if delete_files:
+        raise IcebergMetaError(
+            f"snapshot carries {len(delete_files)} position-DELETE "
+            f"file(s) (merge-on-read) — use snapshot_scan(), which "
+            "returns the per-data-file delete mapping for "
+            "encode_path(row_deletes=...)")
+    return files
+
+
+def snapshot_scan(table_dir: str,
+                  snapshot_id: int | None = None,
+                  partition_filter: dict | None = None) -> dict:
+    """MOR-aware scan plan: ``{"data_files": [...], "position_deletes":
+    {data_file_path: [delete_file_paths]}}``.
+
+    Position-delete files (Parquet, spec columns ``file_path``/``pos``)
+    are mapped to the data files they reference by reading ONLY their
+    ``file_path`` column here (dictionary-encoded in practice — tiny);
+    the ``pos`` values are read later, inside the encode task that owns
+    each data file, with a ``file_path ==`` filter pushed to the delete
+    file's row groups (sorted by (file_path, pos) per spec, so that
+    filter prunes). Planning cost stays O(metadata), per-task cost
+    O(that file's deletes). Equality deletes raise (``_scan``).
+
+    Data files never referenced by any delete file get no mapping entry;
+    a partition-pruned data file's deletes are dropped with it.
+    """
+    files, delete_files = _scan(table_dir, snapshot_id, partition_filter)
+    live = set(files)
+    deletes: dict[str, list[str]] = {}
+    if delete_files:
+        import pyarrow.parquet as pq
+        meta = read_table_meta(table_dir)
+        location = meta.get("location", table_dir)
+        for dp in delete_files:
+            refs = pq.read_table(dp, columns=["file_path"])
+            for ref in refs.column("file_path").unique().to_pylist():
+                target = _resolve(table_dir, location, ref)
+                if target in live:
+                    deletes.setdefault(target, []).append(dp)
+    return {"data_files": files, "position_deletes": deletes}
 
 
 def added_data_files(table_dir: str, from_snapshot_id: int,
@@ -254,16 +319,25 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
                         snapshot_id: int = 1,
                         with_deletes: bool = False,
                         older_snapshots: dict[int, list[str]] | None = None,
-                        partitions: list[dict] | None = None) -> str:
+                        partitions: list[dict] | None = None,
+                        position_deletes: dict[str, list[int]] | None = None,
+                        equality_deletes: bool = False) -> str:
     """Minimal spec-shaped Iceberg v2 table over existing Parquet files.
 
     Data files stay where they are (absolute paths in the manifest, as
     real writers do). Returns ``table_dir``. ``with_deletes`` adds a
-    positional-delete manifest so tests can prove the MOR refusal.
-    ``older_snapshots`` ({snapshot_id: files}) records historical
-    snapshots in the metadata so time-travel reads
-    (``snapshot_data_files(..., snapshot_id=)``) are testable — Iceberg
-    keeps every snapshot's manifest list live until expiry."""
+    positional-delete manifest pointing at a phantom file so tests can
+    prove the strict reader's MOR refusal without any delete data;
+    ``position_deletes`` ({data_file_path: [row positions]}) writes a
+    REAL spec-shaped position-delete Parquet (columns ``file_path``,
+    ``pos``, sorted) plus its delete manifest — the ``snapshot_scan`` /
+    ``encode_path(row_deletes=)`` MOR path end to end.
+    ``equality_deletes`` adds an equality-delete manifest entry (content
+    2) for the always-refused case. ``older_snapshots``
+    ({snapshot_id: files}) records historical snapshots in the metadata
+    so time-travel reads (``snapshot_data_files(..., snapshot_id=)``)
+    are testable — Iceberg keeps every snapshot's manifest list live
+    until expiry."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     if record_counts is None:
@@ -320,6 +394,58 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         manifests.append({
             "manifest_path": del_man,
             "manifest_length": os.path.getsize(del_man),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snapshot_id,
+        })
+    if position_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        data_dir = os.path.join(table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        # one delete file covering all referenced data files, rows sorted
+        # by (file_path, pos) as the spec requires — that ordering is what
+        # lets the task-side `file_path ==` read prune row groups
+        rows = sorted((os.path.abspath(p), int(x))
+                      for p, xs in position_deletes.items() for x in xs)
+        del_path = os.path.join(data_dir,
+                                f"pos-del-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table({
+            "file_path": pa.array([r[0] for r in rows], type=pa.string()),
+            "pos": pa.array([r[1] for r in rows], type=pa.int64()),
+        }), del_path)
+        del_man = os.path.join(meta_dir, f"del-{uuid.uuid4().hex}.avro")
+        avro_io.write_avro(del_man, _MANIFEST_SCHEMA, [{
+            "status": 1, "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,
+                "file_path": del_path,
+                "file_format": "PARQUET",
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(del_path),
+            }}])
+        manifests.append({
+            "manifest_path": del_man,
+            "manifest_length": os.path.getsize(del_man),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": snapshot_id,
+        })
+    if equality_deletes:
+        eq_man = os.path.join(meta_dir, f"eqdel-{uuid.uuid4().hex}.avro")
+        avro_io.write_avro(eq_man, _MANIFEST_SCHEMA, [{
+            "status": 1, "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 2,  # equality deletes — always refused
+                "file_path": os.path.abspath(
+                    os.path.join(table_dir, "data", "eq-del-0.parquet")),
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": 0,
+            }}])
+        manifests.append({
+            "manifest_path": eq_man,
+            "manifest_length": os.path.getsize(eq_man),
             "partition_spec_id": 0,
             "content": 1,
             "added_snapshot_id": snapshot_id,

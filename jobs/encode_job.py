@@ -117,6 +117,7 @@ def main() -> int:
         spark = SparkSession.builder.appName("encode-job").getOrCreate()
 
     input_files = None
+    row_deletes = None
     if args.iceberg:
         from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
         pf = None
@@ -125,13 +126,19 @@ def main() -> int:
         if args.since_snapshot is not None:
             # a snapshot diff is incremental by definition; an empty diff
             # flows through encode_path's append no-op so --vacuum /
-            # --verify-files and the totals line still run
+            # --verify-files and the totals line still run. Strict
+            # (COW-only) on purpose: a diff of MOR snapshots would need
+            # delete-aware reconciliation, not just a file-set diff.
             args.append = True
             input_files = iceberg_meta.added_data_files(
                 args.input, args.since_snapshot, partition_filter=pf)
         else:
-            input_files = iceberg_meta.snapshot_data_files(
-                args.input, partition_filter=pf)
+            # MOR-aware full-snapshot scan: position deletes (if any)
+            # are applied row-positionally inside the encode tasks
+            scan = iceberg_meta.snapshot_scan(args.input,
+                                              partition_filter=pf)
+            input_files = scan["data_files"]
+            row_deletes = scan["position_deletes"] or None
     elif args.partition:
         raise SystemExit("--partition requires --iceberg")
     elif args.since_snapshot is not None:
@@ -156,7 +163,8 @@ def main() -> int:
         schema_mode=args.schema_mode,
         bad_file_threshold=args.bad_file_threshold,
         bad_record_threshold=args.bad_record_threshold,
-        meta_mode=args.meta_mode, entropy=args.entropy)
+        meta_mode=args.meta_mode, entropy=args.entropy,
+        row_deletes=row_deletes)
     totals["total_wall_s"] = time.perf_counter() - t0
     if vacuum_result is not None:
         totals["vacuum"] = vacuum_result

@@ -293,3 +293,87 @@ def test_avro_multi_block_read(tmp_path):
     open(p, "wb").write(bytes(out))
     _, got = avro_io.read_avro(p)
     assert got == blocks[0] + blocks[1]
+
+
+def test_iceberg_position_deletes_encode(spark, tokens_dir, tmp_path):
+    """MOR table with REAL position-delete files: snapshot_scan returns
+    the delete mapping, encode_path(row_deletes=) masks exactly those
+    row positions, and the decoded tree holds exactly the live rows
+    (VERDICT r4 next-round #4)."""
+    import glob
+    import pyarrow.parquet as pq
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "mor_pos")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    # delete scattered positions incl. 0, a mid-file run, and the LAST
+    # row of file 0 (exercises the final batch's upper bound)
+    n0 = pq.read_metadata(files[0]).num_rows
+    dels = {files[0]: [0, 3, 7, 8, n0 - 1], files[1]: [5]}
+    iceberg_meta.write_table_fixture(tdir, files, position_deletes=dels)
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="MOR|DELETE"):
+        iceberg_meta.snapshot_data_files(tdir)
+    scan = iceberg_meta.snapshot_scan(tdir)
+    assert scan["data_files"] == [__import__("os").path.abspath(f)
+                                  for f in files]
+    assert set(scan["position_deletes"]) == set(scan["data_files"])
+    out = str(tmp_path / "mor_enc")
+    totals = pipeline.encode_path(
+        spark, tdir, out, input_files=scan["data_files"],
+        row_deletes=scan["position_deletes"])
+    n_del = sum(len(v) for v in dels.values())
+    assert totals["n_rows"] == 300 - n_del
+    # exactness: decoded doc_ids == source doc_ids minus deleted positions
+    expected = []
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"]).column(
+            "doc_id").to_pylist()
+        dead = set(dels.get(f, []))
+        expected += [d for i, d in enumerate(ids) if i not in dead]
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    got = sorted(r.doc_id for r in dec.collect())
+    assert got == sorted(expected)
+
+
+def test_iceberg_position_deletes_batch_boundaries(spark, tokens_dir,
+                                                   tmp_path):
+    """Positions falling on encode-batch boundaries (batch_rows=32) and a
+    fully-deleted span are masked with file-absolute indexing intact."""
+    import glob
+    import pyarrow.parquet as pq
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "mor_edge")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))[:1]
+    n = pq.read_metadata(files[0]).num_rows
+    # whole second batch [32,64) dead + the two rows flanking batch 3
+    dead = list(range(32, 64)) + [95, 96]
+    iceberg_meta.write_table_fixture(tdir, files,
+                                     position_deletes={files[0]: dead})
+    scan = iceberg_meta.snapshot_scan(tdir)
+    out = str(tmp_path / "edge_enc")
+    totals = pipeline.encode_path(
+        spark, tdir, out, input_files=scan["data_files"],
+        row_deletes=scan["position_deletes"], batch_rows=32)
+    assert totals["n_rows"] == n - len(dead)
+    ids = pq.read_table(files[0], columns=["doc_id"]).column(
+        "doc_id").to_pylist()
+    expected = sorted(d for i, d in enumerate(ids) if i not in set(dead))
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    assert sorted(r.doc_id for r in dec.collect()) == expected
+
+
+def test_iceberg_equality_deletes_refused(tmp_path, tokens_dir):
+    """Equality deletes identify rows by value — beyond a positional
+    scan; both entry points must refuse."""
+    import glob
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "eq_table")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(tdir, files, equality_deletes=True)
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="equality"):
+        iceberg_meta.snapshot_scan(tdir)
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="equality"):
+        iceberg_meta.snapshot_data_files(tdir)
