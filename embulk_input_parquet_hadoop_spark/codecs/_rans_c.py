@@ -47,6 +47,14 @@ static inline uint64_t push(uint64_t s, uint64_t f, uint64_t c,
    mb) = dedicated entry or the ESC entry, plus the shared-table entry
    (f0, c0, mb0) used when escflag is set. Emission order per escaped
    position: shared value first, then ESC — matching the numpy coder. */
+/* Both encode loops are block-interleaved like the decoder below: a
+   single lane is one serial chain through push()'s division (~25-cycle
+   latency each) and, in the dense variant, gathers into 32MB planes —
+   lockstepping BLK independent lanes overlaps those latencies. Each
+   lane's positions are still visited strictly descending and its words
+   land in its own buf region, so emitted bits are IDENTICAL. The
+   ragged head (lanes one longer than the block minimum) encodes first —
+   descending order means the extra position precedes the lockstep. */
 void rans_encode_lanes(int64_t lanes, const int64_t *starts,
                        const int64_t *lens,
                        const uint64_t *fsel, const uint64_t *csel,
@@ -55,23 +63,48 @@ void rans_encode_lanes(int64_t lanes, const int64_t *starts,
                        uint8_t mb0,
                        uint32_t *buf, int64_t maxw,
                        int64_t *wptr, uint64_t *states) {
+    enum { BLK = 128 };
+    uint64_t s[BLK];
+    int64_t w[BLK];
     uint64_t M0 = 1ULL << mb0;
-    for (int64_t l = 0; l < lanes; l++) {
-        uint64_t s = 1ULL << 32;
-        uint32_t *b = buf + l * maxw;
-        int64_t w = 0;
-        int64_t lo = starts[l];
-        for (int64_t p = lo + lens[l] - 1; p >= lo; p--) {
-            if (escflag[p]) {
-                uint64_t th0 = f0[p] << (64 - mb0);
-                s = push(s, f0[p], c0[p], M0, th0, b, &w);
+    for (int64_t b0 = 0; b0 < lanes; b0 += BLK) {
+        int64_t nb = lanes - b0 < BLK ? lanes - b0 : BLK;
+        int64_t minlen = lens[b0];
+        for (int64_t i = 1; i < nb; i++)
+            if (lens[b0 + i] < minlen) minlen = lens[b0 + i];
+        for (int64_t i = 0; i < nb; i++) { s[i] = 1ULL << 32; w[i] = 0; }
+        for (int64_t i = 0; i < nb; i++) {      /* ragged head first */
+            int64_t l = b0 + i;
+            uint32_t *b = buf + l * maxw;
+            for (int64_t k = lens[l] - 1; k >= minlen; k--) {
+                int64_t p = starts[l] + k;
+                if (escflag[p]) {
+                    uint64_t th0 = f0[p] << (64 - mb0);
+                    s[i] = push(s[i], f0[p], c0[p], M0, th0, b, &w[i]);
+                }
+                uint64_t M = 1ULL << mb[p];
+                uint64_t th = fsel[p] << (64 - mb[p]);
+                s[i] = push(s[i], fsel[p], csel[p], M, th, b, &w[i]);
             }
-            uint64_t M = 1ULL << mb[p];
-            uint64_t th = fsel[p] << (64 - mb[p]);
-            s = push(s, fsel[p], csel[p], M, th, b, &w);
         }
-        wptr[l] = w;
-        states[l] = s;
+        for (int64_t k = minlen - 1; k >= 0; k--) {
+            for (int64_t i = 0; i < nb; i++) {
+                int64_t l = b0 + i;
+                int64_t p = starts[l] + k;
+                uint32_t *b = buf + l * maxw;
+                if (escflag[p]) {
+                    uint64_t th0 = f0[p] << (64 - mb0);
+                    s[i] = push(s[i], f0[p], c0[p], M0, th0, b, &w[i]);
+                }
+                uint64_t M = 1ULL << mb[p];
+                uint64_t th = fsel[p] << (64 - mb[p]);
+                s[i] = push(s[i], fsel[p], csel[p], M, th, b, &w[i]);
+            }
+        }
+        for (int64_t i = 0; i < nb; i++) {
+            wptr[b0 + i] = w[i];
+            states[b0 + i] = s[i];
+        }
     }
 }
 
@@ -79,6 +112,34 @@ void rans_encode_lanes(int64_t lanes, const int64_t *starts,
    fd/cd gather planes inside the loop — no 2M-element numpy
    intermediates. Valid only when the dense planes exist (ntab <= 64);
    the pre-gathered entry point above covers the searchsorted case. */
+static inline uint64_t enc1_dense(uint64_t s, int64_t p,
+                                  const int64_t *u, const int64_t *tids,
+                                  const int64_t *fd, const int64_t *cd,
+                                  const uint64_t *esc_f,
+                                  const uint64_t *esc_c,
+                                  const uint8_t *mbits,
+                                  int64_t shared_tid, uint8_t mb0,
+                                  uint64_t M0, uint32_t *b, int64_t *w) {
+    int64_t tid = tids[p];
+    int64_t key = (tid << 16) | u[p];
+    uint64_t f = (uint64_t)fd[key];
+    uint64_t c, M, th;
+    if (f == 0) {                       /* escape */
+        int64_t sk = (shared_tid << 16) | u[p];
+        uint64_t f0 = (uint64_t)fd[sk];
+        th = f0 << (64 - mb0);
+        s = push(s, f0, (uint64_t)cd[sk], M0, th, b, w);
+        f = esc_f[tid];
+        c = esc_c[tid];
+    } else {
+        c = (uint64_t)cd[key];
+    }
+    uint8_t mb = mbits[tid];
+    M = 1ULL << mb;
+    th = f << (64 - mb);
+    return push(s, f, c, M, th, b, w);
+}
+
 void rans_encode_lanes_dense(int64_t lanes, const int64_t *starts,
                              const int64_t *lens,
                              const int64_t *u, const int64_t *tids,
@@ -87,35 +148,37 @@ void rans_encode_lanes_dense(int64_t lanes, const int64_t *starts,
                              const uint8_t *mbits, int64_t shared_tid,
                              uint32_t *buf, int64_t maxw,
                              int64_t *wptr, uint64_t *states) {
+    enum { BLK = 128 };
+    uint64_t s[BLK];
+    int64_t w[BLK];
     uint8_t mb0 = mbits[shared_tid];
     uint64_t M0 = 1ULL << mb0;
-    for (int64_t l = 0; l < lanes; l++) {
-        uint64_t s = 1ULL << 32;
-        uint32_t *b = buf + l * maxw;
-        int64_t w = 0;
-        int64_t lo = starts[l];
-        for (int64_t p = lo + lens[l] - 1; p >= lo; p--) {
-            int64_t tid = tids[p];
-            int64_t key = (tid << 16) | u[p];
-            uint64_t f = (uint64_t)fd[key];
-            uint64_t c, M, th;
-            if (f == 0) {                       /* escape */
-                int64_t sk = (shared_tid << 16) | u[p];
-                uint64_t f0 = (uint64_t)fd[sk];
-                th = f0 << (64 - mb0);
-                s = push(s, f0, (uint64_t)cd[sk], M0, th, b, &w);
-                f = esc_f[tid];
-                c = esc_c[tid];
-            } else {
-                c = (uint64_t)cd[key];
-            }
-            uint8_t mb = mbits[tid];
-            M = 1ULL << mb;
-            th = f << (64 - mb);
-            s = push(s, f, c, M, th, b, &w);
+    for (int64_t b0 = 0; b0 < lanes; b0 += BLK) {
+        int64_t nb = lanes - b0 < BLK ? lanes - b0 : BLK;
+        int64_t minlen = lens[b0];
+        for (int64_t i = 1; i < nb; i++)
+            if (lens[b0 + i] < minlen) minlen = lens[b0 + i];
+        for (int64_t i = 0; i < nb; i++) { s[i] = 1ULL << 32; w[i] = 0; }
+        for (int64_t i = 0; i < nb; i++) {      /* ragged head first */
+            int64_t l = b0 + i;
+            uint32_t *b = buf + l * maxw;
+            for (int64_t k = lens[l] - 1; k >= minlen; k--)
+                s[i] = enc1_dense(s[i], starts[l] + k, u, tids, fd, cd,
+                                  esc_f, esc_c, mbits, shared_tid, mb0,
+                                  M0, b, &w[i]);
         }
-        wptr[l] = w;
-        states[l] = s;
+        for (int64_t k = minlen - 1; k >= 0; k--) {
+            for (int64_t i = 0; i < nb; i++) {
+                int64_t l = b0 + i;
+                s[i] = enc1_dense(s[i], starts[l] + k, u, tids, fd, cd,
+                                  esc_f, esc_c, mbits, shared_tid, mb0,
+                                  M0, buf + l * maxw, &w[i]);
+            }
+        }
+        for (int64_t i = 0; i < nb; i++) {
+            wptr[b0 + i] = w[i];
+            states[b0 + i] = s[i];
+        }
     }
 }
 
