@@ -290,9 +290,11 @@ def main() -> None:
     # SCALE table — its ~2.8M-token chunks amortize the context model;
     # the sf-sized table's chunks are too small for rans to ever win the
     # per-frame pick-best, so measuring it there would show nothing.
-    # One run (not best-of): this is a secondary trade-curve point, not
-    # the headline.
-    ent = run_encode(CPUS, scale_path, f"ent-c{CPUS}", repeats=1,
+    # Best-of-2 like the headline legs: the r5 single-shot legs recorded
+    # 39.8M/50.1M in steal windows where best-of-3 measured 77-82M —
+    # a secondary trade-curve point still shouldn't record the host's
+    # bad minute.
+    ent = run_encode(CPUS, scale_path, f"ent-c{CPUS}", repeats=2,
                      entropy=True)
     ent_disk = dir_size(f"{ent['out_dir']}/chunks")
     scale_disk = dir_size(f"{high_scale['out_dir']}/chunks")
