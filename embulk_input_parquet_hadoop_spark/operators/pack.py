@@ -80,17 +80,29 @@ def _bucketed_offsets(meta: DataFrame, id_col: str, parts: int,
     spark = meta.sparkSession
     ocol = ord_col or id_col
     # one bounded driver action; the resulting literals make the bucket
-    # function a pure expression — deterministic across all later jobs
+    # ranges deterministic across all later jobs
     qs = [i / parts for i in range(1, parts)]
     bounds = sorted(set(meta.stat.approxQuantile(ocol, qs, 0.001)))
     if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.aggregate(
-            barr, F.lit(0),
-            lambda acc, b: acc + F.when(F.col(ocol) > b, 1).otherwise(0))
+        # bucket = #{bounds < ord}, assigned via a broadcast range join
+        # (one half-open interval per bucket), NOT a HOF fold over the
+        # bounds array: a computed ord_col referenced inside a lambda
+        # gets inlined by CollapseProject and re-evaluated PER BOUND
+        # (the repo-wide HOF trap — see CLAUDE.md); a join condition can
+        # only reference the child's materialized attribute, so the
+        # surrogate evaluates once per row however many buckets exist
+        lows = [float("-inf")] + bounds
+        highs = bounds + [float("inf")]
+        ranges = spark.createDataFrame(
+            [(float(lo), float(hi), i)
+             for i, (lo, hi) in enumerate(zip(lows, highs))],
+            "lo double, hi double, b int")
+        m = (meta.join(F.broadcast(ranges),
+                       (F.col(ocol) > F.col("lo"))
+                       & (F.col(ocol) <= F.col("hi")))
+             .select(id_col, "n", "b"))
     else:
-        bucket = F.lit(0)
-    m = meta.withColumn("b", bucket).select(id_col, "n", "b")
+        m = meta.select(id_col, "n", F.lit(0).alias("b"))
 
     # O(buckets) rows to the driver for the exclusive base prefix
     totals = {r["b"]: r["tot"] for r in

@@ -223,9 +223,16 @@ def _put_stream(dest: str, write_fn) -> None:
         parent = root.rsplit("/", 1)[0]
         filesystem.create_dir(parent, recursive=True)
         tmp = f"{parent}/.{root.rsplit('/', 1)[1]}.{uuid.uuid4().hex}.tmp"
-        with filesystem.open_output_stream(tmp) as fh:
-            write_fn(fh)
-        filesystem.move(tmp, root)
+        try:
+            with filesystem.open_output_stream(tmp) as fh:
+                write_fn(fh)
+            filesystem.move(tmp, root)
+        except BaseException:
+            try:
+                filesystem.delete_file(tmp)
+            except OSError:
+                pass
+            raise
         return
     with filesystem.open_output_stream(root) as fh:
         write_fn(fh)
@@ -239,9 +246,16 @@ def put_bytes(dest: str, data: bytes) -> None:
         d = os.path.dirname(p)
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(prefix=".put.", dir=d)
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(data)
-        os.replace(tmp, p)
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, p)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         return
     _put_stream(dest, lambda fh: fh.write(data))
 
@@ -260,8 +274,15 @@ def put_file(dest: str, local_src: str) -> None:
         d = os.path.dirname(p)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".put.{uuid.uuid4().hex}.tmp")
-        shutil.copyfile(local_src, tmp)
-        os.replace(tmp, p)
+        try:
+            shutil.copyfile(local_src, tmp)
+            os.replace(tmp, p)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         return
     _put_stream(dest, _copy)
 

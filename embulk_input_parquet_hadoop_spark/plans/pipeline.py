@@ -381,14 +381,9 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
         # fsutil.put_file (atomic-at-visibility: direct final-key PUT on
         # object stores, temp+move on rename-capable remote filesystems)
         local = fsutil.is_local(wave_dir)
-        if local:
-            os.makedirs(wave_dir, exist_ok=True)
-            if meta_dir is not None:
-                os.makedirs(meta_dir, exist_ok=True)
-        else:
-            fsutil.makedirs_any(wave_dir)
-            if meta_dir is not None:
-                fsutil.makedirs_any(meta_dir)
+        fsutil.makedirs_any(wave_dir)
+        if meta_dir is not None:
+            fsutil.makedirs_any(meta_dir)
         bidx = 0
         fseq = 0
         for b in batches:
@@ -409,8 +404,17 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                 else:
                     final = f"{wave_dir}/part-{pid:05d}-f{fseq:04d}.parquet"
                     import tempfile as _tf
+                    # spool on Spark's executor-local dirs when set (sized
+                    # for shuffle spill; /tmp is often a small tmpfs on
+                    # real clusters), else the system tempdir. Unique name
+                    # per attempt; the except path removes it, and a
+                    # hard-killed worker's spool dies with the local dir's
+                    # normal app cleanup
+                    spool_base = (os.environ.get("SPARK_LOCAL_DIRS", "")
+                                  .split(",")[0].strip()
+                                  or _tf.gettempdir())
                     tmp = os.path.join(
-                        _tf.gettempdir(),
+                        spool_base,
                         f".spool-{uuid.uuid4().hex}.parquet")
                 fseq += 1
                 writer = None
@@ -418,7 +422,6 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                 bad_rows = 0
                 bad_groups = 0
                 committed_final = None  # set once os.replace lands
-                mtmp = None
                 try:
                     pf = fsutil.parquet_file(path)
                     total_rows = pf.metadata.num_rows
@@ -504,18 +507,14 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                             mname = f"part-{pid:05d}-f{fseq - 1:04d}.parquet"
                             mtable = pa.Table.from_batches(
                                 pending, CHUNK_META_ARROW_SCHEMA)
-                            if local:
-                                mfinal = os.path.join(meta_dir, mname)
-                                mtmp = f"{mfinal}.{uuid.uuid4().hex}.tmp"
-                                pq.write_table(mtable, mtmp)
-                                os.replace(mtmp, mfinal)
-                                mtmp = None
-                            else:
-                                import io as _io
-                                buf = _io.BytesIO()
-                                pq.write_table(mtable, buf)
-                                fsutil.put_bytes(f"{meta_dir}/{mname}",
-                                                 buf.getvalue())
+                            # put_bytes is atomic-at-visibility on every
+                            # scheme (local: tmp + os.replace); sidecars
+                            # are small, so buffering in memory is fine
+                            import io as _io
+                            buf = _io.BytesIO()
+                            pq.write_table(mtable, buf)
+                            fsutil.put_bytes(f"{meta_dir}/{mname}",
+                                             buf.getvalue())
                         yield summary_row(path, pending,
                                           n_bad_rows=bad_rows)
                     else:
@@ -534,26 +533,17 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                     if writer is not None:
                         writer.close()
                         writer = None
-                    for stale in (tmp, mtmp):
-                        if stale is None:
-                            continue
-                        try:
-                            os.remove(stale)
-                        except OSError:
-                            pass
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
                     if committed_final is not None:
                         # a sidecar failure AFTER the chunk publish must
                         # roll the chunk back: a chunk file without its
                         # meta sidecar would be served with no lineage
                         # while the source file re-encodes in a later
                         # wave (duplicate rows)
-                        if local:
-                            try:
-                                os.remove(committed_final)
-                            except OSError:
-                                pass
-                        else:
-                            fsutil.delete_quiet(committed_final)
+                        fsutil.delete_quiet(committed_final)
                     err = f"{type(exc).__name__}: {exc}"
                     if meta_dir is not None:
                         yield summary_row(path, [], error=err)

@@ -94,24 +94,50 @@ VERIFY_FILES_SCHEMA = ("source_file string, chunk_file string, "
                        "err string")
 
 
-def _source_batches(path: str, batch_rows: int, columns: list[str]):
+def _source_batches(path: str, batch_rows: int, columns: list[str],
+                    del_pos=None):
     """The encoder's exact source iteration (row-group at a time, corrupt
-    groups skipped mid-stream) so batch boundaries line up with chunks."""
+    groups skipped mid-stream) so batch boundaries line up with chunks.
+
+    ``del_pos`` (sorted file-absolute row positions, or None) replays the
+    encoder's Iceberg position-delete masking: the same rows are dropped
+    from each batch and fully-deleted batches are skipped entirely — so a
+    delete-masked tree verifies positionally against its MOR source."""
+    import numpy as np
     from . import fsutil
     pf = fsutil.parquet_file(path)
+    rg_start = 0
     for rg in range(pf.metadata.num_row_groups):
+        rg_rows = pf.metadata.row_group(rg).num_rows
+        rows_read = 0
         it = pf.iter_batches(batch_size=batch_rows, row_groups=[rg],
                              columns=columns, use_threads=False)
         while True:
             try:
-                yield next(it)
+                batch = next(it)
             except StopIteration:
                 break
             except Exception:  # noqa: BLE001  (same skip as the encoder)
                 break
+            n_read = batch.num_rows
+            if del_pos is not None:
+                off = rg_start + rows_read
+                lo = int(np.searchsorted(del_pos, off))
+                hi = int(np.searchsorted(del_pos, off + n_read))
+                if hi > lo:
+                    keep = np.ones(n_read, dtype=bool)
+                    keep[del_pos[lo:hi] - off] = False
+                    batch = batch.filter(pa.array(keep))
+                if batch.num_rows == 0:
+                    rows_read += n_read
+                    continue
+            rows_read += n_read
+            yield batch
+        rg_start += rg_rows
 
 
-def _verify_one(src: str, chk: str, batch_rows: int) -> tuple:
+def _verify_one(src: str, chk: str, batch_rows: int,
+                del_pos=None) -> tuple:
     from . import fsutil
     rows = toks = mism = 0
     err = None
@@ -139,7 +165,8 @@ def _verify_one(src: str, chk: str, batch_rows: int) -> tuple:
                 kinds = kinds_flat[lo:hi]
                 if columns is None:
                     columns = names
-                    src_iter = _source_batches(src, batch_rows, columns)
+                    src_iter = _source_batches(src, batch_rows, columns,
+                                               del_pos)
                 try:
                     sb = next(src_iter)
                 except StopIteration:
@@ -172,9 +199,15 @@ def _verify_one(src: str, chk: str, batch_rows: int) -> tuple:
 def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
     def fn(batches):
         for b in batches:
-            for src, chk in zip(b.column("source_file").to_pylist(),
-                                b.column("chunk_file").to_pylist()):
-                s, c, r, t, m, e = _verify_one(src, chk, batch_rows)
+            dcol = (b.column("deletes").to_pylist()
+                    if "deletes" in b.schema.names else [None] * b.num_rows)
+            for src, chk, dfiles in zip(
+                    b.column("source_file").to_pylist(),
+                    b.column("chunk_file").to_pylist(), dcol):
+                del_pos = (pipeline._read_delete_positions(src, dfiles)
+                           if dfiles else None)
+                s, c, r, t, m, e = _verify_one(src, chk, batch_rows,
+                                               del_pos)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([s]), pa.array([c]),
                      pa.array([r], type=pa.int64()),
@@ -188,12 +221,20 @@ def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
 
 
 def verify_files(spark: SparkSession, out_dir: str,
-                 batch_rows: int = pipeline.DEFAULT_BATCH_ROWS) -> dict:
+                 batch_rows: int = pipeline.DEFAULT_BATCH_ROWS,
+                 row_deletes: dict[str, list[str]] | None = None) -> dict:
     """Distributed positional bit-identity check, one task per source file.
 
     Requires the file-source encode path (chunks_meta carries the
     source-file -> chunk-file lineage); ``batch_rows`` must match the
     encode run's. Only O(n_files) stat rows cross the JVM<->Python channel.
+
+    ``row_deletes``: the same {data_file: [position-delete files]}
+    mapping the encode ran with (``iceberg_meta.snapshot_scan``) — each
+    task replays the delete masking on its source file, so a MOR-encoded
+    tree verifies against the live rows only. Without it a delete-masked
+    tree correctly FAILS this check (the tree really doesn't match the
+    raw files).
     """
     from . import fsutil
     pairs = set()
@@ -210,8 +251,18 @@ def verify_files(spark: SparkSession, out_dir: str,
         raise FileNotFoundError(
             f"no chunks_meta lineage under {out_dir} (verify_files needs "
             f"the file-source encode path; use verify_path otherwise)")
-    rdd = spark.sparkContext.parallelize(sorted(pairs), len(pairs))
-    df = spark.createDataFrame(rdd, "source_file string, chunk_file string")
+    if row_deletes:
+        rd = {pipeline._lineage_key(k): v for k, v in row_deletes.items()}
+        rows = [(s, c, rd.get(pipeline._lineage_key(s)))
+                for s, c in sorted(pairs)]
+        rdd = spark.sparkContext.parallelize(rows, len(rows))
+        df = spark.createDataFrame(
+            rdd, "source_file string, chunk_file string, "
+                 "deletes array<string>")
+    else:
+        rdd = spark.sparkContext.parallelize(sorted(pairs), len(pairs))
+        df = spark.createDataFrame(
+            rdd, "source_file string, chunk_file string")
     res = df.mapInArrow(make_verify_files_fn(batch_rows),
                         VERIFY_FILES_SCHEMA).toArrow()
     import pyarrow.compute as pc

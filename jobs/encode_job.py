@@ -147,10 +147,10 @@ def main() -> int:
     if args.vacuum:
         from embulk_input_parquet_hadoop_spark.plans import fsutil
         from embulk_input_parquet_hadoop_spark.plans import manifest as mf
-        import os as _os
-        # strip file:// like encode_path does — a URI output must not
-        # silently skip the vacuum the user asked for
-        if _os.path.isdir(fsutil.strip_file_scheme(args.output)):
+        # scheme-aware existence check — a URI output (file:/, hdfs:/,
+        # object store) must not silently skip the vacuum the user asked
+        # for; vacuum itself walks any fsutil-supported filesystem
+        if fsutil.isdir(args.output):
             vacuum_result = mf.vacuum(args.output)
     t0 = time.perf_counter()
     totals = pipeline.encode_path(
@@ -175,9 +175,18 @@ def main() -> int:
         totals["columnar"] = columnar.relayout_columnar(
             spark, args.output, args.relayout_columnar)
     if args.verify_files:
+        # MOR: replay the same position-delete masking on the source side
+        # so the live-rows-only tree verifies positionally
         totals["verify"] = verify.verify_files(spark, args.output,
-                                               batch_rows=args.batch_rows)
+                                               batch_rows=args.batch_rows,
+                                               row_deletes=row_deletes)
     elif args.verify:
+        if row_deletes:
+            raise SystemExit(
+                "--verify (full-outer join vs raw source) cannot check a "
+                "MOR delete-masked encode — every deleted row would count "
+                "as unmatched; use --verify-files, which replays the "
+                "position-delete masking")
         totals["verify"] = verify.verify_path(spark, args.input, args.output)
     print(json.dumps(totals))
     spark.stop()

@@ -548,14 +548,15 @@ def test_sidecar_failure_rolls_back_chunk_commit(tmp_path, monkeypatch):
     pq.write_table(pa.table({"a": list(range(100))}), src)
     wave_dir = str(tmp_path / "chunks" / "wave=0")
     meta_dir = str(tmp_path / "chunks_meta" / "wave-0")
-    real_write = pipeline.pq.write_table
+    from embulk_input_parquet_hadoop_spark.plans import fsutil
+    real_put = fsutil.put_bytes
 
-    def boom(table, where, *a, **k):
-        if str(where).startswith(meta_dir):
+    def boom(dest, data):
+        if str(dest).startswith(meta_dir):
             raise OSError("No space left on device")
-        return real_write(table, where, *a, **k)
+        return real_put(dest, data)
 
-    monkeypatch.setattr(pipeline.pq, "write_table", boom)
+    monkeypatch.setattr(fsutil, "put_bytes", boom)
     fn = pipeline.make_encode_files_fn(0, wave_dir, meta_dir=meta_dir)
     rows = list(fn(iter([pa.record_batch({"path": [str(src)]})])))
     assert glob.glob(f"{wave_dir}/*.parquet") == []   # chunk rolled back

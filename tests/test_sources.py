@@ -334,6 +334,14 @@ def test_iceberg_position_deletes_encode(spark, tokens_dir, tmp_path):
         pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
     got = sorted(r.doc_id for r in dec.collect())
     assert got == sorted(expected)
+    # the positional verify replays the same delete masking and passes...
+    from embulk_input_parquet_hadoop_spark.plans import verify
+    vf = verify.verify_files(spark, out,
+                             row_deletes=scan["position_deletes"])
+    assert vf["ok"] and vf["rows_compared"] == 300 - n_del
+    # ...and correctly FAILS without the mapping (the tree really does
+    # not match the raw source files)
+    assert not verify.verify_files(spark, out)["ok"]
 
 
 def test_iceberg_position_deletes_batch_boundaries(spark, tokens_dir,
