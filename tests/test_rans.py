@@ -204,6 +204,38 @@ def test_c_and_numpy_coders_bit_identical():
         assert np.array_equal(dec_c, arr)
 
 
+@pytest.mark.parametrize("lanes,delta", [
+    (127, 0), (128, 0), (128, 1), (128, 127), (129, 0), (129, 1),
+    (256, 0), (256, 255), (257, 0),
+])
+def test_block_boundary_lane_counts_bit_identical(lanes, delta):
+    """The C loops are block-interleaved 128 lanes at a time
+    (codecs/_rans_c.py ``BLK = 128``): lane counts straddling the block
+    boundary (127/128/129, 256/257) plus ragged-head remainders (the
+    first ``rem`` lanes run one value longer) must stay bit-identical
+    to the numpy reference and cross-decode. ``_pick_lanes`` gives
+    ``lanes = n // 1024`` in this range, so n = lanes*1024 + delta
+    pins both the lane count and the remainder split."""
+    from embulk_input_parquet_hadoop_spark.codecs import _rans_c
+    if _rans_c.LIB is None:
+        pytest.skip("no C compiler available")
+    n = lanes * 1024 + delta
+    arr = markov_tokens(np.random.default_rng(lanes * 1000 + delta),
+                        n, 512)
+    pc, prc = rans.rans_encode(arr)
+    lib = _rans_c.LIB
+    try:
+        _rans_c.LIB = None
+        pn, prn = rans.rans_encode(arr)
+        dec_numpy = rans.rans_decode(pc, prc, n)
+    finally:
+        _rans_c.LIB = lib
+    dec_c = rans.rans_decode(pn, prn, n)
+    assert pc == pn and prc == prn
+    assert np.array_equal(dec_numpy, arr)
+    assert np.array_equal(dec_c, arr)
+
+
 def test_truncated_frame_raises_not_crashes():
     """A frame whose word stream is shorter than the lane word counts
     claim (truncation that bypassed the outer CRC, e.g. a cut buffer
