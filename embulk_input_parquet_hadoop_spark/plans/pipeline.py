@@ -37,6 +37,7 @@ Catalyst pushdown and the salted clustering repartition apply first.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -290,6 +291,124 @@ def _read_delete_positions(data_path: str, delete_files: list[str]):
     return np.unique(np.concatenate(parts))
 
 
+# Per-task ceiling on materialized equality-delete keys. Equality deletes
+# are CDC upserts — spec guidance is to compact them promptly, and every
+# encode task re-reads the full key set (they are not keyed by file_path
+# like position deletes, so nothing prunes). Past this bound the job
+# should compact deletes (rewrite_position_delete_files / major
+# compaction) rather than drag 100M keys through every task.
+_EQ_MAX_KEYS = 20_000_000
+
+
+def _norm_eq_tuple(vals) -> tuple:
+    """Key tuple with spec null semantics: null matches null (to_pylist
+    gives None == None), and float NaN — which Python's ``!=`` itself —
+    is folded to a marker so NaN keys still match exactly."""
+    return tuple("__nan__" if isinstance(v, float) and v != v else v
+                 for v in vals)
+
+
+def _eq_hashes(tab: "pa.Table", cols: list[str]) -> np.ndarray:
+    """Deterministic per-row uint64 hash of the key columns, identical
+    for the same logical values whether they came from a delete file or
+    a data batch: every column casts to string (so int32 5 and int64 5
+    collide as they must), nulls fill with "" plus an explicit null-mask
+    column (pyarrow nulls become NaN/objects in pandas and would hash
+    type-dependently). Hash hits are CANDIDATES only — exact tuple
+    confirmation follows — so a collision can never delete a wrong row.
+    Raises ArrowInvalid/ArrowNotImplementedError for uncastable types
+    (binary); the caller falls back to exact-only matching."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    frame = {}
+    for c in cols:
+        col = tab[c]
+        s = pc.cast(col, pa.large_string())
+        frame[c] = pc.fill_null(s, "").to_pandas()
+        frame[c + "\x00null"] = pc.is_null(col).to_pandas()
+    return pd.util.hash_pandas_object(
+        pd.DataFrame(frame), index=False).to_numpy()
+
+
+class _EqualityDeleteFilter:
+    """Applies Iceberg EQUALITY deletes to Arrow batches inside the
+    encode/verify task that owns one data file.
+
+    Built once per data file from its applicable delete descriptors
+    ([{"path", "columns"}], from ``iceberg_meta.snapshot_scan``):
+    descriptors sharing a key-column tuple union their key sets. Per
+    batch, a vectorized uint64 hash prefilter (``_eq_hashes``) narrows
+    to candidate rows, which are then confirmed by EXACT tuple equality
+    (null==null, NaN folded) — hash collisions cannot delete a wrong
+    row, and typical batches with no hits cost 3-4 vector ops. Key
+    column types must match the data file's up to width (both sides
+    hash via the same string cast; Python equality confirms)."""
+
+    def __init__(self, groups):
+        self.groups = groups
+        self.columns_needed = sorted(
+            {c for cols, _h, _t in groups for c in cols})
+
+    @classmethod
+    def build(cls, descs: list[dict]) -> "_EqualityDeleteFilter":
+        from . import fsutil
+        by_cols: dict[tuple, list[str]] = {}
+        for d in descs:
+            by_cols.setdefault(tuple(d["columns"]), []).append(d["path"])
+        groups = []
+        total = 0
+        for cols, paths in sorted(by_cols.items()):
+            tabs = []
+            for p in sorted(set(paths)):
+                pf = fsutil.parquet_file(p)
+                total += pf.metadata.num_rows
+                if total > _EQ_MAX_KEYS:
+                    raise ValueError(
+                        f"equality-delete key set exceeds {_EQ_MAX_KEYS:,}"
+                        " rows per task — compact the table's delete "
+                        "files before encoding")
+                tabs.append(pf.read(columns=list(cols),
+                                    use_threads=False))
+            tab = pa.concat_tables(tabs, promote_options="default")
+            tupleset = set(map(_norm_eq_tuple,
+                               zip(*(tab[c].to_pylist() for c in cols))))
+            try:
+                hashes = np.unique(_eq_hashes(tab, cols))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                hashes = None  # uncastable key type: exact-only matching
+            groups.append((list(cols), hashes, tupleset))
+        return cls(groups)
+
+    def apply(self, batch: pa.RecordBatch) -> pa.RecordBatch:
+        tab = pa.Table.from_batches([batch])
+        drop = np.zeros(batch.num_rows, dtype=bool)
+        for cols, hashes, tupleset in self.groups:
+            missing = [c for c in cols if c not in tab.column_names]
+            if missing:
+                raise ValueError(
+                    f"equality-delete key column(s) {missing} not in the "
+                    f"data batch (have {tab.column_names}) — do not "
+                    "project them out with columns=")
+            if hashes is not None:
+                cand = np.nonzero(np.isin(_eq_hashes(tab, cols),
+                                          hashes))[0]
+                if not len(cand):
+                    continue
+                sub = tab.take(pa.array(cand))
+                vals = zip(*(sub[c].to_pylist() for c in cols))
+                hit = [int(i) for i, t in zip(cand, vals)
+                       if _norm_eq_tuple(t) in tupleset]
+            else:
+                vals = zip(*(tab[c].to_pylist() for c in cols))
+                hit = [i for i, t in enumerate(vals)
+                       if _norm_eq_tuple(t) in tupleset]
+            if hit:
+                drop[hit] = True
+        if drop.any():
+            batch = batch.filter(pa.array(~drop))
+        return batch
+
+
 def make_encode_files_fn(wave_id: int, wave_dir: str,
                          batch_rows: int = DEFAULT_BATCH_ROWS,
                          columns: list[str] | None = None,
@@ -387,13 +506,18 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
         bidx = 0
         fseq = 0
         for b in batches:
-            # optional per-file Iceberg position-delete file lists ride
-            # the path DataFrame itself (array<string> column) — no
-            # closure state, Spark distributes them with the file
+            # optional per-file Iceberg delete inputs ride the path
+            # DataFrame itself (position deletes: array<string>;
+            # equality deletes: JSON descriptor list) — no closure
+            # state, Spark distributes them with the file
             dcol = (b.column("deletes").to_pylist()
                     if "deletes" in b.schema.names
                     else [None] * b.num_rows)
-            for path, dfiles in zip(b.column("path").to_pylist(), dcol):
+            ecol = (b.column("eq").to_pylist()
+                    if "eq" in b.schema.names
+                    else [None] * b.num_rows)
+            for path, dfiles, eqjson in zip(b.column("path").to_pylist(),
+                                            dcol, ecol):
                 if local:
                     final = os.path.join(
                         wave_dir, f"part-{pid:05d}-f{fseq:04d}.parquet")
@@ -427,6 +551,8 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                     total_rows = pf.metadata.num_rows
                     del_pos = (_read_delete_positions(path, dfiles)
                                if dfiles else None)
+                    eqf = (_EqualityDeleteFilter.build(json.loads(eqjson))
+                           if eqjson else None)
                     rg_start = 0  # file-absolute row offset of this group
                     for rg in range(pf.metadata.num_row_groups):
                         rg_rows = pf.metadata.row_group(rg).num_rows
@@ -463,9 +589,11 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                                     keep = np.ones(n_read, dtype=bool)
                                     keep[del_pos[lo:hi] - off] = False
                                     batch = batch.filter(pa.array(keep))
-                                if batch.num_rows == 0:
-                                    rows_read += n_read
-                                    continue
+                            if eqf is not None and batch.num_rows:
+                                batch = eqf.apply(batch)
+                            if batch.num_rows == 0:
+                                rows_read += n_read
+                                continue
                             chunk_row, stats = _encode_one_batch(
                                 batch, wave_id, pid, bidx)
                             if writer is None:
@@ -711,7 +839,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 entropy: bool = False,
                 input_files: list[str] | None = None,
                 append: bool = False,
-                row_deletes: dict[str, list[str]] | None = None) -> dict:
+                row_deletes: dict[str, list[str]] | None = None,
+                eq_deletes: dict[str, list[dict]] | None = None) -> dict:
     """Run the full encode job; returns aggregate metrics.
 
     ``row_deletes`` ({data_file_path: [position-delete parquet paths]})
@@ -723,6 +852,19 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     with ``input_files=scan["data_files"]``. File-source path only
     (``cluster_partitions`` reads through Spark, which has no
     row-position access).
+
+    ``eq_deletes`` ({data_file_path: [{"path": delete_parquet,
+    "columns": [key cols]}]}) applies Iceberg EQUALITY deletes the same
+    way: each task reads the delete files' key columns, builds a key
+    set (hash prefilter + exact tuple confirmation,
+    ``_EqualityDeleteFilter``), and drops matching rows batch-by-batch.
+    Feed it ``snapshot_scan(...)["equality_deletes"]`` — the scan
+    already scoped deletes by sequence number, so the mapping IS the
+    application plan. Key columns must not be projected out by
+    ``columns=``. Per-task key materialization is capped at
+    ``_EQ_MAX_KEYS`` (equality deletes are not file-keyed, so every
+    task reads the full set — compact delete files past that). Same
+    file-source-only restriction as ``row_deletes``.
 
     ``append=True`` is the INCREMENTAL mode: source files already present
     in any committed wave's manifest lineage are subtracted from the
@@ -806,10 +948,10 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
         raise ValueError("append and resume are mutually exclusive: "
                          "resume re-runs a fixed input's missing waves, "
                          "append extends the tree with new input")
-    if row_deletes and cluster_partitions:
+    if (row_deletes or eq_deletes) and cluster_partitions:
         raise ValueError(
-            "row_deletes needs the file-source path (row positions are "
-            "per-file); cluster_partitions reads through Spark — "
+            "row_deletes/eq_deletes need the file-source path (deletes "
+            "apply per-file); cluster_partitions reads through Spark — "
             "pre-apply deletes and use encode_df instead")
     if input_files is not None and not input_files:
         # an explicit empty list must NEVER fall back to listing
@@ -938,19 +1080,26 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             # files on ~1/3 of partitions and leaves the rest empty, which
             # doubles the straggler tail; parallelize's even slicing is
             # exact)
-            if row_deletes:
-                # per-file delete-file lists ride the path DataFrame; a
+            if row_deletes or eq_deletes:
+                # per-file delete inputs ride the path DataFrame; a
                 # file's lineage identity is unchanged (deletes alter
                 # row content, not which source files were consumed).
                 # Keys match on the scheme-normalized identity: the
                 # single-schema path lists via Spark (file:/ URIs) while
-                # scan plans carry plain paths
-                rd = {_lineage_key(k): v for k, v in row_deletes.items()}
-                rdd = spark.sparkContext.parallelize(
-                    [(f, rd.get(_lineage_key(f))) for f in wfiles],
-                    len(wfiles))
+                # scan plans carry plain paths. Equality descriptors go
+                # as JSON (a struct column would pin one fixed shape)
+                rd = {_lineage_key(k): v
+                      for k, v in (row_deletes or {}).items()}
+                eq = {_lineage_key(k): v
+                      for k, v in (eq_deletes or {}).items()}
+                rows = []
+                for f in wfiles:
+                    e = eq.get(_lineage_key(f))
+                    rows.append((f, rd.get(_lineage_key(f)),
+                                 json.dumps(e) if e else None))
+                rdd = spark.sparkContext.parallelize(rows, len(wfiles))
                 paths = spark.createDataFrame(
-                    rdd, "path string, deletes array<string>")
+                    rdd, "path string, deletes array<string>, eq string")
             else:
                 rdd = spark.sparkContext.parallelize(
                     [(f,) for f in wfiles], len(wfiles))

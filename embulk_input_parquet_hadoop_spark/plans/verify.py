@@ -95,23 +95,31 @@ VERIFY_FILES_SCHEMA = ("source_file string, chunk_file string, "
 
 
 def _source_batches(path: str, batch_rows: int, columns: list[str],
-                    del_pos=None):
+                    del_pos=None, eqf=None):
     """The encoder's exact source iteration (row-group at a time, corrupt
     groups skipped mid-stream) so batch boundaries line up with chunks.
 
     ``del_pos`` (sorted file-absolute row positions, or None) replays the
     encoder's Iceberg position-delete masking: the same rows are dropped
     from each batch and fully-deleted batches are skipped entirely — so a
-    delete-masked tree verifies positionally against its MOR source."""
+    delete-masked tree verifies positionally against its MOR source.
+    ``eqf`` (a ``pipeline._EqualityDeleteFilter``, or None) replays
+    equality deletes the same way; its key columns are read alongside
+    ``columns`` (the encode may not have stored them) and dropped again
+    before yielding, so the comparison stays on the encoded columns."""
     import numpy as np
     from . import fsutil
     pf = fsutil.parquet_file(path)
+    read_cols = columns
+    if eqf is not None:
+        extra = [c for c in eqf.columns_needed if c not in columns]
+        read_cols = list(columns) + extra
     rg_start = 0
     for rg in range(pf.metadata.num_row_groups):
         rg_rows = pf.metadata.row_group(rg).num_rows
         rows_read = 0
         it = pf.iter_batches(batch_size=batch_rows, row_groups=[rg],
-                             columns=columns, use_threads=False)
+                             columns=read_cols, use_threads=False)
         while True:
             try:
                 batch = next(it)
@@ -128,16 +136,20 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
                     keep = np.ones(n_read, dtype=bool)
                     keep[del_pos[lo:hi] - off] = False
                     batch = batch.filter(pa.array(keep))
-                if batch.num_rows == 0:
-                    rows_read += n_read
-                    continue
+            if eqf is not None and batch.num_rows:
+                batch = eqf.apply(batch)
+            if batch.num_rows == 0:
+                rows_read += n_read
+                continue
             rows_read += n_read
+            if read_cols is not columns:
+                batch = batch.select(columns)
             yield batch
         rg_start += rg_rows
 
 
 def _verify_one(src: str, chk: str, batch_rows: int,
-                del_pos=None) -> tuple:
+                del_pos=None, eqf=None) -> tuple:
     from . import fsutil
     rows = toks = mism = 0
     err = None
@@ -166,7 +178,7 @@ def _verify_one(src: str, chk: str, batch_rows: int,
                 if columns is None:
                     columns = names
                     src_iter = _source_batches(src, batch_rows, columns,
-                                               del_pos)
+                                               del_pos, eqf)
                 try:
                     sb = next(src_iter)
                 except StopIteration:
@@ -198,16 +210,21 @@ def _verify_one(src: str, chk: str, batch_rows: int,
 
 def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
     def fn(batches):
+        import json
         for b in batches:
             dcol = (b.column("deletes").to_pylist()
                     if "deletes" in b.schema.names else [None] * b.num_rows)
-            for src, chk, dfiles in zip(
+            ecol = (b.column("eq").to_pylist()
+                    if "eq" in b.schema.names else [None] * b.num_rows)
+            for src, chk, dfiles, eqjson in zip(
                     b.column("source_file").to_pylist(),
-                    b.column("chunk_file").to_pylist(), dcol):
+                    b.column("chunk_file").to_pylist(), dcol, ecol):
                 del_pos = (pipeline._read_delete_positions(src, dfiles)
                            if dfiles else None)
+                eqf = (pipeline._EqualityDeleteFilter.build(
+                    json.loads(eqjson)) if eqjson else None)
                 s, c, r, t, m, e = _verify_one(src, chk, batch_rows,
-                                               del_pos)
+                                               del_pos, eqf)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([s]), pa.array([c]),
                      pa.array([r], type=pa.int64()),
@@ -222,19 +239,20 @@ def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
 
 def verify_files(spark: SparkSession, out_dir: str,
                  batch_rows: int = pipeline.DEFAULT_BATCH_ROWS,
-                 row_deletes: dict[str, list[str]] | None = None) -> dict:
+                 row_deletes: dict[str, list[str]] | None = None,
+                 eq_deletes: dict[str, list[dict]] | None = None) -> dict:
     """Distributed positional bit-identity check, one task per source file.
 
     Requires the file-source encode path (chunks_meta carries the
     source-file -> chunk-file lineage); ``batch_rows`` must match the
     encode run's. Only O(n_files) stat rows cross the JVM<->Python channel.
 
-    ``row_deletes``: the same {data_file: [position-delete files]}
-    mapping the encode ran with (``iceberg_meta.snapshot_scan``) — each
+    ``row_deletes``/``eq_deletes``: the same position-/equality-delete
+    mappings the encode ran with (``iceberg_meta.snapshot_scan``) — each
     task replays the delete masking on its source file, so a MOR-encoded
-    tree verifies against the live rows only. Without it a delete-masked
-    tree correctly FAILS this check (the tree really doesn't match the
-    raw files).
+    tree verifies against the live rows only. Without them a
+    delete-masked tree correctly FAILS this check (the tree really
+    doesn't match the raw files).
     """
     from . import fsutil
     pairs = set()
@@ -251,14 +269,21 @@ def verify_files(spark: SparkSession, out_dir: str,
         raise FileNotFoundError(
             f"no chunks_meta lineage under {out_dir} (verify_files needs "
             f"the file-source encode path; use verify_path otherwise)")
-    if row_deletes:
-        rd = {pipeline._lineage_key(k): v for k, v in row_deletes.items()}
-        rows = [(s, c, rd.get(pipeline._lineage_key(s)))
-                for s, c in sorted(pairs)]
+    if row_deletes or eq_deletes:
+        import json
+        rd = {pipeline._lineage_key(k): v
+              for k, v in (row_deletes or {}).items()}
+        eqm = {pipeline._lineage_key(k): v
+               for k, v in (eq_deletes or {}).items()}
+        rows = []
+        for s, c in sorted(pairs):
+            e = eqm.get(pipeline._lineage_key(s))
+            rows.append((s, c, rd.get(pipeline._lineage_key(s)),
+                         json.dumps(e) if e else None))
         rdd = spark.sparkContext.parallelize(rows, len(rows))
         df = spark.createDataFrame(
             rdd, "source_file string, chunk_file string, "
-                 "deletes array<string>")
+                 "deletes array<string>, eq string")
     else:
         rdd = spark.sparkContext.parallelize(sorted(pairs), len(pairs))
         df = spark.createDataFrame(

@@ -24,8 +24,15 @@ data files plus a {data_file: [position-delete files]} mapping that
 encode task — reading the data files without it would resurrect deleted
 rows, so the strict ``snapshot_data_files`` still refuses any MOR
 snapshot. EQUALITY deletes (``content`` 2) identify rows by column
-value and always raise; those tables need a full Iceberg reader and
-``encode_df``.
+value; ``snapshot_scan`` resolves their ``equality_ids`` to column
+names through the table schema, scopes them by sequence number (a
+delete applies to data files whose data sequence number is strictly
+lower, per spec), and returns an ``equality_deletes`` mapping that
+``encode_path(eq_deletes=...)`` applies value-wise inside each encode
+task. Only GLOBAL equality deletes are applied — a partition-scoped
+equality delete (non-null ``partition`` record) raises, because
+applying it table-wide would delete same-keyed rows in other
+partitions; tables carrying those need a full Iceberg reader.
 
 ``write_table_fixture`` writes a minimal spec-shaped table (v2
 metadata.json + manifest list + one manifest per data file) over
@@ -52,14 +59,17 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 515},
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
     ]}
 
-def _manifest_schema(partition_fields: list[tuple[str, str]] | None = None
-                     ) -> dict:
+def _manifest_schema(partition_fields: list[tuple[str, str]] | None = None,
+                     with_equality_ids: bool = False) -> dict:
     """Manifest-entry schema; ``partition_fields`` [(name, avro_type)]
     adds the spec's per-file ``partition`` record (``r102``), which is
-    what metadata-level partition pruning reads."""
+    what metadata-level partition pruning reads; ``with_equality_ids``
+    adds the equality-delete key field-id list (spec field-id 135)."""
     df_fields = [
         {"name": "content", "type": "int", "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
@@ -74,9 +84,16 @@ def _manifest_schema(partition_fields: list[tuple[str, str]] | None = None
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
     ]
+    if with_equality_ids:
+        df_fields.append({"name": "equality_ids", "field-id": 135,
+                          "type": ["null", {"type": "array",
+                                            "items": "int",
+                                            "element-id": 136}]})
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 3},
         {"name": "data_file", "field-id": 2,
          "type": {"type": "record", "name": "r2", "fields": df_fields}},
     ]}
@@ -148,18 +165,40 @@ def read_table_meta(table_dir: str) -> dict:
         return json.load(f)
 
 
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    """{field id: column name} of the table's CURRENT schema — what
+    resolves an equality delete's ``equality_ids`` to the key columns.
+    Top-level fields only (nested-field equality keys are beyond a
+    file-granular scan and surface as a missing-id error)."""
+    schemas = meta.get("schemas") or []
+    cur = meta.get("current-schema-id")
+    schema = None
+    if cur is not None:
+        schema = next((s for s in schemas
+                       if s.get("schema-id") == cur), None)
+    if schema is None and len(schemas) == 1:
+        schema = schemas[0]
+    if schema is None:
+        schema = meta.get("schema")  # v1 single-schema layout
+    if not schema:
+        return {}
+    return {f["id"]: f["name"] for f in schema.get("fields", [])
+            if "id" in f and "name" in f}
+
+
 def _scan(table_dir: str, snapshot_id: int | None,
-          partition_filter: dict | None
-          ) -> tuple[list[str], list[str]]:
-    """(sorted data files, sorted POSITION-delete files) of a snapshot.
+          partition_filter: dict | None) -> dict:
+    """Raw snapshot scan: ``{"data": [(path, seq)], "pos_deletes":
+    [path], "eq_deletes": [{path, seq, equality_ids, partition}]}``.
 
     Walks manifest list -> manifests; data entries prune by
     ``partition_filter`` (equality at the metadata level). Delete
     manifests (spec v2 manifest-list ``content`` 1) are read the same
-    way: position-delete files (``data_file.content`` 1) are returned for
-    the caller to apply; EQUALITY deletes (``content`` 2) raise — they
-    identify rows by column values, which a file-granular positional scan
-    cannot apply without a full Iceberg evaluator.
+    way; position-delete files are ``data_file.content`` 1, equality
+    deletes ``content`` 2. Sequence numbers follow the spec's
+    inheritance: a null entry ``sequence_number`` inherits the manifest
+    list record's; absent entirely (pre-v2 metadata) they stay None and
+    equality-delete scoping refuses downstream.
     """
     meta = read_table_meta(table_dir)
     snap_id = snapshot_id if snapshot_id is not None \
@@ -173,8 +212,9 @@ def _scan(table_dir: str, snapshot_id: int | None,
     location = meta.get("location", table_dir)
     mlist_path = _resolve(table_dir, location, snap["manifest-list"])
     _, manifests = avro_io.read_avro(mlist_path)
-    files: list[str] = []
-    delete_files: list[str] = []
+    data: list[tuple[str, int | None]] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
         man_path = _resolve(table_dir, location, m["manifest_path"])
         _, entries = avro_io.read_avro(man_path)
@@ -183,18 +223,23 @@ def _scan(table_dir: str, snapshot_id: int | None,
                 continue
             df = e["data_file"]
             content = df.get("content", _CONTENT_DATA)
-            if content == _CONTENT_EQ_DELETES:
-                raise IcebergMetaError(
-                    f"equality-delete file in manifest {man_path}: "
-                    f"{df['file_path']} — needs a full Iceberg reader "
-                    "(equality deletes match rows by value, not position)")
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number")
             fmt = df.get("file_format", "PARQUET").upper()
             if fmt != "PARQUET":
                 raise IcebergMetaError(
                     f"non-parquet file ({fmt}): {df['file_path']}")
+            path = _resolve(table_dir, location, df["file_path"])
+            if content == _CONTENT_EQ_DELETES:
+                eq_deletes.append({
+                    "path": path, "seq": seq,
+                    "equality_ids": df.get("equality_ids"),
+                    "partition": df.get("partition"),
+                })
+                continue
             if content == _CONTENT_POS_DELETES:
-                delete_files.append(
-                    _resolve(table_dir, location, df["file_path"]))
+                pos_deletes.append(path)
                 continue
             if partition_filter:
                 part = df.get("partition")
@@ -202,8 +247,12 @@ def _scan(table_dir: str, snapshot_id: int | None,
                         k in part and not _part_eq(part[k], v)
                         for k, v in partition_filter.items()):
                     continue
-            files.append(_resolve(table_dir, location, df["file_path"]))
-    return sorted(files), sorted(delete_files)
+            data.append((path, seq))
+    data.sort()
+    pos_deletes.sort()
+    eq_deletes.sort(key=lambda d: d["path"])
+    return {"data": data, "pos_deletes": pos_deletes,
+            "eq_deletes": eq_deletes, "meta": meta}
 
 
 def snapshot_data_files(table_dir: str,
@@ -221,25 +270,27 @@ def snapshot_data_files(table_dir: str,
     cannot prove out of scope.
 
     Raises ``IcebergMetaError`` for merge-on-read snapshots (any delete
-    files present) — this is the strict COW-only entry point whose file
-    list alone fully describes the snapshot; ``snapshot_scan`` is the
-    MOR-aware one (position deletes applied at encode).
+    files present, position OR equality) — this is the strict COW-only
+    entry point whose file list alone fully describes the snapshot;
+    ``snapshot_scan`` is the MOR-aware one (deletes applied at encode).
     """
-    files, delete_files = _scan(table_dir, snapshot_id, partition_filter)
-    if delete_files:
+    scan = _scan(table_dir, snapshot_id, partition_filter)
+    if scan["pos_deletes"] or scan["eq_deletes"]:
         raise IcebergMetaError(
-            f"snapshot carries {len(delete_files)} position-DELETE "
-            f"file(s) (merge-on-read) — use snapshot_scan(), which "
-            "returns the per-data-file delete mapping for "
-            "encode_path(row_deletes=...)")
-    return files
+            f"snapshot carries {len(scan['pos_deletes'])} position- and "
+            f"{len(scan['eq_deletes'])} equality-DELETE file(s) "
+            "(merge-on-read) — use snapshot_scan(), which returns the "
+            "per-data-file delete mappings for encode_path("
+            "row_deletes=/eq_deletes=...)")
+    return [p for p, _seq in scan["data"]]
 
 
 def snapshot_scan(table_dir: str,
                   snapshot_id: int | None = None,
                   partition_filter: dict | None = None) -> dict:
     """MOR-aware scan plan: ``{"data_files": [...], "position_deletes":
-    {data_file_path: [delete_file_paths]}}``.
+    {data_file_path: [delete_file_paths]}, "equality_deletes":
+    {data_file_path: [{"path": ..., "columns": [...]}]}}``.
 
     Position-delete files (Parquet, spec columns ``file_path``/``pos``)
     are mapped to the data files they reference by reading ONLY their
@@ -248,25 +299,80 @@ def snapshot_scan(table_dir: str,
     each data file, with a ``file_path ==`` filter pushed to the delete
     file's row groups (sorted by (file_path, pos) per spec, so that
     filter prunes). Planning cost stays O(metadata), per-task cost
-    O(that file's deletes). Equality deletes raise (``_scan``).
+    O(that file's deletes).
 
-    Data files never referenced by any delete file get no mapping entry;
-    a partition-pruned data file's deletes are dropped with it.
+    Equality-delete files (Parquet holding the key columns themselves)
+    are scoped per spec: a delete applies to every data file whose data
+    sequence number is STRICTLY lower than the delete's. ``equality_ids``
+    resolve to column names via the table's current schema. Raises for
+    anything it cannot apply exactly: missing ``equality_ids``, a field
+    id absent from the schema's top level, a partition-SCOPED delete
+    (non-null ``partition`` values — applying it globally would delete
+    same-keyed rows of other partitions), or missing sequence numbers on
+    either side (unscopable). Feed the mapping to
+    ``encode_path(eq_deletes=...)``.
+
+    Data files never referenced by any delete get no mapping entry; a
+    partition-pruned data file's deletes are dropped with it.
     """
-    files, delete_files = _scan(table_dir, snapshot_id, partition_filter)
+    scan = _scan(table_dir, snapshot_id, partition_filter)
+    files = [p for p, _seq in scan["data"]]
     live = set(files)
+    meta = scan["meta"]
+    location = meta.get("location", table_dir)
     deletes: dict[str, list[str]] = {}
-    if delete_files:
+    if scan["pos_deletes"]:
         import pyarrow.parquet as pq
-        meta = read_table_meta(table_dir)
-        location = meta.get("location", table_dir)
-        for dp in delete_files:
+        for dp in scan["pos_deletes"]:
             refs = pq.read_table(dp, columns=["file_path"])
             for ref in refs.column("file_path").unique().to_pylist():
                 target = _resolve(table_dir, location, ref)
                 if target in live:
                     deletes.setdefault(target, []).append(dp)
-    return {"data_files": files, "position_deletes": deletes}
+    eq_map: dict[str, list[dict]] = {}
+    if scan["eq_deletes"]:
+        names = _field_names_by_id(meta)
+        descs = []
+        for d in scan["eq_deletes"]:
+            if not d["equality_ids"]:
+                raise IcebergMetaError(
+                    f"equality-delete file {d['path']} carries no "
+                    "equality_ids — needs a full Iceberg reader")
+            part = d.get("partition")
+            if isinstance(part, dict) and any(
+                    v is not None for v in part.values()):
+                raise IcebergMetaError(
+                    f"partition-scoped equality-delete file {d['path']} "
+                    f"(partition={part}) — applying it globally would "
+                    "delete same-keyed rows of other partitions; only "
+                    "global (unpartitioned) equality deletes are "
+                    "supported")
+            if d["seq"] is None:
+                raise IcebergMetaError(
+                    f"equality-delete file {d['path']} has no sequence "
+                    "number — cannot scope which data files it applies "
+                    "to")
+            try:
+                cols = [names[i] for i in d["equality_ids"]]
+            except KeyError as k:
+                raise IcebergMetaError(
+                    f"equality_ids {d['equality_ids']} of {d['path']}: "
+                    f"field id {k} not a top-level field of the table "
+                    "schema") from None
+            descs.append({"path": d["path"], "columns": cols,
+                          "seq": d["seq"]})
+        for path, fseq in scan["data"]:
+            if fseq is None:
+                raise IcebergMetaError(
+                    f"data file {path} has no sequence number but the "
+                    "snapshot carries equality deletes — cannot scope "
+                    "which deletes apply")
+            applies = [{"path": d["path"], "columns": d["columns"]}
+                       for d in descs if d["seq"] > fseq]
+            if applies:
+                eq_map[path] = applies
+    return {"data_files": files, "position_deletes": deletes,
+            "equality_deletes": eq_map}
 
 
 def added_data_files(table_dir: str, from_snapshot_id: int,
@@ -294,6 +400,7 @@ def _write_snapshot(meta_dir: str, snapshot_id: int,
     """Manifest + manifest list for one snapshot; returns the list path."""
     entries = [{
         "status": 1, "snapshot_id": snapshot_id,
+        "sequence_number": None,  # inherited from the manifest list
         "data_file": {
             "content": 0,
             "file_path": os.path.abspath(p),
@@ -309,6 +416,7 @@ def _write_snapshot(meta_dir: str, snapshot_id: int,
         "manifest_length": os.path.getsize(man_path),
         "partition_spec_id": 0,
         "content": 0,
+        "sequence_number": snapshot_id,
         "added_snapshot_id": snapshot_id,
     }])
     return mlist
@@ -321,7 +429,11 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
                         older_snapshots: dict[int, list[str]] | None = None,
                         partitions: list[dict] | None = None,
                         position_deletes: dict[str, list[int]] | None = None,
-                        equality_deletes: bool = False) -> str:
+                        equality_deletes: bool = False,
+                        schema_fields: list[str] | None = None,
+                        data_sequence_number: int = 1,
+                        equality_delete_tables: list[dict] | None = None
+                        ) -> str:
     """Minimal spec-shaped Iceberg v2 table over existing Parquet files.
 
     Data files stay where they are (absolute paths in the manifest, as
@@ -333,11 +445,21 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     ``pos``, sorted) plus its delete manifest — the ``snapshot_scan`` /
     ``encode_path(row_deletes=)`` MOR path end to end.
     ``equality_deletes`` adds an equality-delete manifest entry (content
-    2) for the always-refused case. ``older_snapshots``
+    2) with NO equality_ids for the refused case. ``older_snapshots``
     ({snapshot_id: files}) records historical snapshots in the metadata
     so time-travel reads (``snapshot_data_files(..., snapshot_id=)``)
     are testable — Iceberg keeps every snapshot's manifest list live
-    until expiry."""
+    until expiry.
+
+    ``schema_fields`` ([column names]) writes a table schema with field
+    ids 1..n — what resolves equality_ids to column names.
+    ``data_sequence_number`` is the data manifest's sequence number
+    (default 1). ``equality_delete_tables`` writes REAL equality-delete
+    files: each dict carries ``table`` (a pyarrow Table of the key
+    columns — its column names resolve back to equality_ids via
+    ``schema_fields``), ``sequence_number`` (default
+    ``data_sequence_number + 1``), and optionally ``partition``
+    ({name: value}, for the partition-scoped refusal case)."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     if record_counts is None:
@@ -369,6 +491,7 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             df_rec["partition"] = {k: partitions[i].get(k)
                                    for k, _t in part_fields}
         entries.append({"status": 1, "snapshot_id": snapshot_id,
+                        "sequence_number": None,  # inherit from list
                         "data_file": df_rec})
     man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
     avro_io.write_avro(man_path, schema, entries)
@@ -377,12 +500,14 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         "manifest_length": os.path.getsize(man_path),
         "partition_spec_id": 0,
         "content": 0,
+        "sequence_number": data_sequence_number,
         "added_snapshot_id": snapshot_id,
     }]
     if with_deletes:
         del_man = os.path.join(meta_dir, f"del-{uuid.uuid4().hex}.avro")
         avro_io.write_avro(del_man, _MANIFEST_SCHEMA, [{
             "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None,
             "data_file": {
                 "content": 1,  # position deletes
                 "file_path": os.path.abspath(
@@ -396,6 +521,7 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             "manifest_length": os.path.getsize(del_man),
             "partition_spec_id": 0,
             "content": 1,
+            "sequence_number": data_sequence_number + 1,
             "added_snapshot_id": snapshot_id,
         })
     if position_deletes:
@@ -417,6 +543,7 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         del_man = os.path.join(meta_dir, f"del-{uuid.uuid4().hex}.avro")
         avro_io.write_avro(del_man, _MANIFEST_SCHEMA, [{
             "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None,
             "data_file": {
                 "content": 1,
                 "file_path": del_path,
@@ -429,14 +556,16 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             "manifest_length": os.path.getsize(del_man),
             "partition_spec_id": 0,
             "content": 1,
+            "sequence_number": data_sequence_number + 1,
             "added_snapshot_id": snapshot_id,
         })
     if equality_deletes:
         eq_man = os.path.join(meta_dir, f"eqdel-{uuid.uuid4().hex}.avro")
         avro_io.write_avro(eq_man, _MANIFEST_SCHEMA, [{
             "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None,
             "data_file": {
-                "content": 2,  # equality deletes — always refused
+                "content": 2,  # equality delete with no equality_ids
                 "file_path": os.path.abspath(
                     os.path.join(table_dir, "data", "eq-del-0.parquet")),
                 "file_format": "PARQUET",
@@ -448,6 +577,50 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             "manifest_length": os.path.getsize(eq_man),
             "partition_spec_id": 0,
             "content": 1,
+            "sequence_number": data_sequence_number + 1,
+            "added_snapshot_id": snapshot_id,
+        })
+    field_ids = {nm: i + 1 for i, nm in enumerate(schema_fields or [])}
+    for spec in equality_delete_tables or []:
+        import pyarrow.parquet as pq
+        tab = spec["table"]
+        try:
+            eq_ids = [field_ids[c] for c in tab.column_names]
+        except KeyError as k:
+            raise ValueError(f"equality-delete column {k} needs "
+                             "schema_fields to carry it") from None
+        data_dir = os.path.join(table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        del_path = os.path.join(data_dir,
+                                f"eq-del-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tab, del_path)
+        part = spec.get("partition")
+        eq_schema = _manifest_schema(
+            [(k, "long" if isinstance(v, int) else "string")
+             for k, v in sorted(part.items())] if part else None,
+            with_equality_ids=True)
+        df_rec = {
+            "content": 2,
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "record_count": tab.num_rows,
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": eq_ids,
+        }
+        if part:
+            df_rec["partition"] = dict(part)
+        eq_man = os.path.join(meta_dir, f"eqdel-{uuid.uuid4().hex}.avro")
+        avro_io.write_avro(eq_man, eq_schema, [{
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None,  # inherited from the list record
+            "data_file": df_rec}])
+        manifests.append({
+            "manifest_path": eq_man,
+            "manifest_length": os.path.getsize(eq_man),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": spec.get("sequence_number",
+                                        data_sequence_number + 1),
             "added_snapshot_id": snapshot_id,
         })
     mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
@@ -464,6 +637,13 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         }],
         "schemas": [], "partition-specs": [], "sort-orders": [],
     }
+    if schema_fields:
+        meta["current-schema-id"] = 0
+        meta["schemas"] = [{
+            "schema-id": 0, "type": "struct", "fields": [
+                {"id": fid, "name": nm, "required": False,
+                 "type": "string"}
+                for nm, fid in field_ids.items()]}]
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:

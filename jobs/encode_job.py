@@ -118,6 +118,7 @@ def main() -> int:
 
     input_files = None
     row_deletes = None
+    eq_deletes = None
     if args.iceberg:
         from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
         pf = None
@@ -133,12 +134,14 @@ def main() -> int:
             input_files = iceberg_meta.added_data_files(
                 args.input, args.since_snapshot, partition_filter=pf)
         else:
-            # MOR-aware full-snapshot scan: position deletes (if any)
-            # are applied row-positionally inside the encode tasks
+            # MOR-aware full-snapshot scan: position deletes apply
+            # row-positionally, equality deletes value-wise, both
+            # inside the encode tasks
             scan = iceberg_meta.snapshot_scan(args.input,
                                               partition_filter=pf)
             input_files = scan["data_files"]
             row_deletes = scan["position_deletes"] or None
+            eq_deletes = scan.get("equality_deletes") or None
     elif args.partition:
         raise SystemExit("--partition requires --iceberg")
     elif args.since_snapshot is not None:
@@ -164,7 +167,7 @@ def main() -> int:
         bad_file_threshold=args.bad_file_threshold,
         bad_record_threshold=args.bad_record_threshold,
         meta_mode=args.meta_mode, entropy=args.entropy,
-        row_deletes=row_deletes)
+        row_deletes=row_deletes, eq_deletes=eq_deletes)
     totals["total_wall_s"] = time.perf_counter() - t0
     if vacuum_result is not None:
         totals["vacuum"] = vacuum_result
@@ -179,14 +182,15 @@ def main() -> int:
         # so the live-rows-only tree verifies positionally
         totals["verify"] = verify.verify_files(spark, args.output,
                                                batch_rows=args.batch_rows,
-                                               row_deletes=row_deletes)
+                                               row_deletes=row_deletes,
+                                               eq_deletes=eq_deletes)
     elif args.verify:
-        if row_deletes:
+        if row_deletes or eq_deletes:
             raise SystemExit(
                 "--verify (full-outer join vs raw source) cannot check a "
                 "MOR delete-masked encode — every deleted row would count "
                 "as unmatched; use --verify-files, which replays the "
-                "position-delete masking")
+                "delete masking")
         totals["verify"] = verify.verify_path(spark, args.input, args.output)
     print(json.dumps(totals))
     spark.stop()

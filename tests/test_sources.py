@@ -374,8 +374,8 @@ def test_iceberg_position_deletes_batch_boundaries(spark, tokens_dir,
 
 
 def test_iceberg_equality_deletes_refused(tmp_path, tokens_dir):
-    """Equality deletes identify rows by value — beyond a positional
-    scan; both entry points must refuse."""
+    """An equality delete WITHOUT equality_ids (or any eq delete at the
+    strict entry point) must refuse — it cannot be applied exactly."""
     import glob
     from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
     tdir = str(tmp_path / "eq_table")
@@ -385,3 +385,159 @@ def test_iceberg_equality_deletes_refused(tmp_path, tokens_dir):
         iceberg_meta.snapshot_scan(tdir)
     with pytest.raises(iceberg_meta.IcebergMetaError, match="equality"):
         iceberg_meta.snapshot_data_files(tdir)
+
+
+def _eq_fixture(tmp_path, tokens_dir, dead_ids, name="eq_tab", **kw):
+    import glob
+
+    import pyarrow as pa
+
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / name)
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(
+        tdir, files, record_counts=[150, 150],
+        schema_fields=["doc_id", "tokens", "n_tok", "source"],
+        equality_delete_tables=[dict(
+            table=pa.table({"doc_id": pa.array(dead_ids,
+                                               type=pa.string())}),
+            **kw)])
+    return tdir, files
+
+
+def test_iceberg_equality_deletes_applied(spark, tokens_dir, tmp_path):
+    """The full equality-delete MOR chain: fixture table (real delete
+    parquet + equality_ids + sequence numbers) -> snapshot_scan ->
+    encode_path(eq_deletes=) -> decode == DuckDB's anti-join over the
+    same parquet files; verify_files replays the masking."""
+    import duckdb
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    import pyarrow.parquet as pq
+    ids = []
+    import glob
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    for f in files:
+        ids += pq.read_table(f, columns=["doc_id"]).column(
+            "doc_id").to_pylist()
+    dead = sorted(set(ids))[::40][:6] + ["no-such-doc"]
+    tdir, files = _eq_fixture(tmp_path, tokens_dir, dead)
+    # strict entry point still refuses the MOR snapshot
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="DELETE"):
+        iceberg_meta.snapshot_data_files(tdir)
+    scan = iceberg_meta.snapshot_scan(tdir)
+    assert sorted(scan["equality_deletes"]) == files  # applies to both
+    out = str(tmp_path / "eq_enc")
+    totals = pipeline.encode_path(
+        spark, tdir, out, input_files=scan["data_files"],
+        eq_deletes=scan["equality_deletes"], batch_rows=64)
+    con = duckdb.connect()
+    delete_file = scan["equality_deletes"][files[0]][0]["path"]
+    exp = [r[0] for r in con.execute(
+        "SELECT doc_id FROM read_parquet($f) WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM read_parquet($d)) ORDER BY doc_id",
+        {"f": files, "d": delete_file}).fetchall()]
+    assert totals["n_rows"] == len(exp)
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    assert sorted(r.doc_id for r in dec.collect()) == exp
+    vf = verify.verify_files(spark, out, batch_rows=64,
+                             eq_deletes=scan["equality_deletes"])
+    assert vf["ok"] and vf["rows_compared"] == len(exp)
+    # without the replay the tree correctly does NOT match the raw files
+    assert not verify.verify_files(spark, out, batch_rows=64)["ok"]
+
+
+def test_iceberg_equality_delete_sequence_scoping(tmp_path, tokens_dir):
+    """Spec scoping: an equality delete applies only to data files with
+    a STRICTLY lower data sequence number — a delete at the data's own
+    sequence number (same commit) must not mask anything."""
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir, _files = _eq_fixture(tmp_path, tokens_dir, ["x"],
+                               name="eq_same_seq", sequence_number=1)
+    scan = iceberg_meta.snapshot_scan(tdir)  # data seq is also 1
+    assert scan["equality_deletes"] == {}
+    tdir2, files2 = _eq_fixture(tmp_path, tokens_dir, ["x"],
+                                name="eq_later_seq", sequence_number=2)
+    scan2 = iceberg_meta.snapshot_scan(tdir2)
+    assert sorted(scan2["equality_deletes"]) == files2
+
+
+def test_iceberg_equality_delete_partition_scoped_refused(tmp_path,
+                                                          tokens_dir):
+    """A partition-SCOPED equality delete must refuse: applying it
+    globally would delete same-keyed rows of other partitions."""
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir, _files = _eq_fixture(tmp_path, tokens_dir, ["x"],
+                               name="eq_part",
+                               partition={"source": "web"})
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="partition-scoped"):
+        iceberg_meta.snapshot_scan(tdir)
+
+
+def test_iceberg_equality_delete_unknown_field_id_refused(tmp_path,
+                                                          tokens_dir):
+    """equality_ids that don't resolve through the table schema refuse
+    (rather than guessing a column)."""
+    import glob
+
+    import pyarrow as pa
+
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "eq_badid")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    # schema maps only doc_id -> id 1; the delete keys on a column whose
+    # field id (2, "mystery") the schema does not carry
+    iceberg_meta.write_table_fixture(
+        tdir, files, schema_fields=["doc_id", "mystery"],
+        equality_delete_tables=[{
+            "table": pa.table({"mystery": ["z"]}), "sequence_number": 2}])
+    meta_path = f"{tdir}/metadata/v1.metadata.json"
+    import json as _json
+    meta = _json.load(open(meta_path))
+    meta["schemas"][0]["fields"] = [
+        f for f in meta["schemas"][0]["fields"] if f["name"] == "doc_id"]
+    _json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="not a top-level field"):
+        iceberg_meta.snapshot_scan(tdir)
+
+
+def test_equality_filter_nulls_multicol_and_widths():
+    """_EqualityDeleteFilter unit semantics: null matches null (spec),
+    NaN matches NaN, multi-column keys AND together, and delete-file
+    ints of a narrower width still match (int32 keys vs int64 data)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _EqualityDeleteFilter)
+    import tempfile
+    d = tempfile.mkdtemp()
+    dp = f"{d}/eqdel.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array([1, None, 7], type=pa.int32()),
+        "s": pa.array(["a", "b", None], type=pa.string()),
+    }), dp)
+    f = _EqualityDeleteFilter.build([{"path": dp, "columns": ["k", "s"]}])
+    batch = pa.record_batch({
+        "k": pa.array([1, 1, None, None, 7, 2], type=pa.int64()),
+        "s": pa.array(["a", "b", "b", None, None, "a"]),
+        "payload": pa.array(list(range(6))),
+    })
+    kept = f.apply(batch)
+    # dead: (1,a) row0, (None,b) row2, (7,None) row4; survivors 1,3,5
+    assert kept.column("payload").to_pylist() == [1, 3, 5]
+    # NaN key: Python NaN != NaN, the filter must still match it
+    dp2 = f"{d}/eqdel2.parquet"
+    pq.write_table(pa.table({"x": pa.array([float("nan"), 1.5])}), dp2)
+    f2 = _EqualityDeleteFilter.build([{"path": dp2, "columns": ["x"]}])
+    b2 = pa.record_batch({
+        "x": pa.array([float("nan"), 2.5, 1.5, None]),
+        "i": pa.array([0, 1, 2, 3])})
+    assert f2.apply(b2).column("i").to_pylist() == [1, 3]
+    # missing key column raises loudly (columns= projected it out)
+    with pytest.raises(ValueError, match="not in the data batch"):
+        f2.apply(pa.record_batch({"i": pa.array([0])}))
