@@ -29,10 +29,12 @@ names through the table schema, scopes them by sequence number (a
 delete applies to data files whose data sequence number is strictly
 lower, per spec), and returns an ``equality_deletes`` mapping that
 ``encode_path(eq_deletes=...)`` applies value-wise inside each encode
-task. Only GLOBAL equality deletes are applied — a partition-scoped
-equality delete (non-null ``partition`` record) raises, because
-applying it table-wide would delete same-keyed rows in other
-partitions; tables carrying those need a full Iceberg reader.
+task. Equality deletes written with an unpartitioned spec (empty or
+absent ``partition`` record) apply globally; PARTITION-SCOPED ones
+(a non-empty ``partition`` record) apply only to data files of the
+same partition spec with an equal partition tuple, per spec — a data
+file whose manifest carries no partition record while a same-spec
+scoped delete is in sequence scope is unresolvable and raises.
 
 ``write_table_fixture`` writes a minimal spec-shaped table (v2
 metadata.json + manifest list + one manifest per data file) over
@@ -188,8 +190,9 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
 
 def _scan(table_dir: str, snapshot_id: int | None,
           partition_filter: dict | None) -> dict:
-    """Raw snapshot scan: ``{"data": [(path, seq)], "pos_deletes":
-    [path], "eq_deletes": [{path, seq, equality_ids, partition}]}``.
+    """Raw snapshot scan: ``{"data": [(path, seq, spec_id, partition)],
+    "pos_deletes": [path], "eq_deletes": [{path, seq, equality_ids,
+    partition, spec_id}]}``.
 
     Walks manifest list -> manifests; data entries prune by
     ``partition_filter`` (equality at the metadata level). Delete
@@ -212,11 +215,12 @@ def _scan(table_dir: str, snapshot_id: int | None,
     location = meta.get("location", table_dir)
     mlist_path = _resolve(table_dir, location, snap["manifest-list"])
     _, manifests = avro_io.read_avro(mlist_path)
-    data: list[tuple[str, int | None]] = []
+    data: list[tuple[str, int | None, int | None, dict | None]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
     for m in manifests:
         man_path = _resolve(table_dir, location, m["manifest_path"])
+        spec_id = m.get("partition_spec_id")
         _, entries = avro_io.read_avro(man_path)
         for e in entries:
             if e["status"] == _STATUS_DELETED:
@@ -236,6 +240,7 @@ def _scan(table_dir: str, snapshot_id: int | None,
                     "path": path, "seq": seq,
                     "equality_ids": df.get("equality_ids"),
                     "partition": df.get("partition"),
+                    "spec_id": spec_id,
                 })
                 continue
             if content == _CONTENT_POS_DELETES:
@@ -247,8 +252,8 @@ def _scan(table_dir: str, snapshot_id: int | None,
                         k in part and not _part_eq(part[k], v)
                         for k, v in partition_filter.items()):
                     continue
-            data.append((path, seq))
-    data.sort()
+            data.append((path, seq, spec_id, df.get("partition")))
+    data.sort(key=lambda t: t[0])
     pos_deletes.sort()
     eq_deletes.sort(key=lambda d: d["path"])
     return {"data": data, "pos_deletes": pos_deletes,
@@ -275,14 +280,14 @@ def snapshot_data_files(table_dir: str,
     ``snapshot_scan`` is the MOR-aware one (deletes applied at encode).
     """
     scan = _scan(table_dir, snapshot_id, partition_filter)
-    if scan["pos_deletes"] or scan["eq_deletes"]:
+    if scan["pos_deletes"] or scan["eq_deletes"]:  # strict COW gate
         raise IcebergMetaError(
             f"snapshot carries {len(scan['pos_deletes'])} position- and "
             f"{len(scan['eq_deletes'])} equality-DELETE file(s) "
             "(merge-on-read) — use snapshot_scan(), which returns the "
             "per-data-file delete mappings for encode_path("
             "row_deletes=/eq_deletes=...)")
-    return [p for p, _seq in scan["data"]]
+    return [t[0] for t in scan["data"]]
 
 
 def snapshot_scan(table_dir: str,
@@ -304,19 +309,25 @@ def snapshot_scan(table_dir: str,
     Equality-delete files (Parquet holding the key columns themselves)
     are scoped per spec: a delete applies to every data file whose data
     sequence number is STRICTLY lower than the delete's. ``equality_ids``
-    resolve to column names via the table's current schema. Raises for
-    anything it cannot apply exactly: missing ``equality_ids``, a field
-    id absent from the schema's top level, a partition-SCOPED delete
-    (non-null ``partition`` values — applying it globally would delete
-    same-keyed rows of other partitions), or missing sequence numbers on
-    either side (unscopable). Feed the mapping to
+    resolve to column names via the table's current schema. A delete
+    written with an unpartitioned spec (empty/absent ``partition``
+    record) is GLOBAL; a partition-scoped one (non-empty ``partition``
+    record, null values included — a null partition key is still one
+    partition) applies only to data files of the SAME partition spec id
+    whose partition tuple is equal, per the spec's "same partition of
+    the same partition spec" rule. Raises for anything it cannot apply
+    exactly: missing ``equality_ids``, a field id absent from the
+    schema's top level, missing sequence numbers on either side
+    (unscopable), or a sequence-in-scope same-spec data file carrying NO
+    partition record (membership undecidable — skipping could resurrect
+    deleted rows, applying could delete live ones). Feed the mapping to
     ``encode_path(eq_deletes=...)``.
 
     Data files never referenced by any delete get no mapping entry; a
     partition-pruned data file's deletes are dropped with it.
     """
     scan = _scan(table_dir, snapshot_id, partition_filter)
-    files = [p for p, _seq in scan["data"]]
+    files = [t[0] for t in scan["data"]]
     live = set(files)
     meta = scan["meta"]
     location = meta.get("location", table_dir)
@@ -338,15 +349,6 @@ def snapshot_scan(table_dir: str,
                 raise IcebergMetaError(
                     f"equality-delete file {d['path']} carries no "
                     "equality_ids — needs a full Iceberg reader")
-            part = d.get("partition")
-            if isinstance(part, dict) and any(
-                    v is not None for v in part.values()):
-                raise IcebergMetaError(
-                    f"partition-scoped equality-delete file {d['path']} "
-                    f"(partition={part}) — applying it globally would "
-                    "delete same-keyed rows of other partitions; only "
-                    "global (unpartitioned) equality deletes are "
-                    "supported")
             if d["seq"] is None:
                 raise IcebergMetaError(
                     f"equality-delete file {d['path']} has no sequence "
@@ -359,20 +361,95 @@ def snapshot_scan(table_dir: str,
                     f"equality_ids {d['equality_ids']} of {d['path']}: "
                     f"field id {k} not a top-level field of the table "
                     "schema") from None
+            part = d.get("partition")
             descs.append({"path": d["path"], "columns": cols,
-                          "seq": d["seq"]})
-        for path, fseq in scan["data"]:
+                          "seq": d["seq"], "spec_id": d.get("spec_id"),
+                          # empty/absent record = unpartitioned spec =
+                          # global; a non-empty record (null values
+                          # included) scopes to that one partition
+                          "partition": dict(part) if part else None})
+        for path, fseq, fspec, fpart in scan["data"]:
             if fseq is None:
                 raise IcebergMetaError(
                     f"data file {path} has no sequence number but the "
                     "snapshot carries equality deletes — cannot scope "
                     "which deletes apply")
-            applies = [{"path": d["path"], "columns": d["columns"]}
-                       for d in descs if d["seq"] > fseq]
+            applies = []
+            for d in descs:
+                if d["seq"] <= fseq:
+                    continue
+                if d["partition"] is not None:
+                    if d["spec_id"] != fspec:
+                        continue  # other spec: out of scope per spec
+                    if not isinstance(fpart, dict):
+                        raise IcebergMetaError(
+                            f"data file {path} carries no partition "
+                            "record but partition-scoped equality-"
+                            f"delete file {d['path']} (partition="
+                            f"{d['partition']}) is in sequence scope — "
+                            "cannot decide membership")
+                    if dict(fpart) != d["partition"]:
+                        continue
+                applies.append({"path": d["path"],
+                                "columns": d["columns"]})
             if applies:
                 eq_map[path] = applies
     return {"data_files": files, "position_deletes": deletes,
             "equality_deletes": eq_map}
+
+
+def snapshot_scan_diff(table_dir: str, from_snapshot_id: int,
+                       to_snapshot_id: int | None = None,
+                       partition_filter: dict | None = None) -> dict:
+    """MOR-aware incremental scan plan: data files live in ``to``
+    (default: current) but not in ``from``, with the ``to`` snapshot's
+    position-/equality-delete mappings restricted to those files — the
+    CDC-style ingest unit for merge-on-read tables. Feed to
+    ``encode_path(input_files=..., row_deletes=..., eq_deletes=...,
+    append=True)``.
+
+    Refuses (``IcebergMetaError``) when the ``to`` snapshot's deletes
+    change the effective rows of a file already live at ``from``: an
+    append-only encode tree cannot retract rows it has already
+    committed, and silently skipping the delete would serve rows the
+    table no longer has. That covers both new deletes arriving on old
+    files AND a delete mapping that shrank (rows resurrected). Such
+    tables need a fresh full encode (or a downstream anti-join).
+
+    On a COW table this degenerates to ``added_data_files`` with empty
+    mappings, so callers can use it unconditionally. Cost: two metadata
+    reads plus the delete-file ``file_path``-column reads of both scans.
+    """
+    old = snapshot_scan(table_dir, from_snapshot_id, partition_filter)
+    new = snapshot_scan(table_dir, to_snapshot_id, partition_filter)
+    old_files = set(old["data_files"])
+    added = [f for f in new["data_files"] if f not in old_files]
+    added_set = set(added)
+
+    def _norm(mapping, f):
+        entries = mapping.get(f, [])
+        return sorted(entries, key=repr)
+
+    for f in new["data_files"]:
+        if f in added_set:
+            continue
+        for kind in ("position_deletes", "equality_deletes"):
+            if _norm(new[kind], f) != _norm(old[kind], f):
+                raise IcebergMetaError(
+                    f"{kind.replace('_', ' ')} of already-live data file "
+                    f"{f} changed between snapshots {from_snapshot_id} "
+                    f"and {to_snapshot_id if to_snapshot_id is not None else 'current'} — an append-only encode tree cannot "
+                    "retract committed rows; re-encode the snapshot in "
+                    "full instead of diffing")
+    return {
+        "data_files": added,
+        "position_deletes": {f: v for f, v in
+                             new["position_deletes"].items()
+                             if f in added_set},
+        "equality_deletes": {f: v for f, v in
+                             new["equality_deletes"].items()
+                             if f in added_set},
+    }
 
 
 def added_data_files(table_dir: str, from_snapshot_id: int,
@@ -458,8 +535,9 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     files: each dict carries ``table`` (a pyarrow Table of the key
     columns — its column names resolve back to equality_ids via
     ``schema_fields``), ``sequence_number`` (default
-    ``data_sequence_number + 1``), and optionally ``partition``
-    ({name: value}, for the partition-scoped refusal case)."""
+    ``data_sequence_number + 1``), optionally ``partition``
+    ({name: value}, making the delete partition-scoped), and optionally
+    ``partition_spec_id`` (default 0, the data manifests' spec)."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     if record_counts is None:
@@ -617,7 +695,7 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         manifests.append({
             "manifest_path": eq_man,
             "manifest_length": os.path.getsize(eq_man),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec.get("partition_spec_id", 0),
             "content": 1,
             "sequence_number": spec.get("sequence_number",
                                         data_sequence_number + 1),

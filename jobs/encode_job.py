@@ -127,12 +127,16 @@ def main() -> int:
         if args.since_snapshot is not None:
             # a snapshot diff is incremental by definition; an empty diff
             # flows through encode_path's append no-op so --vacuum /
-            # --verify-files and the totals line still run. Strict
-            # (COW-only) on purpose: a diff of MOR snapshots would need
-            # delete-aware reconciliation, not just a file-set diff.
+            # --verify-files and the totals line still run. MOR-aware:
+            # deletes scoped to the NEW files apply inside the encode
+            # tasks; deletes touching already-live files refuse (an
+            # append-only tree cannot retract committed rows).
             args.append = True
-            input_files = iceberg_meta.added_data_files(
+            scan = iceberg_meta.snapshot_scan_diff(
                 args.input, args.since_snapshot, partition_filter=pf)
+            input_files = scan["data_files"]
+            row_deletes = scan["position_deletes"] or None
+            eq_deletes = scan.get("equality_deletes") or None
         else:
             # MOR-aware full-snapshot scan: position deletes apply
             # row-positionally, equality deletes value-wise, both

@@ -233,3 +233,103 @@ def test_append_wave_base_advances_past_lineage_free_waves(spark, tmp_path):
     assert t["waves_run"] == 1
     waves = mf.completed_waves(spark, out)
     assert 8 in waves and waves == {0, 7, 8}
+
+
+def _mor_grow_files(tmp_path, n_docs=900, seed=13):
+    """Three source files; v1 of the table will hold the first two."""
+    d = tmp_path / "mor_data"
+    generate(str(d), n_docs=n_docs, seed=seed, n_files=3)
+    return sorted(str(Path(p).resolve()) for p in d.glob("*.parquet"))
+
+
+def test_snapshot_scan_diff_mor_incremental(spark, tmp_path):
+    """MOR-aware snapshot diff: the v2 arrivals carry position deletes
+    scoped to the NEW file only — the diff returns that file plus its
+    delete mapping, and the appended tree decodes to exactly the live
+    rows of snapshot 2."""
+    import pyarrow.parquet as pq
+    files = _mor_grow_files(tmp_path)
+    dead = [0, 5, 299]
+    table = str(tmp_path / "mor_table2")
+    iceberg_meta.write_table_fixture(
+        table, files, snapshot_id=2, older_snapshots={1: files[:2]},
+        record_counts=[300, 300, 300],
+        position_deletes={files[2]: dead})
+    diff = iceberg_meta.snapshot_scan_diff(table, 1)
+    assert diff["data_files"] == [files[2]]
+    assert set(diff["position_deletes"]) == {files[2]}
+    assert diff["equality_deletes"] == {}
+
+    out = str(tmp_path / "mor_enc")
+    pipeline.encode_path(
+        spark, table, out,
+        input_files=iceberg_meta.snapshot_data_files(table, 1))
+    t2 = pipeline.encode_path(
+        spark, table, out, input_files=diff["data_files"],
+        row_deletes=diff["position_deletes"], append=True)
+    assert t2["waves_run"] == 1 and t2["n_rows"] == 300 - len(dead)
+    ids = pq.read_table(files[2], columns=["doc_id"]).column(
+        "doc_id").to_pylist()
+    expected = set()
+    for f in files[:2]:
+        expected |= set(pq.read_table(f, columns=["doc_id"]).column(
+            "doc_id").to_pylist())
+    expected |= {d for i, d in enumerate(ids) if i not in set(dead)}
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    assert {r.doc_id for r in dec.collect()} == expected
+    # the MOR-aware verify replays the same mapping
+    vf = verify.verify_files(spark, out,
+                             row_deletes=diff["position_deletes"])
+    assert vf["ok"] and vf["rows_compared"] == 900 - len(dead)
+
+
+def test_snapshot_scan_diff_refuses_deletes_on_live_files(tmp_path):
+    """New deletes touching a file already live at ``from`` refuse: an
+    append-only tree cannot retract committed rows."""
+    import pytest
+    files = _mor_grow_files(tmp_path)
+    table = str(tmp_path / "mor_refuse")
+    iceberg_meta.write_table_fixture(
+        table, files, snapshot_id=2, older_snapshots={1: files[:2]},
+        record_counts=[300, 300, 300],
+        position_deletes={files[0]: [1, 2]})
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="cannot retract"):
+        iceberg_meta.snapshot_scan_diff(table, 1)
+
+
+def test_snapshot_scan_diff_refuses_eq_deletes_reaching_old_files(
+        tmp_path):
+    """An equality delete whose sequence scope reaches the old files
+    refuses the diff (it would retract committed rows)."""
+    import pyarrow as pa
+    import pytest
+    d = tmp_path / "eqd"
+    generate(str(d), n_docs=600, seed=17, n_files=3)
+    files = sorted(str(Path(p).resolve()) for p in d.glob("*.parquet"))
+    table = str(tmp_path / "eq_diff_tab")
+    iceberg_meta.write_table_fixture(
+        table, files, snapshot_id=2, older_snapshots={1: files[:2]},
+        record_counts=[200, 200, 200],
+        schema_fields=["doc_id", "tokens", "n_tok", "source"],
+        equality_delete_tables=[{
+            "table": pa.table({"doc_id": ["nope"]}),
+            "sequence_number": 5}])
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="cannot retract"):
+        iceberg_meta.snapshot_scan_diff(table, 1)
+
+
+def test_snapshot_scan_diff_cow_matches_added_data_files(tmp_path):
+    """On a delete-free table the MOR-aware diff degenerates to
+    added_data_files with empty mappings."""
+    d = tmp_path / "cowd"
+    generate(str(d), n_docs=300, seed=19, n_files=3)
+    files = sorted(str(Path(p).resolve()) for p in d.glob("*.parquet"))
+    table = str(tmp_path / "cow_tab")
+    iceberg_meta.write_table_fixture(table, files, snapshot_id=2,
+                                     older_snapshots={1: files[:2]})
+    diff = iceberg_meta.snapshot_scan_diff(table, 1)
+    assert diff["data_files"] == iceberg_meta.added_data_files(table, 1)
+    assert diff["position_deletes"] == {} == diff["equality_deletes"]

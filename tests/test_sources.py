@@ -463,16 +463,106 @@ def test_iceberg_equality_delete_sequence_scoping(tmp_path, tokens_dir):
     assert sorted(scan2["equality_deletes"]) == files2
 
 
-def test_iceberg_equality_delete_partition_scoped_refused(tmp_path,
-                                                          tokens_dir):
-    """A partition-SCOPED equality delete must refuse: applying it
-    globally would delete same-keyed rows of other partitions."""
+def _eq_part_fixture(tmp_path, tokens_dir, name, partitions=None,
+                     **delete_kw):
+    """Two-file table with a doc_id-keyed equality delete at seq 2; the
+    delete's partition/spec scoping comes from ``delete_kw``."""
+    import glob
+
+    import pyarrow as pa
+
     from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
-    tdir, _files = _eq_fixture(tmp_path, tokens_dir, ["x"],
-                               name="eq_part",
-                               partition={"source": "web"})
+    tdir = str(tmp_path / name)
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    dead = delete_kw.pop("dead_ids", ["x"])
+    iceberg_meta.write_table_fixture(
+        tdir, files, record_counts=[150, 150], partitions=partitions,
+        schema_fields=["doc_id", "tokens", "n_tok", "source"],
+        equality_delete_tables=[dict(
+            table=pa.table({"doc_id": pa.array(dead,
+                                               type=pa.string())}),
+            sequence_number=2, **delete_kw)])
+    return tdir, files
+
+
+def test_iceberg_equality_delete_partition_scoped_applies(
+        spark, tokens_dir, tmp_path):
+    """A partition-scoped equality delete applies ONLY to data files of
+    the same partition (spec rule: same partition of the same partition
+    spec) — same-keyed rows in other partitions survive the encode."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    # dead ids drawn from BOTH files; the delete scopes to web (file 0)
+    import glob
+    files_sorted = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    dead = []
+    for f in files_sorted:
+        dead += pq.read_table(f, columns=["doc_id"]).column(
+            "doc_id").to_pylist()[:3]
+    tdir, files = _eq_part_fixture(
+        tmp_path, tokens_dir, "eq_part_apply",
+        partitions=[{"source": "web"}, {"source": "books"}],
+        partition={"source": "web"}, dead_ids=dead)
+    scan = iceberg_meta.snapshot_scan(tdir)
+    assert sorted(scan["equality_deletes"]) == [files[0]]  # web only
+    out = str(tmp_path / "eq_part_enc")
+    totals = pipeline.encode_path(
+        spark, tdir, out, input_files=scan["data_files"],
+        eq_deletes=scan["equality_deletes"], batch_rows=64)
+    con = duckdb.connect()
+    # oracle: delete keys masked from file 0 only; file 1 intact
+    exp = [r[0] for r in con.execute(
+        "SELECT doc_id FROM read_parquet($w) WHERE doc_id NOT IN "
+        "(SELECT UNNEST($dead::varchar[])) "
+        "UNION ALL SELECT doc_id FROM read_parquet($b) ORDER BY 1",
+        {"w": files[0], "b": files[1], "dead": dead}).fetchall()]
+    assert totals["n_rows"] == len(exp)
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    assert sorted(r.doc_id for r in dec.collect()) == exp
+
+
+def test_iceberg_equality_delete_null_partition_is_scoped(tmp_path,
+                                                          tokens_dir):
+    """A delete whose partition record holds a NULL value is scoped to
+    the null partition, not global: with no null-partition data files it
+    applies nowhere."""
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir, _files = _eq_part_fixture(
+        tmp_path, tokens_dir, "eq_part_null",
+        partitions=[{"source": "web"}, {"source": "books"}],
+        partition={"source": None})
+    assert iceberg_meta.snapshot_scan(tdir)["equality_deletes"] == {}
+
+
+def test_iceberg_equality_delete_other_spec_ignored(tmp_path,
+                                                    tokens_dir):
+    """A partition-scoped delete under a DIFFERENT partition spec id
+    does not apply to this spec's data files (spec: "same partition of
+    the same partition spec")."""
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir, _files = _eq_part_fixture(
+        tmp_path, tokens_dir, "eq_part_spec",
+        partitions=[{"source": "web"}, {"source": "books"}],
+        partition={"source": "web"}, partition_spec_id=1)
+    assert iceberg_meta.snapshot_scan(tdir)["equality_deletes"] == {}
+
+
+def test_iceberg_equality_delete_partition_unresolvable_refused(
+        tmp_path, tokens_dir):
+    """Data files carrying NO partition record while a same-spec
+    partition-scoped delete is in sequence scope: membership is
+    undecidable (skipping could resurrect rows, applying could delete
+    live ones) — refuse loudly."""
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir, _files = _eq_part_fixture(
+        tmp_path, tokens_dir, "eq_part_nopart", partitions=None,
+        partition={"source": "web"})
     with pytest.raises(iceberg_meta.IcebergMetaError,
-                       match="partition-scoped"):
+                       match="cannot decide membership"):
         iceberg_meta.snapshot_scan(tdir)
 
 
