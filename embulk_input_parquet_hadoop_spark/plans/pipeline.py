@@ -314,20 +314,50 @@ def _eq_hashes(tab: "pa.Table", cols: list[str]) -> np.ndarray:
     a data batch: every column casts to string (so int32 5 and int64 5
     collide as they must), nulls fill with "" plus an explicit null-mask
     column (pyarrow nulls become NaN/objects in pandas and would hash
-    type-dependently). Hash hits are CANDIDATES only — exact tuple
-    confirmation follows — so a collision can never delete a wrong row.
+    type-dependently). Floating columns widen to float64 FIRST —
+    Iceberg's float→double type promotion means the delete file can
+    hold float32 while the data file holds the widened double, and
+    their direct string forms differ ("1.1" vs "1.100000023841858");
+    hashing both at double width keeps the prefilter sound (ints are
+    already width-stable through the string cast, and the spec has no
+    width promotion for temporal or decimal-scale types). Hash hits are
+    CANDIDATES only — exact tuple confirmation follows — so a collision
+    can never delete a wrong row. The hash ignores column NAMES
+    (pandas hashes values), so a data batch whose physical column names
+    differ (column renames, field-id resolved) hashes identically.
     Raises ArrowInvalid/ArrowNotImplementedError for uncastable types
     (binary); the caller falls back to exact-only matching."""
     import pandas as pd
     import pyarrow.compute as pc
     frame = {}
-    for c in cols:
+    for j, c in enumerate(cols):
         col = tab[c]
+        if pa.types.is_floating(col.type):
+            col = pc.cast(col, pa.float64())
         s = pc.cast(col, pa.large_string())
-        frame[c] = pc.fill_null(s, "").to_pandas()
-        frame[c + "\x00null"] = pc.is_null(col).to_pandas()
+        # positional frame keys: both sides must build the same-shaped
+        # frame even when their physical column names differ
+        frame[f"k{j}"] = pc.fill_null(s, "").to_pandas()
+        frame[f"k{j}\x00null"] = pc.is_null(col).to_pandas()
     return pd.util.hash_pandas_object(
         pd.DataFrame(frame), index=False).to_numpy()
+
+
+def _fieldid_map(schema: "pa.Schema") -> dict[int, str]:
+    """{Iceberg field id: physical column name} from a Parquet file's
+    Arrow schema (pyarrow surfaces the Parquet field ids as
+    ``PARQUET:field_id`` field metadata). Empty when the writer stamped
+    no ids (plain pyarrow output) — callers fall back to name matching,
+    which is exact for tables that never renamed a column."""
+    out: dict[int, str] = {}
+    for f in schema:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            try:
+                out[int(fid)] = f.name
+            except ValueError:
+                pass
+    return out
 
 
 class _EqualityDeleteFilter:
@@ -335,14 +365,20 @@ class _EqualityDeleteFilter:
     encode/verify task that owns one data file.
 
     Built once per data file from its applicable delete descriptors
-    ([{"path", "columns"}], from ``iceberg_meta.snapshot_scan``):
-    descriptors sharing a key-column tuple union their key sets. Per
-    batch, a vectorized uint64 hash prefilter (``_eq_hashes``) narrows
-    to candidate rows, which are then confirmed by EXACT tuple equality
-    (null==null, NaN folded) — hash collisions cannot delete a wrong
-    row, and typical batches with no hits cost 3-4 vector ops. Key
-    column types must match the data file's up to width (both sides
-    hash via the same string cast; Python equality confirms)."""
+    ([{"path", "columns", "ids"}], from ``iceberg_meta.snapshot_scan``):
+    descriptors sharing a key-column tuple union their key sets. Key
+    columns resolve BY FIELD ID wherever Parquet field ids are present
+    (the spec's rule — it is what survives column renames), both in the
+    delete files and, via ``data_schema``, in the data file this filter
+    is built for; files without field ids fall back to the current
+    schema's names. Per batch, a vectorized uint64 hash prefilter
+    (``_eq_hashes``) narrows to candidate rows, which are then
+    confirmed by EXACT tuple equality (null==null, NaN folded) — hash
+    collisions cannot delete a wrong row, and typical batches with no
+    hits cost 3-4 vector ops. Key widths may differ per Iceberg's
+    int→long / float→double promotions (the hash width-normalizes;
+    exact confirmation compares at the promoted width, matching engine
+    semantics)."""
 
     def __init__(self, groups):
         self.groups = groups
@@ -350,14 +386,19 @@ class _EqualityDeleteFilter:
             {c for cols, _h, _t in groups for c in cols})
 
     @classmethod
-    def build(cls, descs: list[dict]) -> "_EqualityDeleteFilter":
+    def build(cls, descs: list[dict],
+              data_schema: "pa.Schema | None" = None
+              ) -> "_EqualityDeleteFilter":
         from . import fsutil
         by_cols: dict[tuple, list[str]] = {}
         for d in descs:
-            by_cols.setdefault(tuple(d["columns"]), []).append(d["path"])
+            key = (tuple(d["columns"]), tuple(d.get("ids") or ()))
+            by_cols.setdefault(key, []).append(d["path"])
+        data_fmap = (_fieldid_map(data_schema)
+                     if data_schema is not None else {})
         groups = []
         total = 0
-        for cols, paths in sorted(by_cols.items()):
+        for (cols, ids), paths in sorted(by_cols.items()):
             tabs = []
             for p in sorted(set(paths)):
                 pf = fsutil.parquet_file(p)
@@ -367,16 +408,30 @@ class _EqualityDeleteFilter:
                         f"equality-delete key set exceeds {_EQ_MAX_KEYS:,}"
                         " rows per task — compact the table's delete "
                         "files before encoding")
-                tabs.append(pf.read(columns=list(cols),
-                                    use_threads=False))
+                # resolve the delete file's physical columns by field id
+                # when both sides carry ids; else by current-schema name
+                fmap = _fieldid_map(pf.schema_arrow)
+                if ids and all(i in fmap for i in ids):
+                    phys = [fmap[i] for i in ids]
+                else:
+                    phys = list(cols)
+                t = pf.read(columns=phys, use_threads=False)
+                # unify to the current-schema names so delete files
+                # written before/after a rename union into one key set
+                tabs.append(t.select(phys).rename_columns(list(cols)))
             tab = pa.concat_tables(tabs, promote_options="default")
             tupleset = set(map(_norm_eq_tuple,
                                zip(*(tab[c].to_pylist() for c in cols))))
             try:
-                hashes = np.unique(_eq_hashes(tab, cols))
+                hashes = np.unique(_eq_hashes(tab, list(cols)))
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                 hashes = None  # uncastable key type: exact-only matching
-            groups.append((list(cols), hashes, tupleset))
+            # the DATA side's physical names for these keys (renames)
+            if ids and data_fmap and all(i in data_fmap for i in ids):
+                dcols = [data_fmap[i] for i in ids]
+            else:
+                dcols = list(cols)
+            groups.append((dcols, hashes, tupleset))
         return cls(groups)
 
     def apply(self, batch: pa.RecordBatch) -> pa.RecordBatch:
@@ -387,8 +442,10 @@ class _EqualityDeleteFilter:
             if missing:
                 raise ValueError(
                     f"equality-delete key column(s) {missing} not in the "
-                    f"data batch (have {tab.column_names}) — do not "
-                    "project them out with columns=")
+                    f"data batch (have {tab.column_names}) — either "
+                    "projected out with columns=, or the data file "
+                    "predates a column add/rename and carries no Parquet "
+                    "field ids to resolve it")
             if hashes is not None:
                 cand = np.nonzero(np.isin(_eq_hashes(tab, cols),
                                           hashes))[0]
@@ -551,7 +608,8 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                     total_rows = pf.metadata.num_rows
                     del_pos = (_read_delete_positions(path, dfiles)
                                if dfiles else None)
-                    eqf = (_EqualityDeleteFilter.build(json.loads(eqjson))
+                    eqf = (_EqualityDeleteFilter.build(
+                        json.loads(eqjson), data_schema=pf.schema_arrow)
                            if eqjson else None)
                     rg_start = 0  # file-absolute row offset of this group
                     for rg in range(pf.metadata.num_row_groups):

@@ -211,6 +211,8 @@ def _verify_one(src: str, chk: str, batch_rows: int,
 def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
     def fn(batches):
         import json
+
+        from . import fsutil
         for b in batches:
             dcol = (b.column("deletes").to_pylist()
                     if "deletes" in b.schema.names else [None] * b.num_rows)
@@ -222,7 +224,9 @@ def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
                 del_pos = (pipeline._read_delete_positions(src, dfiles)
                            if dfiles else None)
                 eqf = (pipeline._EqualityDeleteFilter.build(
-                    json.loads(eqjson)) if eqjson else None)
+                    json.loads(eqjson),
+                    data_schema=fsutil.parquet_file(src).schema_arrow)
+                    if eqjson else None)
                 s, c, r, t, m, e = _verify_one(src, chk, batch_rows,
                                                del_pos, eqf)
                 yield pa.RecordBatch.from_arrays(

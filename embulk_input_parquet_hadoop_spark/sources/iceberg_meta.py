@@ -167,11 +167,14 @@ def read_table_meta(table_dir: str) -> dict:
         return json.load(f)
 
 
-def _field_names_by_id(meta: dict) -> dict[int, str]:
-    """{field id: column name} of the table's CURRENT schema — what
-    resolves an equality delete's ``equality_ids`` to the key columns.
-    Top-level fields only (nested-field equality keys are beyond a
-    file-granular scan and surface as a missing-id error)."""
+def _schema_fields_by_id(meta: dict) -> dict[int, dict]:
+    """{field id: field record} of the table's CURRENT schema — what
+    resolves an equality delete's ``equality_ids`` to the key columns
+    (name AND type: equality keys must be primitive per the spec, and
+    the type gates that refusal at planning time rather than as an
+    unhashable-type crash inside a task). Top-level fields only
+    (nested-field equality keys are beyond a file-granular scan and
+    surface as a missing-id error)."""
     schemas = meta.get("schemas") or []
     cur = meta.get("current-schema-id")
     schema = None
@@ -184,7 +187,7 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
         schema = meta.get("schema")  # v1 single-schema layout
     if not schema:
         return {}
-    return {f["id"]: f["name"] for f in schema.get("fields", [])
+    return {f["id"]: f for f in schema.get("fields", [])
             if "id" in f and "name" in f}
 
 
@@ -342,7 +345,7 @@ def snapshot_scan(table_dir: str,
                     deletes.setdefault(target, []).append(dp)
     eq_map: dict[str, list[dict]] = {}
     if scan["eq_deletes"]:
-        names = _field_names_by_id(meta)
+        fields = _schema_fields_by_id(meta)
         descs = []
         for d in scan["eq_deletes"]:
             if not d["equality_ids"]:
@@ -355,14 +358,29 @@ def snapshot_scan(table_dir: str,
                     "number — cannot scope which data files it applies "
                     "to")
             try:
-                cols = [names[i] for i in d["equality_ids"]]
+                flds = [fields[i] for i in d["equality_ids"]]
             except KeyError as k:
                 raise IcebergMetaError(
                     f"equality_ids {d['equality_ids']} of {d['path']}: "
                     f"field id {k} not a top-level field of the table "
                     "schema") from None
+            for fl in flds:
+                # spec: equality ids reference primitive fields only; a
+                # struct/list/map type is a dict in the schema JSON.
+                # Refuse at planning time — letting it through would
+                # surface hours later as an unhashable-type crash inside
+                # the encode task's key-set build.
+                if not isinstance(fl.get("type"), str):
+                    raise IcebergMetaError(
+                        f"equality_ids {d['equality_ids']} of "
+                        f"{d['path']}: field {fl['name']!r} (id "
+                        f"{fl['id']}) is non-primitive "
+                        f"({json.dumps(fl.get('type'))}) — equality "
+                        "delete keys must be primitive per the spec")
+            cols = [fl["name"] for fl in flds]
             part = d.get("partition")
             descs.append({"path": d["path"], "columns": cols,
+                          "ids": list(d["equality_ids"]),
                           "seq": d["seq"], "spec_id": d.get("spec_id"),
                           # empty/absent record = unpartitioned spec =
                           # global; a non-empty record (null values
@@ -391,7 +409,8 @@ def snapshot_scan(table_dir: str,
                     if dict(fpart) != d["partition"]:
                         continue
                 applies.append({"path": d["path"],
-                                "columns": d["columns"]})
+                                "columns": d["columns"],
+                                "ids": d["ids"]})
             if applies:
                 eq_map[path] = applies
     return {"data_files": files, "position_deletes": deletes,
@@ -408,21 +427,46 @@ def snapshot_scan_diff(table_dir: str, from_snapshot_id: int,
     ``encode_path(input_files=..., row_deletes=..., eq_deletes=...,
     append=True)``.
 
-    Refuses (``IcebergMetaError``) when the ``to`` snapshot's deletes
-    change the effective rows of a file already live at ``from``: an
+    Refuses (``IcebergMetaError``) when the ``to`` snapshot changes the
+    effective rows of a file already encoded from ``from``: an
     append-only encode tree cannot retract rows it has already
-    committed, and silently skipping the delete would serve rows the
-    table no longer has. That covers both new deletes arriving on old
-    files AND a delete mapping that shrank (rows resurrected). Such
-    tables need a fresh full encode (or a downstream anti-join).
+    committed, and silently skipping the change would serve rows the
+    table no longer has. That covers new deletes arriving on old files,
+    a delete mapping that shrank (rows resurrected), AND a data file
+    REMOVED between the snapshots (COW deletes, compaction, and
+    delete-applying rewrites all land as removals — re-encoding the
+    rewritten file would duplicate its live rows while any
+    newly-retracted rows stay served from the committed chunks; note
+    the plain ``added_data_files`` path deliberately carves compaction
+    rewrites OUT of this guarantee — this diff is the strict variant).
+    Such tables need a fresh full encode (or a downstream anti-join).
 
-    On a COW table this degenerates to ``added_data_files`` with empty
-    mappings, so callers can use it unconditionally. Cost: two metadata
-    reads plus the delete-file ``file_path``-column reads of both scans.
+    On an append-only COW table this degenerates to
+    ``added_data_files`` with empty mappings, so callers can use it
+    unconditionally. Cost: two metadata reads plus the delete-file
+    ``file_path``-column reads of both scans.
+
+    Besides the diff-restricted mappings, the result carries the ``to``
+    snapshot's FULL delete mappings (``position_deletes_full`` /
+    ``equality_deletes_full``) — what a whole-tree verify needs:
+    earlier waves were encoded masked by their own snapshots' deletes,
+    which the refusal above guarantees are still exactly the ``to``
+    snapshot's for every still-live file.
     """
     old = snapshot_scan(table_dir, from_snapshot_id, partition_filter)
     new = snapshot_scan(table_dir, to_snapshot_id, partition_filter)
     old_files = set(old["data_files"])
+    new_files = set(new["data_files"])
+    removed = sorted(old_files - new_files)
+    if removed:
+        raise IcebergMetaError(
+            f"data file(s) live at snapshot {from_snapshot_id} were "
+            f"removed by snapshot "
+            f"{to_snapshot_id if to_snapshot_id is not None else 'current'}"
+            f" (first: {removed[0]}, {len(removed)} total) — a rewrite/"
+            "compaction/COW-delete retracts or re-homes rows an "
+            "append-only encode tree has already committed; re-encode "
+            "the snapshot in full instead of diffing")
     added = [f for f in new["data_files"] if f not in old_files]
     added_set = set(added)
 
@@ -449,6 +493,8 @@ def snapshot_scan_diff(table_dir: str, from_snapshot_id: int,
         "equality_deletes": {f: v for f, v in
                              new["equality_deletes"].items()
                              if f in added_set},
+        "position_deletes_full": dict(new["position_deletes"]),
+        "equality_deletes_full": dict(new["equality_deletes"]),
     }
 
 
@@ -471,10 +517,59 @@ def added_data_files(table_dir: str, from_snapshot_id: int,
     return sorted(f for f in new if f not in old)
 
 
+def _write_pos_delete_parquet(data_dir: str,
+                              position_deletes: dict[str, list[int]]
+                              ) -> tuple[str, int]:
+    """Spec-shaped position-delete Parquet (``file_path``/``pos``,
+    sorted); returns (path, n_rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(data_dir, exist_ok=True)
+    rows = sorted((os.path.abspath(p), int(x))
+                  for p, xs in position_deletes.items() for x in xs)
+    del_path = os.path.join(data_dir,
+                            f"pos-del-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([r[0] for r in rows], type=pa.string()),
+        "pos": pa.array([r[1] for r in rows], type=pa.int64()),
+    }), del_path)
+    return del_path, len(rows)
+
+
+def _pos_delete_manifest(meta_dir: str, snapshot_id: int,
+                         sequence_number: int,
+                         delete_files: list[tuple[str, int]]) -> dict:
+    """Delete manifest (content 1) referencing existing position-delete
+    parquet files; returns the manifest-list record for it."""
+    del_man = os.path.join(meta_dir, f"del-{uuid.uuid4().hex}.avro")
+    avro_io.write_avro(del_man, _MANIFEST_SCHEMA, [{
+        "status": 1, "snapshot_id": snapshot_id,
+        "sequence_number": None,
+        "data_file": {
+            "content": 1,
+            "file_path": dp,
+            "file_format": "PARQUET",
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(dp),
+        }} for dp, n in delete_files])
+    return {
+        "manifest_path": del_man,
+        "manifest_length": os.path.getsize(del_man),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": sequence_number,
+        "added_snapshot_id": snapshot_id,
+    }
+
+
 def _write_snapshot(meta_dir: str, snapshot_id: int,
                     parquet_files: list[str],
-                    record_counts: list[int]) -> str:
-    """Manifest + manifest list for one snapshot; returns the list path."""
+                    record_counts: list[int],
+                    delete_files: list[tuple[str, int]] | None = None
+                    ) -> str:
+    """Manifest + manifest list for one snapshot; returns the list path.
+    ``delete_files`` ([(pos-delete parquet path, n_rows)]) adds a delete
+    manifest so historical snapshots can be MOR too."""
     entries = [{
         "status": 1, "snapshot_id": snapshot_id,
         "sequence_number": None,  # inherited from the manifest list
@@ -487,15 +582,19 @@ def _write_snapshot(meta_dir: str, snapshot_id: int,
         }} for p, n in zip(parquet_files, record_counts)]
     man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
     avro_io.write_avro(man_path, _MANIFEST_SCHEMA, entries)
-    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
-    avro_io.write_avro(mlist, _MANIFEST_LIST_SCHEMA, [{
+    manifests = [{
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
         "partition_spec_id": 0,
         "content": 0,
         "sequence_number": snapshot_id,
         "added_snapshot_id": snapshot_id,
-    }])
+    }]
+    if delete_files:
+        manifests.append(_pos_delete_manifest(
+            meta_dir, snapshot_id, snapshot_id + 1, delete_files))
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    avro_io.write_avro(mlist, _MANIFEST_LIST_SCHEMA, manifests)
     return mlist
 
 
@@ -523,18 +622,24 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     ``encode_path(row_deletes=)`` MOR path end to end.
     ``equality_deletes`` adds an equality-delete manifest entry (content
     2) with NO equality_ids for the refused case. ``older_snapshots``
-    ({snapshot_id: files}) records historical snapshots in the metadata
-    so time-travel reads (``snapshot_data_files(..., snapshot_id=)``)
-    are testable — Iceberg keeps every snapshot's manifest list live
-    until expiry.
+    ({snapshot_id: files, or {"files": [...], "position_deletes":
+    {data_file: [positions]}}}) records historical snapshots in the
+    metadata so time-travel reads (``snapshot_data_files(...,
+    snapshot_id=)``) are testable — Iceberg keeps every snapshot's
+    manifest list live until expiry; an older snapshot's position
+    deletes are carried into the CURRENT snapshot's manifest list too
+    (the same delete parquet), as real tables do until compaction.
 
-    ``schema_fields`` ([column names]) writes a table schema with field
-    ids 1..n — what resolves equality_ids to column names.
+    ``schema_fields`` ([column names, or (name, type) pairs — type a
+    primitive string or a struct/list/map dict]) writes a table schema
+    with field ids 1..n — what resolves equality_ids to column names.
     ``data_sequence_number`` is the data manifest's sequence number
     (default 1). ``equality_delete_tables`` writes REAL equality-delete
     files: each dict carries ``table`` (a pyarrow Table of the key
     columns — its column names resolve back to equality_ids via
-    ``schema_fields``), ``sequence_number`` (default
+    ``schema_fields``, or pass explicit ``equality_ids`` so the delete
+    parquet's physical names may differ from the current schema, the
+    column-rename case), ``sequence_number`` (default
     ``data_sequence_number + 1``), optionally ``partition``
     ({name: value}, making the delete partition-scoped), and optionally
     ``partition_spec_id`` (default 0, the data manifests' spec)."""
@@ -543,8 +648,25 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     if record_counts is None:
         record_counts = [0] * len(parquet_files)
     snap_records = []
-    for sid, sfiles in sorted((older_snapshots or {}).items()):
-        ml = _write_snapshot(meta_dir, sid, sfiles, [0] * len(sfiles))
+    carried_deletes: list[tuple[str, int]] = []
+    for sid, spec in sorted((older_snapshots or {}).items()):
+        if isinstance(spec, dict):
+            sfiles = spec["files"]
+            dels = None
+            if spec.get("position_deletes"):
+                dp, n = _write_pos_delete_parquet(
+                    os.path.join(table_dir, "data"),
+                    spec["position_deletes"])
+                dels = [(dp, n)]
+                # real tables keep delete files live until compaction:
+                # the CURRENT snapshot's manifest list references the
+                # SAME delete parquet, so snapshot diffs see an
+                # unchanged mapping on still-live files
+                carried_deletes.append((dp, n))
+        else:
+            sfiles, dels = spec, None
+        ml = _write_snapshot(meta_dir, sid, sfiles, [0] * len(sfiles),
+                             delete_files=dels)
         snap_records.append({"snapshot-id": sid, "manifest-list": ml,
                              "summary": {"operation": "append"}})
     part_fields: list[tuple[str, str]] = []
@@ -603,40 +725,13 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             "added_snapshot_id": snapshot_id,
         })
     if position_deletes:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        data_dir = os.path.join(table_dir, "data")
-        os.makedirs(data_dir, exist_ok=True)
         # one delete file covering all referenced data files, rows sorted
         # by (file_path, pos) as the spec requires — that ordering is what
         # lets the task-side `file_path ==` read prune row groups
-        rows = sorted((os.path.abspath(p), int(x))
-                      for p, xs in position_deletes.items() for x in xs)
-        del_path = os.path.join(data_dir,
-                                f"pos-del-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table({
-            "file_path": pa.array([r[0] for r in rows], type=pa.string()),
-            "pos": pa.array([r[1] for r in rows], type=pa.int64()),
-        }), del_path)
-        del_man = os.path.join(meta_dir, f"del-{uuid.uuid4().hex}.avro")
-        avro_io.write_avro(del_man, _MANIFEST_SCHEMA, [{
-            "status": 1, "snapshot_id": snapshot_id,
-            "sequence_number": None,
-            "data_file": {
-                "content": 1,
-                "file_path": del_path,
-                "file_format": "PARQUET",
-                "record_count": len(rows),
-                "file_size_in_bytes": os.path.getsize(del_path),
-            }}])
-        manifests.append({
-            "manifest_path": del_man,
-            "manifest_length": os.path.getsize(del_man),
-            "partition_spec_id": 0,
-            "content": 1,
-            "sequence_number": data_sequence_number + 1,
-            "added_snapshot_id": snapshot_id,
-        })
+        dp, n = _write_pos_delete_parquet(
+            os.path.join(table_dir, "data"), position_deletes)
+        manifests.append(_pos_delete_manifest(
+            meta_dir, snapshot_id, data_sequence_number + 1, [(dp, n)]))
     if equality_deletes:
         eq_man = os.path.join(meta_dir, f"eqdel-{uuid.uuid4().hex}.avro")
         avro_io.write_avro(eq_man, _MANIFEST_SCHEMA, [{
@@ -658,15 +753,24 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             "sequence_number": data_sequence_number + 1,
             "added_snapshot_id": snapshot_id,
         })
-    field_ids = {nm: i + 1 for i, nm in enumerate(schema_fields or [])}
+    # schema_fields entries: either a name (type "string") or a
+    # (name, type) pair — type may be a primitive string or a dict
+    # (struct/list/map JSON, for the non-primitive-key refusal tests)
+    _sf = [(nm, "string") if isinstance(nm, str) else (nm[0], nm[1])
+           for nm in (schema_fields or [])]
+    field_ids = {nm: i + 1 for i, (nm, _t) in enumerate(_sf)}
     for spec in equality_delete_tables or []:
         import pyarrow.parquet as pq
         tab = spec["table"]
-        try:
-            eq_ids = [field_ids[c] for c in tab.column_names]
-        except KeyError as k:
-            raise ValueError(f"equality-delete column {k} needs "
-                             "schema_fields to carry it") from None
+        eq_ids = spec.get("equality_ids")  # explicit override: lets the
+        # delete parquet's PHYSICAL column names differ from the current
+        # schema's (column-rename fixtures resolve by field id)
+        if eq_ids is None:
+            try:
+                eq_ids = [field_ids[c] for c in tab.column_names]
+            except KeyError as k:
+                raise ValueError(f"equality-delete column {k} needs "
+                                 "schema_fields to carry it") from None
         data_dir = os.path.join(table_dir, "data")
         os.makedirs(data_dir, exist_ok=True)
         del_path = os.path.join(data_dir,
@@ -701,6 +805,10 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
                                         data_sequence_number + 1),
             "added_snapshot_id": snapshot_id,
         })
+    if carried_deletes:
+        manifests.append(_pos_delete_manifest(
+            meta_dir, snapshot_id, data_sequence_number + 1,
+            carried_deletes))
     mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     avro_io.write_avro(mlist, _MANIFEST_LIST_SCHEMA, manifests)
     meta = {
@@ -719,9 +827,9 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         meta["current-schema-id"] = 0
         meta["schemas"] = [{
             "schema-id": 0, "type": "struct", "fields": [
-                {"id": fid, "name": nm, "required": False,
-                 "type": "string"}
-                for nm, fid in field_ids.items()]}]
+                {"id": field_ids[nm], "name": nm, "required": False,
+                 "type": typ}
+                for nm, typ in _sf]}]
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:

@@ -119,6 +119,8 @@ def main() -> int:
     input_files = None
     row_deletes = None
     eq_deletes = None
+    verify_row_deletes = None
+    verify_eq_deletes = None
     if args.iceberg:
         from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
         pf = None
@@ -137,6 +139,13 @@ def main() -> int:
             input_files = scan["data_files"]
             row_deletes = scan["position_deletes"] or None
             eq_deletes = scan.get("equality_deletes") or None
+            # verify walks the WHOLE tree, including waves encoded from
+            # earlier snapshots whose files carried deletes of their
+            # own — replay the full current mappings there, not the
+            # diff-restricted ones (the diff's refusal check guarantees
+            # they are identical on every still-live file)
+            verify_row_deletes = scan["position_deletes_full"] or None
+            verify_eq_deletes = scan["equality_deletes_full"] or None
         else:
             # MOR-aware full-snapshot scan: position deletes apply
             # row-positionally, equality deletes value-wise, both
@@ -146,6 +155,8 @@ def main() -> int:
             input_files = scan["data_files"]
             row_deletes = scan["position_deletes"] or None
             eq_deletes = scan.get("equality_deletes") or None
+            verify_row_deletes = row_deletes
+            verify_eq_deletes = eq_deletes
     elif args.partition:
         raise SystemExit("--partition requires --iceberg")
     elif args.since_snapshot is not None:
@@ -182,14 +193,16 @@ def main() -> int:
         totals["columnar"] = columnar.relayout_columnar(
             spark, args.output, args.relayout_columnar)
     if args.verify_files:
-        # MOR: replay the same position-delete masking on the source side
-        # so the live-rows-only tree verifies positionally
-        totals["verify"] = verify.verify_files(spark, args.output,
-                                               batch_rows=args.batch_rows,
-                                               row_deletes=row_deletes,
-                                               eq_deletes=eq_deletes)
+        # MOR: replay the same delete masking on the source side so the
+        # live-rows-only tree verifies positionally — with the FULL
+        # current mappings, since verify covers every wave's lineage,
+        # not just this run's diff
+        totals["verify"] = verify.verify_files(
+            spark, args.output, batch_rows=args.batch_rows,
+            row_deletes=verify_row_deletes,
+            eq_deletes=verify_eq_deletes)
     elif args.verify:
-        if row_deletes or eq_deletes:
+        if verify_row_deletes or verify_eq_deletes:
             raise SystemExit(
                 "--verify (full-outer join vs raw source) cannot check a "
                 "MOR delete-masked encode — every deleted row would count "

@@ -333,3 +333,58 @@ def test_snapshot_scan_diff_cow_matches_added_data_files(tmp_path):
     diff = iceberg_meta.snapshot_scan_diff(table, 1)
     assert diff["data_files"] == iceberg_meta.added_data_files(table, 1)
     assert diff["position_deletes"] == {} == diff["equality_deletes"]
+
+
+def test_snapshot_scan_diff_refuses_removed_files(tmp_path):
+    """A data file live at ``from`` but gone at ``to`` (COW delete,
+    compaction, delete-applying rewrite) refuses: removal retracts or
+    re-homes rows the encode tree has already committed — re-encoding
+    the rewrite would duplicate them, and skipping it would keep
+    serving retracted rows."""
+    import pytest
+    files = _mor_grow_files(tmp_path)
+    table = str(tmp_path / "rm_refuse")
+    iceberg_meta.write_table_fixture(
+        table, files[1:], snapshot_id=2, older_snapshots={1: files},
+        record_counts=[300, 300])
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="removed"):
+        iceberg_meta.snapshot_scan_diff(table, 1)
+
+
+def test_diff_full_mappings_verify_whole_tree(spark, tmp_path):
+    """A tree built across snapshots verifies only with the diff's
+    ``*_full`` mappings: waves encoded from EARLIER snapshots carry
+    their own delete masking, which the diff-restricted mappings miss
+    (the ``encode_job --since-snapshot --verify-files`` false-fail
+    regression)."""
+    files = _mor_grow_files(tmp_path)
+    dead = [0, 3, 7]
+    table = str(tmp_path / "mor_hist")
+    iceberg_meta.write_table_fixture(
+        table, files, snapshot_id=2,
+        record_counts=[300, 300, 300],
+        older_snapshots={1: {"files": files[:2],
+                             "position_deletes": {files[0]: dead}}})
+    # snapshot 1 is itself MOR; both snapshots see the same delete file
+    scan1 = iceberg_meta.snapshot_scan(table, 1)
+    assert set(scan1["position_deletes"]) == {files[0]}
+    out = str(tmp_path / "enc_hist")
+    t1 = pipeline.encode_path(
+        spark, table, out, input_files=scan1["data_files"],
+        row_deletes=scan1["position_deletes"])
+    assert t1["n_rows"] == 600 - len(dead)
+    diff = iceberg_meta.snapshot_scan_diff(table, 1)
+    assert diff["data_files"] == [files[2]]
+    assert diff["position_deletes"] == {}  # nothing on the NEW file
+    assert set(diff["position_deletes_full"]) == {files[0]}
+    pipeline.encode_path(
+        spark, table, out, input_files=diff["data_files"],
+        row_deletes=diff["position_deletes"] or None, append=True)
+    # the full mapping verifies the whole tree...
+    vf = verify.verify_files(
+        spark, out, row_deletes=diff["position_deletes_full"])
+    assert vf["ok"] and vf["rows_compared"] == 900 - len(dead)
+    # ...the diff-restricted one false-fails on the wave-0 file, which
+    # is exactly why encode_job must verify with the full mappings
+    assert not verify.verify_files(
+        spark, out, row_deletes=diff["position_deletes"] or None)["ok"]

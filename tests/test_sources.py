@@ -631,3 +631,102 @@ def test_equality_filter_nulls_multicol_and_widths():
     # missing key column raises loudly (columns= projected it out)
     with pytest.raises(ValueError, match="not in the data batch"):
         f2.apply(pa.record_batch({"i": pa.array([0])}))
+
+
+def test_equality_filter_float_width_promotion(tmp_path):
+    """Iceberg's float->double type promotion: delete keys stored as
+    float32 must still delete data rows holding the widened float64
+    value. Regression: the hash prefilter string-cast each side at its
+    own width ("1.1" vs "1.100000023841858"), missed every candidate,
+    and the deleted rows silently survived. A double that is NOT the
+    widened float32 (exact 1.1) must survive — engines compare at the
+    promoted width."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _EqualityDeleteFilter)
+    dp = str(tmp_path / "eqdel_f32.parquet")
+    pq.write_table(pa.table({
+        "x": pa.array([1.1, 7.7], type=pa.float32())}), dp)
+    f = _EqualityDeleteFilter.build([{"path": dp, "columns": ["x"]}])
+    w = lambda v: float(np.float64(np.float32(v)))  # noqa: E731
+    batch = pa.record_batch({
+        "x": pa.array([w(1.1), 1.1, w(7.7), 2.2], type=pa.float64()),
+        "i": pa.array([0, 1, 2, 3])})
+    assert f.apply(batch).column("i").to_pylist() == [1, 3]
+    # and the unpromoted case still works bit-for-bit
+    b32 = pa.record_batch({
+        "x": pa.array([1.1, 2.2], type=pa.float32()),
+        "i": pa.array([0, 1])})
+    assert f.apply(b32).column("i").to_pylist() == [1]
+
+
+def test_equality_filter_field_id_rename_resolution(tmp_path):
+    """Column renames: equality keys resolve by Parquet field id (the
+    spec's identity), not by name — a delete file written before the
+    rename (physical column 'uid') still applies to a data file whose
+    physical column is also 'uid' while the CURRENT schema calls the
+    field 'user_id'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _EqualityDeleteFilter)
+    fid = {b"PARQUET:field_id": b"7"}
+    dp = str(tmp_path / "eqdel_uid.parquet")
+    dtab = pa.table({"uid": ["d1", "d3"]}).cast(
+        pa.schema([pa.field("uid", pa.string(), metadata=fid)]))
+    pq.write_table(dtab, dp)
+    descs = [{"path": dp, "columns": ["user_id"], "ids": [7]}]
+    data_schema = pa.schema([
+        pa.field("uid", pa.string(), metadata=fid),
+        pa.field("i", pa.int64())])
+    f = _EqualityDeleteFilter.build(descs, data_schema=data_schema)
+    assert f.columns_needed == ["uid"]  # data-side physical name
+    batch = pa.record_batch({
+        "uid": pa.array(["d0", "d1", "d2", "d3"]),
+        "i": pa.array([0, 1, 2, 3])})
+    assert f.apply(batch).column("i").to_pylist() == [0, 2]
+    # data file with NO field ids: falls back to the current-schema name
+    f2 = _EqualityDeleteFilter.build(
+        descs, data_schema=pa.schema([pa.field("user_id", pa.string())]))
+    b2 = pa.record_batch({"user_id": pa.array(["d1", "d9"]),
+                          "i": pa.array([0, 1])})
+    assert f2.apply(b2).column("i").to_pylist() == [1]
+    # data file whose ids exist but lack the key's id, and no same-named
+    # column either -> loud refusal (pre-rename file, unresolvable)
+    f3 = _EqualityDeleteFilter.build(
+        descs, data_schema=pa.schema([pa.field(
+            "other", pa.string(),
+            metadata={b"PARQUET:field_id": b"9"})]))
+    with pytest.raises(ValueError, match="not in the data batch"):
+        f3.apply(pa.record_batch({"other": pa.array(["d1"])}))
+
+
+def test_iceberg_eq_delete_non_primitive_key_refused(tmp_path,
+                                                     tokens_dir):
+    """equality_ids pointing at a non-primitive field (list/struct/map)
+    refuse at PLANNING time — the spec limits equality keys to
+    primitives, and letting it through would crash unhashably inside an
+    encode task hours later."""
+    import glob
+
+    import pyarrow as pa
+
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "eq_nonprim")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(
+        tdir, files, record_counts=[150, 150],
+        schema_fields=[
+            "doc_id",
+            ("tokens", {"type": "list", "element-id": 100,
+                        "element": "int", "element-required": False})],
+        equality_delete_tables=[dict(
+            table=pa.table({"doc_id": pa.array(["x"], type=pa.string())}),
+            equality_ids=[2])])
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="non-primitive"):
+        iceberg_meta.snapshot_scan(tdir)
