@@ -730,3 +730,60 @@ def test_iceberg_eq_delete_non_primitive_key_refused(tmp_path,
     with pytest.raises(iceberg_meta.IcebergMetaError,
                        match="non-primitive"):
         iceberg_meta.snapshot_scan(tdir)
+
+
+def test_iceberg_eq_delete_rename_end_to_end(spark, tokens_dir,
+                                             tmp_path):
+    """Full chain with a column rename: data + delete parquet both carry
+    Parquet field ids and the PHYSICAL key column 'doc_id', while the
+    table's CURRENT schema calls field 1 'document_id'. snapshot_scan
+    resolves names from the current schema; the encode task and
+    verify_files resolve back to the physical columns by field id."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+
+    # restamp the corpus files with Iceberg-style field ids 1..4
+    data_dir = tmp_path / "fid_data"
+    data_dir.mkdir()
+    files = []
+    all_ids = []
+    for src in sorted(glob.glob(f"{tokens_dir}/*.parquet")):
+        t = pq.read_table(src)
+        fields = [
+            pa.field(f.name, f.type,
+                     metadata={b"PARQUET:field_id": str(i + 1).encode()})
+            for i, f in enumerate(t.schema)]
+        dst = str(data_dir / os.path.basename(src))
+        pq.write_table(t.cast(pa.schema(fields)), dst)
+        files.append(dst)
+        all_ids += t.column("doc_id").to_pylist()
+    dead = sorted(set(all_ids))[::50][:5]
+    dtab = pa.table({"doc_id": pa.array(dead, type=pa.string())}).cast(
+        pa.schema([pa.field("doc_id", pa.string(),
+                            metadata={b"PARQUET:field_id": b"1"})]))
+    tdir = str(tmp_path / "renamed_table")
+    iceberg_meta.write_table_fixture(
+        tdir, files, record_counts=[150, 150],
+        schema_fields=["document_id", "tokens", "n_tok", "source"],
+        equality_delete_tables=[dict(table=dtab, equality_ids=[1])])
+    scan = iceberg_meta.snapshot_scan(tdir)
+    assert all(e["columns"] == ["document_id"] and e["ids"] == [1]
+               for v in scan["equality_deletes"].values() for e in v)
+    out = str(tmp_path / "renamed_enc")
+    totals = pipeline.encode_path(
+        spark, tdir, out, input_files=scan["data_files"],
+        eq_deletes=scan["equality_deletes"], batch_rows=64)
+    assert totals["n_rows"] == len(all_ids) - len(dead)
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    got = sorted(r.doc_id for r in dec.collect())
+    assert got == sorted(i for i in all_ids if i not in set(dead))
+    vf = verify.verify_files(spark, out, batch_rows=64,
+                             eq_deletes=scan["equality_deletes"])
+    assert vf["ok"] and vf["rows_compared"] == len(all_ids) - len(dead)
