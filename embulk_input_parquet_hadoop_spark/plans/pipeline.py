@@ -333,7 +333,13 @@ def _eq_hashes(tab: "pa.Table", cols: list[str]) -> np.ndarray:
     for j, c in enumerate(cols):
         col = tab[c]
         if pa.types.is_floating(col.type):
-            col = pc.cast(col, pa.float64())
+            # widen, then fold -0.0 into 0.0 (x + 0.0 is exact for every
+            # other float incl. NaN/inf): the exact-tuple confirmation
+            # uses Python ==, which equates signed zeros — the prefilter
+            # must be a SUPERSET of it, and "-0" vs "0" string forms
+            # would silently diverge between the hash path and the
+            # exact-only fallback
+            col = pc.add(pc.cast(col, pa.float64()), 0.0)
         s = pc.cast(col, pa.large_string())
         # positional frame keys: both sides must build the same-shaped
         # frame even when their physical column names differ

@@ -95,7 +95,7 @@ VERIFY_FILES_SCHEMA = ("source_file string, chunk_file string, "
 
 
 def _source_batches(path: str, batch_rows: int, columns: list[str],
-                    del_pos=None, eqf=None):
+                    del_pos=None, eqf=None, pf=None):
     """The encoder's exact source iteration (row-group at a time, corrupt
     groups skipped mid-stream) so batch boundaries line up with chunks.
 
@@ -106,10 +106,13 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
     ``eqf`` (a ``pipeline._EqualityDeleteFilter``, or None) replays
     equality deletes the same way; its key columns are read alongside
     ``columns`` (the encode may not have stored them) and dropped again
-    before yielding, so the comparison stays on the encoded columns."""
+    before yielding, so the comparison stays on the encoded columns.
+    ``pf`` reuses an already-open ParquetFile (one footer read per
+    source file, not one per consumer)."""
     import numpy as np
     from . import fsutil
-    pf = fsutil.parquet_file(path)
+    if pf is None:
+        pf = fsutil.parquet_file(path)
     read_cols = columns
     if eqf is not None:
         extra = [c for c in eqf.columns_needed if c not in columns]
@@ -149,7 +152,12 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
 
 
 def _verify_one(src: str, chk: str, batch_rows: int,
-                del_pos=None, eqf=None) -> tuple:
+                del_files=None, eq_descs=None) -> tuple:
+    """``del_files``/``eq_descs`` are the RAW per-file delete inputs
+    (position-delete paths / equality descriptors); they are resolved
+    here, inside the error capture, so a missing or corrupt source or
+    delete file yields a per-file ``err`` row instead of aborting the
+    whole Spark job."""
     from . import fsutil
     rows = toks = mism = 0
     err = None
@@ -157,6 +165,14 @@ def _verify_one(src: str, chk: str, batch_rows: int,
         if not fsutil.exists(chk):
             # every row group of the file was skipped within threshold
             return (src, chk, 0, 0, 0, None)
+        del_pos = (pipeline._read_delete_positions(src, del_files)
+                   if del_files else None)
+        spf = None
+        eqf = None
+        if eq_descs:
+            spf = fsutil.parquet_file(src)
+            eqf = pipeline._EqualityDeleteFilter.build(
+                eq_descs, data_schema=spf.schema_arrow)
         cpf = fsutil.parquet_file(chk)
         columns: list[str] | None = None
         src_iter = None
@@ -178,7 +194,7 @@ def _verify_one(src: str, chk: str, batch_rows: int,
                 if columns is None:
                     columns = names
                     src_iter = _source_batches(src, batch_rows, columns,
-                                               del_pos, eqf)
+                                               del_pos, eqf, pf=spf)
                 try:
                     sb = next(src_iter)
                 except StopIteration:
@@ -211,8 +227,6 @@ def _verify_one(src: str, chk: str, batch_rows: int,
 def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
     def fn(batches):
         import json
-
-        from . import fsutil
         for b in batches:
             dcol = (b.column("deletes").to_pylist()
                     if "deletes" in b.schema.names else [None] * b.num_rows)
@@ -221,14 +235,11 @@ def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
             for src, chk, dfiles, eqjson in zip(
                     b.column("source_file").to_pylist(),
                     b.column("chunk_file").to_pylist(), dcol, ecol):
-                del_pos = (pipeline._read_delete_positions(src, dfiles)
-                           if dfiles else None)
-                eqf = (pipeline._EqualityDeleteFilter.build(
-                    json.loads(eqjson),
-                    data_schema=fsutil.parquet_file(src).schema_arrow)
-                    if eqjson else None)
-                s, c, r, t, m, e = _verify_one(src, chk, batch_rows,
-                                               del_pos, eqf)
+                # raw inputs only — _verify_one resolves them inside its
+                # per-file error capture
+                s, c, r, t, m, e = _verify_one(
+                    src, chk, batch_rows, del_files=dfiles,
+                    eq_descs=json.loads(eqjson) if eqjson else None)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([s]), pa.array([c]),
                      pa.array([r], type=pa.int64()),

@@ -364,23 +364,21 @@ def snapshot_scan(table_dir: str,
                     f"equality_ids {d['equality_ids']} of {d['path']}: "
                     f"field id {k} not a top-level field of the table "
                     "schema") from None
-            for fl in flds:
-                # spec: equality ids reference primitive fields only; a
-                # struct/list/map type is a dict in the schema JSON.
-                # Refuse at planning time — letting it through would
-                # surface hours later as an unhashable-type crash inside
-                # the encode task's key-set build.
-                if not isinstance(fl.get("type"), str):
-                    raise IcebergMetaError(
-                        f"equality_ids {d['equality_ids']} of "
-                        f"{d['path']}: field {fl['name']!r} (id "
-                        f"{fl['id']}) is non-primitive "
-                        f"({json.dumps(fl.get('type'))}) — equality "
-                        "delete keys must be primitive per the spec")
+            # spec: equality ids reference primitive fields only; a
+            # struct/list/map type is a dict in the schema JSON. Record
+            # the violation here but refuse only if the delete actually
+            # APPLIES to a data file (below) — a fully out-of-scope
+            # delete, e.g. shadowed by later rewrites, must not block a
+            # snapshot whose effective rows are perfectly computable.
+            # Letting an applying one through would surface hours later
+            # as an unhashable-type crash inside the encode task.
+            nonprim = [fl for fl in flds
+                       if not isinstance(fl.get("type"), str)]
             cols = [fl["name"] for fl in flds]
             part = d.get("partition")
             descs.append({"path": d["path"], "columns": cols,
                           "ids": list(d["equality_ids"]),
+                          "nonprim": nonprim,
                           "seq": d["seq"], "spec_id": d.get("spec_id"),
                           # empty/absent record = unpartitioned spec =
                           # global; a non-empty record (null values
@@ -408,6 +406,14 @@ def snapshot_scan(table_dir: str,
                             "cannot decide membership")
                     if dict(fpart) != d["partition"]:
                         continue
+                if d["nonprim"]:
+                    fl = d["nonprim"][0]
+                    raise IcebergMetaError(
+                        f"equality-delete file {d['path']} applies to "
+                        f"{path} but is keyed on non-primitive field "
+                        f"{fl['name']!r} (id {fl['id']}, type "
+                        f"{json.dumps(fl.get('type'))}) — equality "
+                        "delete keys must be primitive per the spec")
                 applies.append({"path": d["path"],
                                 "columns": d["columns"],
                                 "ids": d["ids"]})

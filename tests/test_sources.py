@@ -730,6 +730,19 @@ def test_iceberg_eq_delete_non_primitive_key_refused(tmp_path,
     with pytest.raises(iceberg_meta.IcebergMetaError,
                        match="non-primitive"):
         iceberg_meta.snapshot_scan(tdir)
+    # ...but only when it APPLIES: the same delete fully out of
+    # sequence scope (same seq as the data) blocks nothing
+    tdir2 = str(tmp_path / "eq_nonprim_oos")
+    iceberg_meta.write_table_fixture(
+        tdir2, files, record_counts=[150, 150],
+        schema_fields=[
+            "doc_id",
+            ("tokens", {"type": "list", "element-id": 100,
+                        "element": "int", "element-required": False})],
+        equality_delete_tables=[dict(
+            table=pa.table({"doc_id": pa.array(["x"], type=pa.string())}),
+            equality_ids=[2], sequence_number=1)])
+    assert iceberg_meta.snapshot_scan(tdir2)["equality_deletes"] == {}
 
 
 def test_iceberg_eq_delete_rename_end_to_end(spark, tokens_dir,
@@ -787,3 +800,74 @@ def test_iceberg_eq_delete_rename_end_to_end(spark, tokens_dir,
     vf = verify.verify_files(spark, out, batch_rows=64,
                              eq_deletes=scan["equality_deletes"])
     assert vf["ok"] and vf["rows_compared"] == len(all_ids) - len(dead)
+
+
+def test_equality_filter_signed_zero_consistent(tmp_path):
+    """-0.0 and 0.0 are ONE key on both matching paths: the exact-tuple
+    confirmation uses Python ==, which equates signed zeros, so the
+    hash prefilter must too (regression: '-0' vs '0' string forms made
+    the hash path miss what the exact-only fallback deleted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _EqualityDeleteFilter)
+    dp = str(tmp_path / "eqdel_zero.parquet")
+    pq.write_table(pa.table({
+        "x": pa.array([-0.0, 5.5], type=pa.float64())}), dp)
+    f = _EqualityDeleteFilter.build([{"path": dp, "columns": ["x"]}])
+    batch = pa.record_batch({
+        "x": pa.array([0.0, -0.0, 1.0], type=pa.float64()),
+        "i": pa.array([0, 1, 2])})
+    assert f.apply(batch).column("i").to_pylist() == [2]
+
+
+def test_verify_files_missing_source_is_per_file_err(spark, tokens_dir,
+                                                     tmp_path):
+    """A vanished/corrupt source file during a MOR verify yields a
+    structured per-file err row; the other files still verify
+    (regression: the eq-filter build ran OUTSIDE the per-file error
+    capture and aborted the whole Spark job)."""
+    import glob
+    import os
+    import shutil
+
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    import pyarrow.parquet as pq
+
+    # verify reads sources by the path recorded at encode time — encode
+    # from a throwaway copy so one source can vanish afterwards
+    data = tmp_path / "vanish_src"
+    data.mkdir()
+    files = []
+    for f in sorted(glob.glob(f"{tokens_dir}/*.parquet")):
+        dst = str(data / os.path.basename(f))
+        shutil.copy(f, dst)
+        files.append(dst)
+    ids = pq.read_table(files[0], columns=["doc_id"]).column(
+        "doc_id").to_pylist()
+    tdir = str(tmp_path / "vanish_tab")
+    import pyarrow as pa
+    iceberg_meta.write_table_fixture(
+        tdir, files, record_counts=[150, 150],
+        schema_fields=["doc_id", "tokens", "n_tok", "source"],
+        equality_delete_tables=[dict(
+            table=pa.table({"doc_id": pa.array(ids[:3],
+                                               type=pa.string())}))])
+    scan = iceberg_meta.snapshot_scan(tdir)
+    out = str(tmp_path / "vanish_enc")
+    pipeline.encode_path(spark, tdir, out,
+                         input_files=scan["data_files"],
+                         eq_deletes=scan["equality_deletes"])
+    os.remove(files[0])
+    vf = verify.verify_files(spark, out,
+                             eq_deletes=scan["equality_deletes"])
+    assert not vf["ok"]
+    # one structured err string for the vanished file; the other file
+    # still verified (files_compared counts both)
+    assert len(vf["errors"]) == 1
+    assert vf["files_compared"] == 2
+    e = vf["errors"][0]
+    assert ("FileNotFoundError" in e or "No such" in e
+            or "exist" in e or "not found" in e.lower())
