@@ -263,6 +263,57 @@ void rans_decode_lanes(int64_t lanes, const int64_t *starts,
         }
     }
 }
+
+/* Joint (candidate-context, symbol) counting for the model build: the
+   numpy path sorts a ~n-element key array (np.unique) which costs more
+   than the whole C lane loop on big chunks; one open-addressing pass
+   counts the same pairs in O(n) probes. hkeys must arrive filled with
+   -1 (hcnt is written only on first insert). Returns the number of
+   distinct keys, or -1 once distinct would pass ~70% load — the caller
+   retries with a larger table, so the result is table-size-independent
+   and identical to np.unique's (after the caller's sort-by-key). */
+int64_t pair_count(int64_t n, const int64_t *ctx, const int64_t *u,
+                   const int64_t *cand_rank, int64_t hbits,
+                   int64_t *hkeys, int64_t *hcnt) {
+    int64_t size = 1LL << hbits;
+    int64_t mask = size - 1;
+    int64_t cap = size - (size >> 2) - (size >> 4);  /* ~0.69 * size */
+    int64_t distinct = 0;
+    /* the probes are random over a table far past L2 — a plain loop
+       runs ~1 miss in flight (measured 38 ms / 2M probes). Batch the
+       hash computation and PREFETCH each batch's slots before probing;
+       counts (and, after the caller's sort, the whole result) are
+       order-independent, so batching changes nothing but latency. */
+    enum { PBLK = 64 };
+    int64_t keys[PBLK], js[PBLK];
+    for (int64_t i0 = 0; i0 < n; i0 += PBLK) {
+        int64_t hi = i0 + PBLK < n ? i0 + PBLK : n;
+        int64_t m = 0;
+        for (int64_t i = i0; i < hi; i++) {
+            int64_t r = cand_rank[ctx[i]];
+            if (r < 0) continue;
+            int64_t key = (r << 16) | u[i];
+            uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ULL;
+            int64_t j = (int64_t)(h >> 32) & mask;
+            keys[m] = key; js[m] = j; m++;
+            __builtin_prefetch(&hkeys[j], 1);
+            __builtin_prefetch(&hcnt[j], 1);
+        }
+        for (int64_t t = 0; t < m; t++) {
+            int64_t key = keys[t], j = js[t];
+            for (;;) {
+                if (hkeys[j] == key) { hcnt[j]++; break; }
+                if (hkeys[j] < 0) {
+                    if (distinct >= cap) return -1;
+                    hkeys[j] = key; hcnt[j] = 1; distinct++;
+                    break;
+                }
+                j = (j + 1) & mask;
+            }
+        }
+    }
+    return distinct;
+}
 """
 
 
@@ -317,6 +368,9 @@ def _build() -> ctypes.CDLL | None:
         i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint16, u32p,
         i64p, u64p, i64p]
     lib.rans_decode_lanes.restype = None
+    lib.pair_count.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, i64p, i64p]
+    lib.pair_count.restype = ctypes.c_int64
     return lib
 
 

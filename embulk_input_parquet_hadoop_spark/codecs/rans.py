@@ -132,24 +132,74 @@ class _Model:
         self.tables = tables            # [(syms u16 sorted, qf i64)]
         self.mbits = mbits              # uint8 per table
         self.shared_tid = len(tables) - 1
-        # decode planes: concatenated slot -> (sym, f, cumbase)
         sizes = (1 << mbits.astype(np.int64))
         self.slot_off = np.concatenate(
             [[0], np.cumsum(sizes)]).astype(np.int64)
-        self.sym_of_slot = np.empty(int(sizes.sum()), dtype=np.uint16)
-        self.f_of_slot = np.empty(int(sizes.sum()), dtype=np.uint32)
-        self.cbase_of_slot = np.empty(int(sizes.sum()), dtype=np.uint32)
+        # decode slot planes are LAZY (ensure_slot_planes): the encoder
+        # never reads them and their np.repeat fills cost ~6% of a
+        # 2M-token encode. ESC entries come straight from the tables
+        # (esc_c = sum(qf[:-1]) — the cum base of the last entry).
+        self.sym_of_slot = None
+        self.f_of_slot = None
+        self.cbase_of_slot = None
         self.esc_f = np.zeros(len(tables), dtype=np.uint32)
         self.esc_c = np.zeros(len(tables), dtype=np.uint32)
         for t, (syms, qf) in enumerate(tables):
+            if len(syms) and syms[-1] == ESC:
+                self.esc_f[t] = qf[-1]
+                self.esc_c[t] = int(qf.sum()) - int(qf[-1])
+
+    def ensure_slot_planes(self) -> None:
+        """Build the concatenated slot -> (sym, f, cumbase) decode
+        planes on first decode use."""
+        if self.sym_of_slot is not None:
+            return
+        sizes = (1 << self.mbits.astype(np.int64))
+        self.sym_of_slot = np.empty(int(sizes.sum()), dtype=np.uint16)
+        self.f_of_slot = np.empty(int(sizes.sum()), dtype=np.uint32)
+        self.cbase_of_slot = np.empty(int(sizes.sum()), dtype=np.uint32)
+        for t, (syms, qf) in enumerate(self.tables):
             cum = np.concatenate([[0], np.cumsum(qf)[:-1]]).astype(np.int64)
             o = self.slot_off[t]
             self.sym_of_slot[o:o + sizes[t]] = np.repeat(syms, qf)
             self.f_of_slot[o:o + sizes[t]] = np.repeat(qf, qf)
             self.cbase_of_slot[o:o + sizes[t]] = np.repeat(cum, qf)
-            if len(syms) and syms[-1] == ESC:
-                self.esc_f[t] = qf[-1]
-                self.esc_c[t] = cum[-1]
+
+
+def _pair_counts_c(u: np.ndarray, ctx: np.ndarray,
+                   cand_rank: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``np.unique(rank << 16 | sym, return_counts=True)`` over the
+    candidate contexts, via the C open-addressing counter: one O(n)
+    probe pass instead of building the masked key array and sorting it
+    (the two together cost more than the whole C lane loop on 2M-token
+    chunks — measured 63 of 158 ms/call). The final sort-by-key over
+    the ~distinct keys keeps the output exactly np.unique's, so the
+    model — and therefore every emitted frame — is bit-identical to the
+    numpy path's."""
+    n = len(u)
+    hbits = max(14, int(n).bit_length() - 1)
+    while True:
+        hkeys = np.full(1 << hbits, -1, dtype=np.int64)
+        hcnt = np.empty(1 << hbits, dtype=np.int64)
+        i64 = ctypes.c_int64
+        d = _rans_c.LIB.pair_count(
+            n, _rans_c.as_ptr(ctx, i64), _rans_c.as_ptr(u, i64),
+            _rans_c.as_ptr(cand_rank, i64), hbits,
+            _rans_c.as_ptr(hkeys, i64), _rans_c.as_ptr(hcnt, i64))
+        if d >= 0:
+            break
+        hbits += 2  # ~70% load reached: rare, retry 4x larger
+    filled = np.flatnonzero(hkeys >= 0)
+    keys = hkeys[filled]
+    cnts = hcnt[filled]
+    if len(keys) and int(keys.max()) < (1 << 31) and n < (1 << 32):
+        # pack (key, count) into one int64 and sort ONCE — np.argsort's
+        # indirection costs ~4x a direct sort at these sizes, and keys
+        # are distinct so the order is exactly sort-by-key
+        packed = np.sort((keys << 32) | cnts)
+        return packed >> 32, packed & np.int64(0xFFFFFFFF)
+    order = np.argsort(keys)
+    return keys[order], cnts[order]
 
 
 def _build_model(u: np.ndarray, ctx: np.ndarray, B: int) -> _Model:
@@ -169,9 +219,12 @@ def _build_model(u: np.ndarray, ctx: np.ndarray, B: int) -> _Model:
     if len(cand):
         cand_rank = np.full(B, -1, dtype=np.int64)
         cand_rank[cand] = np.arange(len(cand))
-        mask = cand_rank[ctx] >= 0
-        key = cand_rank[ctx[mask]] * 65536 + u[mask]
-        pairs, pair_cnt = np.unique(key, return_counts=True)
+        if _rans_c.LIB is not None:
+            pairs, pair_cnt = _pair_counts_c(u, ctx, cand_rank)
+        else:
+            mask = cand_rank[ctx] >= 0
+            key = cand_rank[ctx[mask]] * 65536 + u[mask]
+            pairs, pair_cnt = np.unique(key, return_counts=True)
         pctx = (pairs >> 16).astype(np.int64)    # candidate rank
         psym = (pairs & 0xFFFF).astype(np.int64)
         m_of = ctx_counts[cand][pctx].astype(np.float64)  # ctx totals
@@ -512,6 +565,7 @@ def rans_decode(payload: bytes, params: dict, n: int) -> np.ndarray:
     mlen, rawlen = np.frombuffer(payload, dtype=np.uint32, count=2)
     model, state, wcounts = _deserialize_model(
         bytes(payload[8:8 + int(mlen)]), int(rawlen), lanes)
+    model.ensure_slot_planes()
     raw_stream = np.frombuffer(payload, dtype=np.uint32,
                                offset=8 + int(mlen))
     starts, lens, base, rem = _lane_layout(n, lanes)
