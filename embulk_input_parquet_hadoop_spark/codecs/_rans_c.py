@@ -109,30 +109,33 @@ void rans_encode_lanes(int64_t lanes, const int64_t *starts,
 }
 
 /* Fused dense-plane encode: per position looks up (tid<<16|u) in the
-   fd/cd gather planes inside the loop — no 2M-element numpy
-   intermediates. Valid only when the dense planes exist (ntab <= 64);
-   the pre-gathered entry point above covers the searchsorted case. */
+   INTERLEAVED fc gather plane (fc[2k] = f, fc[2k+1] = cum) inside the
+   loop — no 2M-element numpy intermediates, and the (f, c) pair of a
+   key shares one cache line (separate planes cost two misses per
+   position; the loop is gather-miss-bound). Valid only when the dense
+   plane exists (ntab <= 64); the pre-gathered entry point above covers
+   the searchsorted case. */
 static inline uint64_t enc1_dense(uint64_t s, int64_t p,
                                   const int64_t *u, const int64_t *tids,
-                                  const int64_t *fd, const int64_t *cd,
+                                  const int64_t *fc,
                                   const uint64_t *esc_f,
                                   const uint64_t *esc_c,
                                   const uint8_t *mbits,
                                   int64_t shared_tid, uint8_t mb0,
                                   uint64_t M0, uint32_t *b, int64_t *w) {
     int64_t tid = tids[p];
-    int64_t key = (tid << 16) | u[p];
-    uint64_t f = (uint64_t)fd[key];
+    int64_t key = ((tid << 16) | u[p]) << 1;
+    uint64_t f = (uint64_t)fc[key];
     uint64_t c, M, th;
     if (f == 0) {                       /* escape */
-        int64_t sk = (shared_tid << 16) | u[p];
-        uint64_t f0 = (uint64_t)fd[sk];
+        int64_t sk = ((shared_tid << 16) | u[p]) << 1;
+        uint64_t f0 = (uint64_t)fc[sk];
         th = f0 << (64 - mb0);
-        s = push(s, f0, (uint64_t)cd[sk], M0, th, b, w);
+        s = push(s, f0, (uint64_t)fc[sk + 1], M0, th, b, w);
         f = esc_f[tid];
         c = esc_c[tid];
     } else {
-        c = (uint64_t)cd[key];
+        c = (uint64_t)fc[key + 1];
     }
     uint8_t mb = mbits[tid];
     M = 1ULL << mb;
@@ -143,7 +146,7 @@ static inline uint64_t enc1_dense(uint64_t s, int64_t p,
 void rans_encode_lanes_dense(int64_t lanes, const int64_t *starts,
                              const int64_t *lens,
                              const int64_t *u, const int64_t *tids,
-                             const int64_t *fd, const int64_t *cd,
+                             const int64_t *fc,
                              const uint64_t *esc_f, const uint64_t *esc_c,
                              const uint8_t *mbits, int64_t shared_tid,
                              uint32_t *buf, int64_t maxw,
@@ -163,14 +166,14 @@ void rans_encode_lanes_dense(int64_t lanes, const int64_t *starts,
             int64_t l = b0 + i;
             uint32_t *b = buf + l * maxw;
             for (int64_t k = lens[l] - 1; k >= minlen; k--)
-                s[i] = enc1_dense(s[i], starts[l] + k, u, tids, fd, cd,
+                s[i] = enc1_dense(s[i], starts[l] + k, u, tids, fc,
                                   esc_f, esc_c, mbits, shared_tid, mb0,
                                   M0, b, &w[i]);
         }
         for (int64_t k = minlen - 1; k >= 0; k--) {
             for (int64_t i = 0; i < nb; i++) {
                 int64_t l = b0 + i;
-                s[i] = enc1_dense(s[i], starts[l] + k, u, tids, fd, cd,
+                s[i] = enc1_dense(s[i], starts[l] + k, u, tids, fc,
                                   esc_f, esc_c, mbits, shared_tid, mb0,
                                   M0, buf + l * maxw, &w[i]);
             }
@@ -360,7 +363,7 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_uint8, u32p, ctypes.c_int64, i64p, u64p]
     lib.rans_encode_lanes.restype = None
     lib.rans_encode_lanes_dense.argtypes = [
-        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, u64p, u64p,
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, u64p, u64p,
         u8p, ctypes.c_int64, u32p, ctypes.c_int64, i64p, u64p]
     lib.rans_encode_lanes_dense.restype = None
     lib.rans_decode_lanes.argtypes = [

@@ -384,7 +384,7 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
     if _rans_c.LIB is not None and ntab <= 64:
         # fully fused C path: the per-position plane lookup happens
         # inside the lane loop — no 2M-element intermediates at all
-        fd, cd = _dense_planes(model)
+        fc = _dense_planes(model)
         maxw = int(2 * (n // lanes + 2) + 4)
         buf = np.empty(lanes * maxw, dtype=np.uint32)
         wptr = np.zeros(lanes, dtype=np.int64)
@@ -394,7 +394,7 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
         _rans_c.LIB.rans_encode_lanes_dense(
             lanes, _rans_c.as_ptr(starts, i64), _rans_c.as_ptr(lens, i64),
             _rans_c.as_ptr(u, i64), _rans_c.as_ptr(tids, i64),
-            _rans_c.as_ptr(fd, i64), _rans_c.as_ptr(cd, i64),
+            _rans_c.as_ptr(fc, i64),
             _rans_c.as_ptr(model.esc_f.astype(np.uint64), u64),
             _rans_c.as_ptr(model.esc_c.astype(np.uint64), u64),
             _rans_c.as_ptr(np.ascontiguousarray(model.mbits), u8),
@@ -404,16 +404,16 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
                 {"min": vmin, "B": B, "L": lanes})
     poskey = (tids << 16) | u
     if ntab <= 64:
-        # dense (tid, sym) gather planes: 64 tables x 65536 x 8B = 32MB
+        # dense (tid, sym) gather plane: 64 tables x 65536 x 16B = 64MB
         # ceiling, one fancy-index instead of a log-k searchsorted
-        fd, cd = _dense_planes(model)
-        f = fd[poskey]
+        fc = _dense_planes(model)
+        f = fc[poskey << 1]
         found = f > 0
-        c = cd[poskey]
+        c = fc[(poskey << 1) | 1]
         st = model.shared_tid
         off0 = np.int64(st) << 16
-        f0 = fd[off0 | u]
-        c0 = cd[off0 | u]
+        f0 = fc[(off0 | u) << 1]
+        c0 = fc[((off0 | u) << 1) | 1]
     else:
         allkeys, allf, allc = _encode_planes(model)
         j = np.searchsorted(allkeys, poskey)
@@ -527,18 +527,20 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
 
 
 def _dense_planes(model: _Model) -> tuple[np.ndarray, np.ndarray]:
-    """(f, cum) gather planes indexed by tid<<16|sym; f == 0 marks
+    """INTERLEAVED (f, cum) gather plane indexed by tid<<16|sym:
+    fc[2k] = f, fc[2k+1] = cum, so one position's pair sits in one
+    cache line — the separate-array layout cost TWO misses per encoded
+    position and the fused C loop is gather-miss-bound. f == 0 marks
     'symbol not in table' (quantized frequencies are always >= 1)."""
     ntab = len(model.tables)
-    fd = np.zeros(ntab << 16, dtype=np.int64)
-    cd = np.zeros(ntab << 16, dtype=np.int64)
+    fc = np.zeros(ntab << 17, dtype=np.int64)
     for t, (syms, qf) in enumerate(model.tables):
         real = syms != ESC
         cum = np.concatenate([[0], np.cumsum(qf)[:-1]])
         k = (np.int64(t) << 16) | syms[real].astype(np.int64)
-        fd[k] = qf[real]
-        cd[k] = cum[real]
-    return fd, cd
+        fc[k << 1] = qf[real]
+        fc[(k << 1) | 1] = cum[real]
+    return fc
 
 
 def _encode_planes(model: _Model) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
