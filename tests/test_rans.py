@@ -247,3 +247,45 @@ def test_truncated_frame_raises_not_crashes():
     cut = payload[:-8]  # drop two 4-byte stream words
     with pytest.raises(ValueError, match="truncated|inconsistent"):
         rans.rans_decode(cut, params, len(a))
+
+
+def test_pair_counts_c_matches_unique_including_retry():
+    """The C open-addressing pair counter must return EXACTLY
+    np.unique(key, return_counts=True) — including through the
+    load-cap retry (hbits growth), which needs > ~11k distinct keys
+    to trigger at the 2^14 floor table."""
+    import numpy as np
+    import pytest
+
+    from embulk_input_parquet_hadoop_spark.codecs import _rans_c, rans
+    if _rans_c.LIB is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(11)
+    B = 4096
+    cases = []
+    # dense-distinct case: 13000 distinct (ctx, sym) pairs, each once,
+    # inside a 13000-element array -> 2^14 table hits the ~0.69 load
+    # cap and the counter must retry with a larger table
+    n = 13_000
+    ctx = rng.integers(0, 64, n).astype(np.int64)
+    u = np.arange(n, dtype=np.int64) % 60000
+    cases.append((ctx, u, np.arange(B, dtype=np.int64) % 64))
+    # zipf-ish case with repeats, some contexts non-candidates
+    n = 200_000
+    u = (rng.zipf(1.2, n).astype(np.int64) % 30000)
+    ctx = np.empty(n, dtype=np.int64)
+    ctx[0] = 0
+    ctx[1:] = u[:-1] & (B - 1)
+    cand_rank = np.full(B, -1, dtype=np.int64)
+    cand = rng.choice(B, 700, replace=False)
+    cand_rank[np.sort(cand)] = np.arange(700)
+    cases.append((ctx, u, cand_rank))
+    # empty-candidate-hit case: every ctx masked out
+    cases.append((ctx, u, np.full(B, -1, dtype=np.int64)))
+    for ctx, u, cand_rank in cases:
+        got_k, got_c = rans._pair_counts_c(u, ctx, cand_rank)
+        mask = cand_rank[ctx] >= 0
+        key = cand_rank[ctx[mask]] * 65536 + u[mask]
+        want_k, want_c = np.unique(key, return_counts=True)
+        assert np.array_equal(got_k, want_k)
+        assert np.array_equal(got_c, want_c)
