@@ -526,7 +526,7 @@ def rans_encode(arr: np.ndarray, B: int = _B_DEFAULT) -> tuple[bytes, dict]:
             {"min": vmin, "B": B, "L": lanes})
 
 
-def _dense_planes(model: _Model) -> tuple[np.ndarray, np.ndarray]:
+def _dense_planes(model: _Model) -> np.ndarray:
     """INTERLEAVED (f, cum) gather plane indexed by tid<<16|sym:
     fc[2k] = f, fc[2k+1] = cum, so one position's pair sits in one
     cache line — the separate-array layout cost TWO misses per encoded

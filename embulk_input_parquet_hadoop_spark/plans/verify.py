@@ -152,12 +152,14 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
 
 
 def _verify_one(src: str, chk: str, batch_rows: int,
-                del_files=None, eq_descs=None) -> tuple:
-    """``del_files``/``eq_descs`` are the RAW per-file delete inputs
-    (position-delete paths / equality descriptors); they are resolved
-    here, inside the error capture, so a missing or corrupt source or
-    delete file yields a per-file ``err`` row instead of aborting the
-    whole Spark job."""
+                del_files=None, eq_json=None) -> tuple:
+    """``del_files``/``eq_json`` are the RAW per-file delete inputs
+    (position-delete paths / equality-descriptor JSON); they are
+    resolved here, inside the error capture, so a missing or corrupt
+    source, delete file, or descriptor yields a per-file ``err`` row
+    instead of aborting the whole Spark job."""
+    import json
+
     from . import fsutil
     rows = toks = mism = 0
     err = None
@@ -169,10 +171,10 @@ def _verify_one(src: str, chk: str, batch_rows: int,
                    if del_files else None)
         spf = None
         eqf = None
-        if eq_descs:
+        if eq_json:
             spf = fsutil.parquet_file(src)
             eqf = pipeline._EqualityDeleteFilter.build(
-                eq_descs, data_schema=spf.schema_arrow)
+                json.loads(eq_json), data_schema=spf.schema_arrow)
         cpf = fsutil.parquet_file(chk)
         columns: list[str] | None = None
         src_iter = None
@@ -226,7 +228,6 @@ def _verify_one(src: str, chk: str, batch_rows: int,
 
 def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
     def fn(batches):
-        import json
         for b in batches:
             dcol = (b.column("deletes").to_pylist()
                     if "deletes" in b.schema.names else [None] * b.num_rows)
@@ -235,11 +236,11 @@ def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
             for src, chk, dfiles, eqjson in zip(
                     b.column("source_file").to_pylist(),
                     b.column("chunk_file").to_pylist(), dcol, ecol):
-                # raw inputs only — _verify_one resolves them inside its
-                # per-file error capture
+                # raw inputs only — _verify_one resolves them (JSON
+                # included) inside its per-file error capture
                 s, c, r, t, m, e = _verify_one(
                     src, chk, batch_rows, del_files=dfiles,
-                    eq_descs=json.loads(eqjson) if eqjson else None)
+                    eq_json=eqjson)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([s]), pa.array([c]),
                      pa.array([r], type=pa.int64()),
