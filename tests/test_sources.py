@@ -871,3 +871,46 @@ def test_verify_files_missing_source_is_per_file_err(spark, tokens_dir,
     e = vf["errors"][0]
     assert ("FileNotFoundError" in e or "No such" in e
             or "exist" in e or "not found" in e.lower())
+
+
+def test_iceberg_v3_puffin_delete_vector_refused(tmp_path, tokens_dir):
+    """Iceberg v3 deletion vectors live in PUFFIN files (manifest delete
+    entries with file_format PUFFIN). We do not parse puffin — the scan
+    must refuse loudly at planning time, never hand a puffin path to a
+    parquet reader."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from embulk_input_parquet_hadoop_spark.sources import (avro_io,
+                                                           iceberg_meta)
+    tdir = str(tmp_path / "dv_table")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(tdir, files, record_counts=[150, 150])
+    # splice a v3-style DV manifest into the current snapshot's list
+    meta_dir = os.path.join(tdir, "metadata")
+    dv_man = os.path.join(meta_dir, f"dv-{uuid.uuid4().hex}.avro")
+    avro_io.write_avro(dv_man, iceberg_meta._MANIFEST_SCHEMA, [{
+        "status": 1, "snapshot_id": 1, "sequence_number": None,
+        "data_file": {
+            "content": 1,  # position deletes, but stored as a puffin DV
+            "file_path": os.path.join(tdir, "data", "dv-0.puffin"),
+            "file_format": "PUFFIN",
+            "record_count": 3,
+            "file_size_in_bytes": 0,
+        }}])
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    mlist = meta["snapshots"][-1]["manifest-list"]
+    _, manifests = avro_io.read_avro(mlist)
+    manifests.append({
+        "manifest_path": dv_man,
+        "manifest_length": os.path.getsize(dv_man),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 2, "added_snapshot_id": 1,
+    })
+    avro_io.write_avro(mlist, iceberg_meta._MANIFEST_LIST_SCHEMA,
+                       manifests)
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="PUFFIN"):
+        iceberg_meta.snapshot_scan(tdir)
