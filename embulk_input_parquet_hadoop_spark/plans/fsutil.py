@@ -130,6 +130,16 @@ def read_json(path: str) -> dict:
         return json.loads(fh.read().decode())
 
 
+def read_bytes(path: str) -> bytes:
+    """Whole-object read for any scheme."""
+    if is_local(path):
+        with open(strip_file_scheme(path), "rb") as fh:
+            return fh.read()
+    filesystem, root = get_fs(path)
+    with filesystem.open_input_stream(root) as fh:
+        return fh.read()
+
+
 def parquet_file(path: str):
     """``pyarrow.parquet.ParquetFile`` for any scheme."""
     import pyarrow.parquet as pq
@@ -139,13 +149,16 @@ def parquet_file(path: str):
     return pq.ParquetFile(filesystem.open_input_file(root))
 
 
-def read_parquet(path: str, columns: list[str] | None = None):
+def read_parquet(path: str, columns: list[str] | None = None,
+                 filters=None):
     """``pyarrow.parquet.read_table`` for any scheme."""
     import pyarrow.parquet as pq
     if is_local(path):
-        return pq.read_table(strip_file_scheme(path), columns=columns)
+        return pq.read_table(strip_file_scheme(path), columns=columns,
+                             filters=filters)
     filesystem, root = get_fs(path)
-    return pq.read_table(root, columns=columns, filesystem=filesystem)
+    return pq.read_table(root, columns=columns, filters=filters,
+                         filesystem=filesystem)
 
 
 def makedirs_any(path: str) -> None:

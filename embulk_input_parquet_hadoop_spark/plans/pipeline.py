@@ -277,15 +277,31 @@ def _read_delete_positions(data_path: str, delete_files: list[str]):
     never O(table deletes). The filter matches every common spelling of
     the path (plain, ``file:`` single- and double-slash URIs) — writers
     record absolute URIs while scan plans carry plain paths.
+
+    A delete file reaches this function only because the scan saw it
+    REFERENCE ``data_path`` — if the pushdown filter then matches zero
+    rows, the references use a path spelling we cannot equate (a table
+    tree copied to a new location without manifest/delete rewriting:
+    the scan's prefix remap resolves the mapping, but the raw strings
+    inside the delete parquet still carry the old location). Refuse
+    loudly rather than silently resurrecting the deleted rows.
     """
+    from . import fsutil
     plain = _lineage_key(data_path)
     keys = sorted({data_path, plain, f"file:{plain}", f"file://{plain}"})
     parts = []
     for dp in delete_files:
-        t = pq.read_table(dp, columns=["pos"],
-                          filters=[("file_path", "in", keys)])
-        if t.num_rows:
-            parts.append(t.column("pos").to_numpy(zero_copy_only=False))
+        t = fsutil.read_parquet(dp, columns=["pos"],
+                                filters=[("file_path", "in", keys)])
+        if not t.num_rows:
+            raise ValueError(
+                f"position-delete file {dp} was mapped to {data_path} "
+                "but none of its file_path values match any spelling of "
+                "that path — a relocated/copied table whose delete files "
+                "still reference the original location? Rewrite the "
+                "table's paths (or encode from the original location); "
+                "skipping would silently serve the deleted rows")
+        parts.append(t.column("pos").to_numpy(zero_copy_only=False))
     if not parts:
         return None
     return np.unique(np.concatenate(parts))
@@ -1040,12 +1056,17 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             df0 = (spark.read.parquet(*input_files) if input_files
                    else spark.read.parquet(input_path))
         except Exception as exc:
-            # Spark's footer converter rejects types its reader lacks
-            # (e.g. TIMESTAMP(NANOS) -> PARQUET_TYPE_ILLEGAL) even though
-            # OUR encode tasks read with pyarrow and handle them fine.
-            # Fall back to pyarrow footer listing — still requiring one
-            # schema — so ns-timestamp sources (pandas defaults) encode.
-            if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            # Two classes of sources OUR pyarrow-reading encode tasks
+            # handle fine but this Spark-side schema probe cannot:
+            # footer types Spark's reader lacks (TIMESTAMP(NANOS) ->
+            # PARQUET_TYPE_ILLEGAL), and filesystem schemes the JVM has
+            # no FileSystem for (mock-s3, or s3/gs without the hadoop
+            # cloud jars — fsutil reads them via pyarrow.fs). Fall back
+            # to pyarrow footer listing — still requiring one schema.
+            msg = str(exc)
+            if not ("PARQUET_TYPE_ILLEGAL" in msg
+                    or "No FileSystem for scheme" in msg
+                    or "UnsupportedFileSystem" in msg):
                 raise
             if expected_schema is not None:
                 raise TypeError(
@@ -1054,7 +1075,7 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             if cluster_partitions:
                 # the clustering path re-reads every wave through
                 # spark.read.parquet, which would re-raise this same
-                # footer error inside the wave loop — refuse up front
+                # error inside the wave loop — refuse up front
                 raise TypeError(
                     "cluster_partitions needs a Spark-readable source "
                     f"tree, but Spark rejects this one: {exc}; use the "
@@ -1249,12 +1270,16 @@ def _list_parquet_files(input_path: str) -> list[str]:
 
 
 def _schema_groups(files: list[str]) -> list[list[str]]:
-    """Group files by serialized footer schema (threaded metadata reads),
-    deterministically ordered so wave-id assignment is resume-stable."""
+    """Group files by serialized footer schema (threaded metadata reads,
+    URI-aware via fsutil), deterministically ordered so wave-id
+    assignment is resume-stable."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from . import fsutil
     with ThreadPoolExecutor(max_workers=16) as ex:
         keys = list(ex.map(
-            lambda f: pq.read_schema(f).serialize().to_pybytes(), files))
+            lambda f: (fsutil.parquet_file(f).schema_arrow
+                       .serialize().to_pybytes()), files))
     by_key: dict[bytes, list[str]] = {}
     for f, k in zip(files, keys):
         by_key.setdefault(k, []).append(f)

@@ -240,12 +240,20 @@ def _decompress(codec: str, data: bytes) -> bytes:
 
 
 def read_avro(path: str) -> tuple[dict, list]:
-    """Read an Avro container file -> (writer schema, records)."""
+    """Read a local Avro container file -> (writer schema, records).
+    For remote/URI sources read the bytes with an fs layer and call
+    ``read_avro_bytes``."""
     with open(path, "rb") as f:
         data = f.read()
+    return read_avro_bytes(data, name=path)
+
+
+def read_avro_bytes(data: bytes, name: str = "<bytes>") -> tuple[dict,
+                                                                 list]:
+    """Parse an Avro container from bytes -> (writer schema, records)."""
     buf = io.BytesIO(data)
     if buf.read(4) != _MAGIC:
-        raise ValueError(f"not an avro container file: {path}")
+        raise ValueError(f"not an avro container file: {name}")
     meta_schema = {"type": "map", "values": "bytes"}
     meta = _decode(meta_schema, buf, {})
     sync = buf.read(16)
@@ -260,7 +268,7 @@ def read_avro(path: str) -> tuple[dict, list]:
         for _ in range(n):
             records.append(_decode(schema, block, named))
         if buf.read(16) != sync:
-            raise ValueError(f"sync marker mismatch in {path}")
+            raise ValueError(f"sync marker mismatch in {name}")
     return schema, records
 
 

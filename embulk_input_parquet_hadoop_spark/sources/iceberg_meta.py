@@ -49,6 +49,7 @@ import json
 import os
 import uuid
 
+from ..plans import fsutil
 from . import avro_io
 
 # Avro schemas for the fixture writer: the subset of the spec's manifest
@@ -132,19 +133,23 @@ def _part_eq(manifest_value, filter_value) -> bool:
 
 
 def _latest_metadata(table_dir: str) -> str:
-    meta_dir = os.path.join(table_dir, "metadata")
-    hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
-        v = open(hint).read().strip()
-        path = os.path.join(meta_dir, f"v{v}.metadata.json")
-        if os.path.exists(path):
+    """Path (or URI — every metadata read routes through ``fsutil``, so
+    tables living on object stores / HDFS scan exactly like local ones)
+    of the table's current metadata.json."""
+    meta_dir = f"{table_dir.rstrip('/')}/metadata"
+    hint = f"{meta_dir}/version-hint.text"
+    if fsutil.exists(hint):
+        v = fsutil.read_bytes(hint).decode().strip()
+        path = f"{meta_dir}/v{v}.metadata.json"
+        if fsutil.exists(path):
             return path
     cands = sorted(
-        (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+        (f for f in fsutil.listdir(meta_dir)
+         if f.endswith(".metadata.json")),
         key=lambda f: (len(f), f))
     if not cands:
         raise IcebergMetaError(f"no metadata.json under {meta_dir}")
-    return os.path.join(meta_dir, cands[-1])
+    return f"{meta_dir}/{cands[-1]}"
 
 
 def _resolve(table_dir: str, location: str, path: str) -> str:
@@ -162,9 +167,9 @@ def _resolve(table_dir: str, location: str, path: str) -> str:
 
 
 def read_table_meta(table_dir: str) -> dict:
-    """Parsed current metadata.json of an Iceberg table directory."""
-    with open(_latest_metadata(table_dir)) as f:
-        return json.load(f)
+    """Parsed current metadata.json of an Iceberg table directory
+    (local path or any fsutil-supported URI)."""
+    return fsutil.read_json(_latest_metadata(table_dir))
 
 
 def _schema_fields_by_id(meta: dict) -> dict[int, dict]:
@@ -217,14 +222,16 @@ def _scan(table_dir: str, snapshot_id: int | None,
     snap = snaps[snap_id]
     location = meta.get("location", table_dir)
     mlist_path = _resolve(table_dir, location, snap["manifest-list"])
-    _, manifests = avro_io.read_avro(mlist_path)
+    _, manifests = avro_io.read_avro_bytes(
+        fsutil.read_bytes(mlist_path), name=mlist_path)
     data: list[tuple[str, int | None, int | None, dict | None]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
     for m in manifests:
         man_path = _resolve(table_dir, location, m["manifest_path"])
         spec_id = m.get("partition_spec_id")
-        _, entries = avro_io.read_avro(man_path)
+        _, entries = avro_io.read_avro_bytes(
+            fsutil.read_bytes(man_path), name=man_path)
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
@@ -336,9 +343,8 @@ def snapshot_scan(table_dir: str,
     location = meta.get("location", table_dir)
     deletes: dict[str, list[str]] = {}
     if scan["pos_deletes"]:
-        import pyarrow.parquet as pq
         for dp in scan["pos_deletes"]:
-            refs = pq.read_table(dp, columns=["file_path"])
+            refs = fsutil.read_parquet(dp, columns=["file_path"])
             for ref in refs.column("file_path").unique().to_pylist():
                 target = _resolve(table_dir, location, ref)
                 if target in live:
@@ -523,6 +529,18 @@ def added_data_files(table_dir: str, from_snapshot_id: int,
     return sorted(f for f in new if f not in old)
 
 
+def _fixture_abs(p: str) -> str:
+    """Fixture paths: URIs stay as-is, local paths become absolute."""
+    return p if "://" in p else os.path.abspath(p)
+
+
+def _fixture_size(p: str) -> int:
+    if "://" not in p:
+        return os.path.getsize(p)
+    filesystem, root = fsutil.get_fs(p)
+    return int(filesystem.get_file_info(root).size)
+
+
 def _write_pos_delete_parquet(data_dir: str,
                               position_deletes: dict[str, list[int]]
                               ) -> tuple[str, int]:
@@ -531,7 +549,7 @@ def _write_pos_delete_parquet(data_dir: str,
     import pyarrow as pa
     import pyarrow.parquet as pq
     os.makedirs(data_dir, exist_ok=True)
-    rows = sorted((os.path.abspath(p), int(x))
+    rows = sorted((_fixture_abs(p), int(x))
                   for p, xs in position_deletes.items() for x in xs)
     del_path = os.path.join(data_dir,
                             f"pos-del-{uuid.uuid4().hex}.parquet")
@@ -581,10 +599,10 @@ def _write_snapshot(meta_dir: str, snapshot_id: int,
         "sequence_number": None,  # inherited from the manifest list
         "data_file": {
             "content": 0,
-            "file_path": os.path.abspath(p),
+            "file_path": _fixture_abs(p),
             "file_format": "PARQUET",
             "record_count": int(n),
-            "file_size_in_bytes": os.path.getsize(p),
+            "file_size_in_bytes": _fixture_size(p),
         }} for p, n in zip(parquet_files, record_counts)]
     man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
     avro_io.write_avro(man_path, _MANIFEST_SCHEMA, entries)
@@ -688,10 +706,10 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     for i, (p, n) in enumerate(zip(parquet_files, record_counts)):
         df_rec = {
             "content": 0,
-            "file_path": os.path.abspath(p),
+            "file_path": _fixture_abs(p),
             "file_format": "PARQUET",
             "record_count": int(n),
-            "file_size_in_bytes": os.path.getsize(p),
+            "file_size_in_bytes": _fixture_size(p),
         }
         if partitions:
             df_rec["partition"] = {k: partitions[i].get(k)

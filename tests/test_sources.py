@@ -914,3 +914,81 @@ def test_iceberg_v3_puffin_delete_vector_refused(tmp_path, tokens_dir):
                        manifests)
     with pytest.raises(iceberg_meta.IcebergMetaError, match="PUFFIN"):
         iceberg_meta.snapshot_scan(tdir)
+
+
+def test_iceberg_table_on_object_store_end_to_end(spark, tokens_dir,
+                                                  tmp_path):
+    """A whole Iceberg table living on an object store — metadata.json,
+    avro manifests, position-delete parquet, and the data files — scans
+    and encodes to an object-store out_dir with no local staging: every
+    metadata read routes through fsutil (mock-s3 exercises the PUT-only
+    protocol), and verify_files replays the deletes remotely."""
+    import glob
+    import os
+
+    from embulk_input_parquet_hadoop_spark.plans import (fsutil, pipeline,
+                                                         verify)
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    bucket = f"mock-s3://bkt{tmp_path}"
+    remote_data = []
+    for f in sorted(glob.glob(f"{tokens_dir}/*.parquet")):
+        dst = f"{bucket}/table/data/{os.path.basename(f)}"
+        fsutil.put_file(dst, f)
+        remote_data.append(dst)
+    dead = [0, 1, 149]
+    staging = str(tmp_path / "staging_tbl")
+    iceberg_meta.write_table_fixture(
+        staging, remote_data, record_counts=[150, 150],
+        position_deletes={remote_data[0]: dead})
+    remote_tbl = f"{bucket}/table"
+    for root, _dirs, fns in os.walk(staging):
+        for fn in fns:
+            src = os.path.join(root, fn)
+            rel = os.path.relpath(src, staging)
+            fsutil.put_file(f"{remote_tbl}/{rel}", src)
+    scan = iceberg_meta.snapshot_scan(remote_tbl)
+    assert scan["data_files"] == remote_data
+    assert set(scan["position_deletes"]) == {remote_data[0]}
+    out = f"{bucket}/enc"
+    totals = pipeline.encode_path(
+        spark, remote_tbl, out, input_files=scan["data_files"],
+        row_deletes=scan["position_deletes"])
+    assert totals["n_rows"] == 300 - len(dead)
+    vf = verify.verify_files(spark, out,
+                             row_deletes=scan["position_deletes"])
+    assert vf["ok"] and vf["rows_compared"] == 300 - len(dead)
+
+
+def test_relocated_table_pos_deletes_refuse(spark, tokens_dir, tmp_path):
+    """A table tree copied to a new location WITHOUT path rewriting: the
+    scan's prefix remap resolves the delete mapping, but the raw
+    file_path strings inside the delete parquet still carry the old
+    location — the encode must fail loudly, never silently serve the
+    deleted rows (the pushdown filter would match zero rows)."""
+    import glob
+    import os
+    import shutil
+
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    orig = str(tmp_path / "orig_tbl")
+    os.makedirs(orig + "/data")
+    files = []
+    for f in sorted(glob.glob(f"{tokens_dir}/*.parquet")):
+        dst = os.path.join(orig, "data", os.path.basename(f))
+        shutil.copy(f, dst)
+        files.append(dst)
+    iceberg_meta.write_table_fixture(
+        orig, files, record_counts=[150, 150],
+        position_deletes={files[0]: [0, 1]})
+    moved = str(tmp_path / "moved_tbl")
+    shutil.copytree(orig, moved)
+    shutil.rmtree(orig)  # the original location is GONE
+    scan = iceberg_meta.snapshot_scan(moved)
+    # the mapping itself resolves (prefix remap)...
+    assert len(scan["position_deletes"]) == 1
+    out = str(tmp_path / "moved_enc")
+    with pytest.raises(Exception, match="deleted rows|bad files"):
+        pipeline.encode_path(
+            spark, moved, out, input_files=scan["data_files"],
+            row_deletes=scan["position_deletes"])
