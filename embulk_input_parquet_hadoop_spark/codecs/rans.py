@@ -176,6 +176,11 @@ def _pair_counts_c(u: np.ndarray, ctx: np.ndarray,
     the ~distinct keys keeps the output exactly np.unique's, so the
     model — and therefore every emitted frame — is bit-identical to the
     numpy path's."""
+    # as_ptr passes raw pointers — the C loop reads int64 strides, so a
+    # caller handing e.g. int32 views would count garbage silently
+    assert u.dtype == ctx.dtype == cand_rank.dtype == np.int64
+    assert u.flags.c_contiguous and ctx.flags.c_contiguous \
+        and cand_rank.flags.c_contiguous
     n = len(u)
     hbits = max(14, int(n).bit_length() - 1)
     while True:
