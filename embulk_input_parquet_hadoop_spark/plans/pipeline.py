@@ -441,7 +441,11 @@ class _EqualityDeleteFilter:
                 # unify to the current-schema names so delete files
                 # written before/after a rename union into one key set
                 tabs.append(t.select(phys).rename_columns(list(cols)))
-            tab = pa.concat_tables(tabs, promote_options="default")
+            # "permissive": delete files for the same field written
+            # before/after an int->long or float->double type promotion
+            # carry different physical widths; widening is value-exact,
+            # so the tuple set and hash planes are unchanged by it
+            tab = pa.concat_tables(tabs, promote_options="permissive")
             tupleset = set(map(_norm_eq_tuple,
                                zip(*(tab[c].to_pylist() for c in cols))))
             try:

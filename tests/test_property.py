@@ -170,3 +170,112 @@ def test_nested_list_of_struct_free_values_roundtrip(rows):
     arr = pa.array(vals, type=t)
     kind, blob = encode_column(arr)
     assert decode_column(kind, blob).cast(t).to_pylist() == vals
+
+
+# ---------------------------------------------------------------------------
+# Equality-delete filter vs a brute-force anti-join oracle. The keystone
+# invariant is that the uint64 hash PREFILTER is a superset of exact-tuple
+# matching (a miss there silently resurrects a deleted row — the bug class
+# the float-width normalization fixed); fuzz it over null/NaN/signed-zero
+# keys, int->long and float->double width promotions, and multi-descriptor
+# unions over column subsets.
+
+_EQ_POOLS = [
+    (pa.int32(), [None, -2, -1, 0, 1, 2, 2 ** 31 - 1]),
+    (pa.int64(), [None, -2, 0, 1, 2, 2 ** 62]),
+    (pa.float32(), [None, 0.0, -0.0, 1.1, 1.5, float("nan"), float("inf")]),
+    (pa.float64(), [None, 0.0, -0.0, 1.1, 1.5, float("nan"), float("-inf")]),
+    (pa.string(), [None, "", "a", "b", "0", "nan"]),
+]
+_EQ_WIDEN = {pa.int32(): pa.int64(), pa.float32(): pa.float64()}
+
+
+def _eq_norm(t):
+    # independent reimplementation of the spec's key semantics: null
+    # matches null, NaN matches NaN, -0.0 == 0.0 (Python ==)
+    return tuple("nan!" if isinstance(v, float) and v != v else v
+                 for v in t)
+
+
+@given(data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_equality_delete_filter_matches_bruteforce(data, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _EqualityDeleteFilter)
+
+    tmp = tmp_path_factory.mktemp("eqfuzz")
+    k = data.draw(st.integers(1, 2), label="n_key_cols")
+    pools = data.draw(st.lists(st.sampled_from(_EQ_POOLS), min_size=k,
+                               max_size=k), label="types")
+    cols = [f"c{i}" for i in range(k)]
+    n = data.draw(st.integers(0, 40), label="data_rows")
+    arrs = {c: pa.array([data.draw(st.sampled_from(pool)) for _ in range(n)],
+                        type=typ)
+            for c, (typ, pool) in zip(cols, pools)}
+    arrs["payload"] = pa.array(list(range(n)), type=pa.int64())
+    batch = pa.RecordBatch.from_pydict(arrs)
+
+    # 1-2 descriptors, each over a non-empty prefix of the key columns,
+    # optionally width-promoted on the delete side (int32->int64,
+    # float32->float64 per the spec's type promotions)
+    descs, del_tuple_sets = [], []
+    for g in range(data.draw(st.integers(1, 2), label="n_descs")):
+        gk = data.draw(st.integers(1, k), label=f"desc{g}_cols")
+        m = data.draw(st.integers(0, 12), label=f"desc{g}_rows")
+        dcols = {}
+        for c, (typ, pool) in zip(cols[:gk], pools[:gk]):
+            dt = typ
+            if typ in _EQ_WIDEN and data.draw(st.booleans(),
+                                              label=f"{g}{c}_widen"):
+                dt = _EQ_WIDEN[typ]
+            dcols[c] = pa.array(
+                [data.draw(st.sampled_from(pool)) for _ in range(m)],
+                type=typ).cast(dt)
+        dtab = pa.table(dcols)
+        p = str(tmp / f"del-{len(descs)}-{n}-{m}.parquet")
+        pq.write_table(dtab, p)
+        descs.append({"path": p, "columns": cols[:gk], "ids": None})
+        del_tuple_sets.append(
+            (cols[:gk],
+             {_eq_norm(t) for t in zip(*(dtab[c].to_pylist()
+                                         for c in cols[:gk]))} if m else
+             set()))
+
+    filt = _EqualityDeleteFilter.build(descs, data_schema=batch.schema)
+    got = filt.apply(batch)
+
+    data_rows = list(zip(*(arrs[c].to_pylist() for c in cols))) if n else []
+    expected_keep = [
+        i for i in range(n)
+        if not any(_eq_norm(tuple(data_rows[i][j]
+                                  for j in range(len(gcols)))) in tset
+                   for gcols, tset in del_tuple_sets)]
+    assert got.column("payload").to_pylist() == expected_keep
+
+
+def test_equality_delete_mixed_width_delete_files(tmp_path):
+    """Regression (found by the fuzz test above): delete files for the
+    same key written before and after an int->long type promotion carry
+    different physical widths; the per-group concat must widen instead
+    of refusing to merge int32 with int64."""
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _EqualityDeleteFilter)
+
+    p32 = str(tmp_path / "d32.parquet")
+    p64 = str(tmp_path / "d64.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], type=pa.int32())}), p32)
+    pq.write_table(pa.table({"k": pa.array([3, 2 ** 40], type=pa.int64())}),
+                   p64)
+    batch = pa.RecordBatch.from_pydict(
+        {"k": pa.array([0, 1, 2, 3, 4, 2 ** 40], type=pa.int64()),
+         "payload": pa.array(range(6), type=pa.int64())})
+    filt = _EqualityDeleteFilter.build(
+        [{"path": p32, "columns": ["k"], "ids": None},
+         {"path": p64, "columns": ["k"], "ids": None}],
+        data_schema=batch.schema)
+    got = filt.apply(batch)
+    assert got.column("payload").to_pylist() == [0, 4]
