@@ -279,3 +279,91 @@ def test_equality_delete_mixed_width_delete_files(tmp_path):
         data_schema=batch.schema)
     got = filt.apply(batch)
     assert got.column("payload").to_pylist() == [0, 4]
+
+
+# ---------------------------------------------------------------------------
+# Avro container roundtrip fuzz: random nested schemas + conformant values
+# through write_avro -> read_avro. The zigzag varints, block framing, and
+# union branch indices are hand-written (sources/avro_io.py) and also parse
+# REAL Iceberg manifests from other engines — encode/decode asymmetries
+# (int64 extremes, empty array/map blocks, nested null-unions, named-type
+# reuse) must shake out here rather than on a user's table.
+
+_avro_names = iter(f"R{i}" for i in range(10 ** 6))
+
+
+def _avro_schema_and_value(draw, depth=0):
+    prim = draw(st.sampled_from(
+        ["null", "boolean", "int", "long", "double", "bytes", "string",
+         "float"]))
+    kind = prim if depth >= 2 else draw(st.sampled_from(
+        [prim, "record", "array", "map", "union", "enum", "fixed"]))
+    if kind == "null":
+        return "null", None
+    if kind == "boolean":
+        return "boolean", draw(st.booleans())
+    if kind == "int":
+        return "int", draw(st.integers(-2 ** 31, 2 ** 31 - 1))
+    if kind == "long":
+        return "long", draw(st.integers(-2 ** 63, 2 ** 63 - 1))
+    if kind == "double":
+        return "double", draw(st.floats(allow_nan=False))
+    if kind == "float":
+        import struct as _s
+        v = draw(st.floats(allow_nan=False, width=32))
+        return "float", _s.unpack("<f", _s.pack("<f", v))[0]
+    if kind == "bytes":
+        return "bytes", draw(st.binary(max_size=20))
+    if kind == "string":
+        return "string", draw(st.text(max_size=20))
+    if kind == "enum":
+        syms = ["A", "B", "C"]
+        return ({"type": "enum", "name": next(_avro_names),
+                 "symbols": syms}, draw(st.sampled_from(syms)))
+    if kind == "fixed":
+        size = draw(st.integers(0, 8))
+        return ({"type": "fixed", "name": next(_avro_names), "size": size},
+                draw(st.binary(min_size=size, max_size=size)))
+    if kind == "union":
+        s, v = _avro_schema_and_value(draw, depth + 1)
+        if s == "null" or (isinstance(s, dict) and s["type"] == "null"):
+            s, v = "long", draw(st.integers(-10, 10))
+        if draw(st.booleans()):
+            sch = ["null", s]
+        else:
+            sch = [s, "null"]
+        return sch, (None if draw(st.booleans()) else v)
+    if kind == "array":
+        s, v = _avro_schema_and_value(draw, depth + 1)
+        n = draw(st.integers(0, 4))
+        return {"type": "array", "items": s}, [v] * n
+    if kind == "map":
+        s, v = _avro_schema_and_value(draw, depth + 1)
+        ks = draw(st.lists(st.text(max_size=8), max_size=4, unique=True))
+        return {"type": "map", "values": s}, {k: v for k in ks}
+    # record
+    nf = draw(st.integers(1, 4))
+    fields, rec = [], {}
+    for i in range(nf):
+        s, v = _avro_schema_and_value(draw, depth + 1)
+        fields.append({"name": f"f{i}", "type": s})
+        rec[f"f{i}"] = v
+    return ({"type": "record", "name": next(_avro_names),
+             "fields": fields}, rec)
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_avro_roundtrip_fuzz(data, tmp_path_factory):
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+    inner, val = _avro_schema_and_value(data.draw)
+    schema = {"type": "record", "name": next(_avro_names),
+              "fields": [{"name": "x", "type": inner}]}
+    n = data.draw(st.integers(0, 5), label="n_records")
+    recs = [{"x": val}] * n
+    codec = data.draw(st.sampled_from(["null", "deflate"]), label="codec")
+    p = str(tmp_path_factory.mktemp("avrofuzz") / "t.avro")
+    avro_io.write_avro(p, schema, recs, codec=codec)
+    s2, got = avro_io.read_avro(p)
+    assert s2 == schema
+    assert got == recs
