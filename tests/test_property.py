@@ -367,3 +367,89 @@ def test_avro_roundtrip_fuzz(data, tmp_path_factory):
     s2, got = avro_io.read_avro(p)
     assert s2 == schema
     assert got == recs
+
+
+# ---------------------------------------------------------------------------
+# Temporal zone-map stats. Two invariants guard "pruning may only widen,
+# never exclude a row the chunk actually holds" (plans/pipeline.py
+# _encode_one_batch):
+#   1. BOUNDING — the recorded (vmin, vmax), in the normalized unit (µs
+#      for clock types, days for dates), rationally bounds every stored
+#      value: vmin*den <= v*num <= vmax*den.
+#   2. UNIT AGREEMENT — the same logical instants stored as s/ms/us/ns
+#      (or date32/date64) produce IDENTICAL zone maps, so a reader's
+#      prune bounds mean the same thing whatever unit the source file
+#      happened to store (the silent-wrong-prune bug class the
+#      normalization exists to kill).
+
+_TEMporal_TYPES = [
+    pa.timestamp("s"), pa.timestamp("ms"), pa.timestamp("us"),
+    pa.timestamp("ns"), pa.timestamp("us", tz="UTC"),
+    pa.date32(), pa.date64(), pa.duration("ms"), pa.duration("ns"),
+]
+
+
+def _zone_of(batch):
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _cols_of, _encode_one_batch)
+    row, _ = _encode_one_batch(batch, 0, 0, 0)
+    (col,) = _cols_of(row)
+    return col["vmin"], col["vmax"]
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_temporal_zone_map_bounds_every_row(data):
+    from embulk_input_parquet_hadoop_spark.plans.pipeline import (
+        _temporal_zone_scale)
+    typ = data.draw(st.sampled_from(_TEMporal_TYPES), label="type")
+    num, den = _temporal_zone_scale(typ)
+    # keep the scaled value inside int64 so the clamp never engages
+    # (outside it, Spark's own µs-int64 timestamp domain can't hold the
+    # value either — the clamp matches the comparison domain)
+    lim = min((2 ** 62) * den // num, 2 ** 62)
+    n = data.draw(st.integers(0, 50), label="rows")
+    vals = [data.draw(st.one_of(st.none(), st.integers(-lim, lim)))
+            for _ in range(n)]
+    width = pa.int64() if typ != pa.date32() else pa.int32()
+    if typ == pa.date32():
+        vals = [None if v is None else int(np.int32(v)) for v in vals]
+    arr = pa.array(vals, type=width).cast(typ)
+    vmin, vmax = _zone_of(pa.RecordBatch.from_arrays([arr], ["t"]))
+    live = [v for v in vals if v is not None]
+    if not live:
+        assert vmin is None and vmax is None
+        return
+    for v in live:
+        assert vmin * den <= v * num <= vmax * den, (typ, v, vmin, vmax)
+    # tightness: the bounds are the floor/ceil of the true extrema, not
+    # merely any superset (a vacuous [-inf, inf] map prunes nothing)
+    assert vmin == min(live) * num // den
+    assert vmax == -((-max(live) * num) // den)
+
+
+@given(data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_temporal_zone_map_unit_agreement(data):
+    n = data.draw(st.integers(1, 40), label="rows")
+    # µs-precision instants representable exactly in every clock unit
+    # (whole seconds) — each storage representation must yield the SAME
+    # zone map
+    secs = [data.draw(st.integers(-(2 ** 33), 2 ** 33)) for _ in range(n)]
+    zones = set()
+    for unit, mult in [("s", 1), ("ms", 10 ** 3), ("us", 10 ** 6),
+                       ("ns", 10 ** 9)]:
+        arr = pa.array([s * mult for s in secs], type=pa.int64()) \
+            .cast(pa.timestamp(unit))
+        zones.add(_zone_of(pa.RecordBatch.from_arrays([arr], ["t"])))
+    assert len(zones) == 1, zones
+    ((vmin, vmax),) = zones
+    assert vmin == min(secs) * 10 ** 6 and vmax == max(secs) * 10 ** 6
+    # dates: the same days stored as date32 and date64 agree too
+    days = [data.draw(st.integers(-(10 ** 5), 10 ** 5)) for _ in range(n)]
+    z32 = _zone_of(pa.RecordBatch.from_arrays(
+        [pa.array(days, type=pa.int32()).cast(pa.date32())], ["d"]))
+    z64 = _zone_of(pa.RecordBatch.from_arrays(
+        [pa.array([d * 86_400_000 for d in days], type=pa.int64())
+         .cast(pa.date64())], ["d"]))
+    assert z32 == z64 == (min(days), max(days))
