@@ -140,6 +140,29 @@ def read_bytes(path: str) -> bytes:
         return fh.read()
 
 
+def file_size(path: str) -> int:
+    """Object/file size in bytes for any scheme."""
+    if is_local(path):
+        return os.path.getsize(strip_file_scheme(path))
+    filesystem, root = get_fs(path)
+    return int(filesystem.get_file_info(root).size)
+
+
+def read_bytes_range(path: str, offset: int, length: int) -> bytes:
+    """Ranged read ([offset, offset+length)) for any scheme — object
+    stores serve this as one GET with a Range header (pyarrow
+    ``open_input_file`` random access), so callers can pull a blob or
+    footer out of a large object without downloading it."""
+    if is_local(path):
+        with open(strip_file_scheme(path), "rb") as fh:
+            fh.seek(offset)
+            return fh.read(length)
+    filesystem, root = get_fs(path)
+    with filesystem.open_input_file(root) as fh:
+        fh.seek(offset)
+        return fh.read(length)
+
+
 def parquet_file(path: str):
     """``pyarrow.parquet.ParquetFile`` for any scheme."""
     import pyarrow.parquet as pq

@@ -287,10 +287,22 @@ def _read_delete_positions(data_path: str, delete_files: list[str]):
     loudly rather than silently resurrecting the deleted rows.
     """
     from . import fsutil
+    from ..sources import puffin
     plain = _lineage_key(data_path)
     keys = sorted({data_path, plain, f"file:{plain}", f"file://{plain}"})
     parts = []
     for dp in delete_files:
+        if dp.startswith(puffin.DV_DESC_PREFIX):
+            # Iceberg v3 deletion vector: one ranged read of this data
+            # file's own blob (offset/length came from the manifest or
+            # puffin footer at planning), CRC-checked roaring decode.
+            # Positions are path-free, so the zero-match relocation
+            # refusal below does not apply — the planning-side resolve
+            # already equated the spellings.
+            d = puffin.parse_dv_desc(dp)
+            parts.append(puffin.read_dv(d["path"], d["offset"],
+                                        d["length"]))
+            continue
         t = fsutil.read_parquet(dp, columns=["pos"],
                                 filters=[("file_path", "in", keys)])
         if not t.num_rows:

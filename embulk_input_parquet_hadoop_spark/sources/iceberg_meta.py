@@ -36,6 +36,17 @@ same partition spec with an equal partition tuple, per spec — a data
 file whose manifest carries no partition record while a same-spec
 scoped delete is in sequence scope is unresolvable and raises.
 
+Iceberg v3 DELETION VECTORS — position deletes stored as one roaring
+bitmap per data file inside PUFFIN containers (delete entries with
+``file_format: PUFFIN``) — decode natively via ``puffin.py``: the scan
+maps each DV blob to its data file (from the manifest's
+``referenced_data_file``/``content_offset``/``content_size_in_bytes``
+fields, falling back to the puffin footer) and hands it down the SAME
+``row_deletes`` mapping as a ``puffin:{json}`` descriptor; the encode
+task ranged-reads just its own blob. Per spec a data file has at most
+one DV, and when one exists it supersedes any parquet position-delete
+files targeting that file.
+
 ``write_table_fixture`` writes a minimal spec-shaped table (v2
 metadata.json + manifest list + one manifest per data file) over
 existing Parquet files, so tests exercise the real layout end to end.
@@ -68,11 +79,15 @@ _MANIFEST_LIST_SCHEMA = {
     ]}
 
 def _manifest_schema(partition_fields: list[tuple[str, str]] | None = None,
-                     with_equality_ids: bool = False) -> dict:
+                     with_equality_ids: bool = False,
+                     with_dv_fields: bool = False) -> dict:
     """Manifest-entry schema; ``partition_fields`` [(name, avro_type)]
     adds the spec's per-file ``partition`` record (``r102``), which is
     what metadata-level partition pruning reads; ``with_equality_ids``
-    adds the equality-delete key field-id list (spec field-id 135)."""
+    adds the equality-delete key field-id list (spec field-id 135);
+    ``with_dv_fields`` adds the v3 deletion-vector fields
+    (``referenced_data_file`` 143, ``content_offset`` 144,
+    ``content_size_in_bytes`` 145)."""
     df_fields = [
         {"name": "content", "type": "int", "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
@@ -92,6 +107,15 @@ def _manifest_schema(partition_fields: list[tuple[str, str]] | None = None,
                           "type": ["null", {"type": "array",
                                             "items": "int",
                                             "element-id": 136}]})
+    if with_dv_fields:
+        df_fields += [
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"],
+             "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"],
+             "field-id": 145},
+        ]
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
@@ -227,6 +251,7 @@ def _scan(table_dir: str, snapshot_id: int | None,
     data: list[tuple[str, int | None, int | None, dict | None]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
+    dvs: list[dict] = []
     for m in manifests:
         man_path = _resolve(table_dir, location, m["manifest_path"])
         spec_id = m.get("partition_spec_id")
@@ -241,10 +266,23 @@ def _scan(table_dir: str, snapshot_id: int | None,
             if seq is None:
                 seq = m.get("sequence_number")
             fmt = df.get("file_format", "PARQUET").upper()
+            path = _resolve(table_dir, location, df["file_path"])
+            if fmt == "PUFFIN" and content == _CONTENT_POS_DELETES:
+                # Iceberg v3 deletion vector: one roaring bitmap of
+                # deleted positions per referenced data file, stored as
+                # a puffin blob. v3 manifests carry the mapping inline
+                # (field ids 143-145); pre-v3-shaped entries fall back
+                # to the puffin footer in snapshot_scan.
+                dvs.append({
+                    "path": path, "seq": seq,
+                    "referenced": df.get("referenced_data_file"),
+                    "offset": df.get("content_offset"),
+                    "size": df.get("content_size_in_bytes"),
+                })
+                continue
             if fmt != "PARQUET":
                 raise IcebergMetaError(
                     f"non-parquet file ({fmt}): {df['file_path']}")
-            path = _resolve(table_dir, location, df["file_path"])
             if content == _CONTENT_EQ_DELETES:
                 eq_deletes.append({
                     "path": path, "seq": seq,
@@ -266,8 +304,9 @@ def _scan(table_dir: str, snapshot_id: int | None,
     data.sort(key=lambda t: t[0])
     pos_deletes.sort()
     eq_deletes.sort(key=lambda d: d["path"])
+    dvs.sort(key=lambda d: (d["path"], d.get("offset") or 0))
     return {"data": data, "pos_deletes": pos_deletes,
-            "eq_deletes": eq_deletes, "meta": meta}
+            "eq_deletes": eq_deletes, "dvs": dvs, "meta": meta}
 
 
 def snapshot_data_files(table_dir: str,
@@ -290,13 +329,15 @@ def snapshot_data_files(table_dir: str,
     ``snapshot_scan`` is the MOR-aware one (deletes applied at encode).
     """
     scan = _scan(table_dir, snapshot_id, partition_filter)
-    if scan["pos_deletes"] or scan["eq_deletes"]:  # strict COW gate
+    if scan["pos_deletes"] or scan["eq_deletes"] or scan["dvs"]:
+        # strict COW gate
         raise IcebergMetaError(
-            f"snapshot carries {len(scan['pos_deletes'])} position- and "
-            f"{len(scan['eq_deletes'])} equality-DELETE file(s) "
-            "(merge-on-read) — use snapshot_scan(), which returns the "
-            "per-data-file delete mappings for encode_path("
-            "row_deletes=/eq_deletes=...)")
+            f"snapshot carries {len(scan['pos_deletes'])} position-, "
+            f"{len(scan['eq_deletes'])} equality-DELETE file(s) and "
+            f"{len(scan['dvs'])} deletion vector(s) (merge-on-read) — "
+            "use snapshot_scan(), which returns the per-data-file "
+            "delete mappings for encode_path(row_deletes=/eq_deletes"
+            "=...)")
     return [t[0] for t in scan["data"]]
 
 
@@ -315,6 +356,14 @@ def snapshot_scan(table_dir: str,
     file's row groups (sorted by (file_path, pos) per spec, so that
     filter prunes). Planning cost stays O(metadata), per-task cost
     O(that file's deletes).
+
+    v3 deletion vectors join the same ``position_deletes`` mapping as
+    ``puffin:{json}`` descriptor strings (path + blob offset/length) —
+    ``_read_delete_positions`` ranged-reads and CRC-checks the roaring
+    blob inside the owning task. A file with a DV gets ONLY the DV
+    (the spec requires a DV to carry all deleted positions and readers
+    to ignore older position-delete files for that file); two DVs
+    referencing one data file raise.
 
     Equality-delete files (Parquet holding the key columns themselves)
     are scoped per spec: a delete applies to every data file whose data
@@ -349,6 +398,51 @@ def snapshot_scan(table_dir: str,
                 target = _resolve(table_dir, location, ref)
                 if target in live:
                     deletes.setdefault(target, []).append(dp)
+    if scan["dvs"]:
+        from . import puffin
+        dv_map: dict[str, str] = {}
+        for dv in scan["dvs"]:
+            if (dv["referenced"] is not None and dv["offset"] is not None
+                    and dv["size"] is not None):
+                blobs = [{"referenced": dv["referenced"],
+                          "offset": int(dv["offset"]),
+                          "length": int(dv["size"])}]
+            else:
+                # manifest entry lacks the v3 DV fields — the puffin
+                # footer itself records each blob's referenced data
+                # file; two ranged reads, no blob data
+                try:
+                    blobs = puffin.dv_blobs_from_footer(
+                        puffin.read_footer_path(dv["path"]))
+                except Exception as e:  # noqa: BLE001
+                    raise IcebergMetaError(
+                        f"PUFFIN deletion-vector file {dv['path']}: "
+                        "manifest entry carries no referenced_data_file"
+                        "/content_offset fields and the footer is "
+                        f"unreadable ({type(e).__name__}: {e})"
+                    ) from None
+                if not blobs:
+                    raise IcebergMetaError(
+                        f"PUFFIN file {dv['path']} referenced by a "
+                        "delete manifest holds no deletion-vector-v1 "
+                        "blobs")
+            for b in blobs:
+                target = _resolve(table_dir, location, b["referenced"])
+                if target not in live:
+                    continue  # pruned or rewritten-away data file
+                if target in dv_map:
+                    raise IcebergMetaError(
+                        f"data file {target} is referenced by more "
+                        "than one deletion vector — the v3 spec allows "
+                        "at most one DV per data file")
+                dv_map[target] = puffin.DV_DESC_PREFIX + json.dumps(
+                    {"path": dv["path"], "offset": b["offset"],
+                     "length": b["length"]}, sort_keys=True)
+        # spec: a DV must contain ALL deleted positions of its data
+        # file, and readers apply the DV INSTEAD of any older
+        # position-delete parquet targeting that file
+        for target, desc in dv_map.items():
+            deletes[target] = [desc]
     eq_map: dict[str, list[dict]] = {}
     if scan["eq_deletes"]:
         fields = _schema_fields_by_id(meta)
@@ -632,7 +726,9 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
                         equality_deletes: bool = False,
                         schema_fields: list[str] | None = None,
                         data_sequence_number: int = 1,
-                        equality_delete_tables: list[dict] | None = None
+                        equality_delete_tables: list[dict] | None = None,
+                        deletion_vectors: dict[str, list[int]] | None = None,
+                        dv_manifest_fields: bool = True
                         ) -> str:
     """Minimal spec-shaped Iceberg v2 table over existing Parquet files.
 
@@ -666,7 +762,16 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     column-rename case), ``sequence_number`` (default
     ``data_sequence_number + 1``), optionally ``partition``
     ({name: value}, making the delete partition-scoped), and optionally
-    ``partition_spec_id`` (default 0, the data manifests' spec)."""
+    ``partition_spec_id`` (default 0, the data manifests' spec).
+
+    ``deletion_vectors`` ({data_file_path: [row positions]}) writes a
+    REAL Iceberg v3 deletion-vector layout: one puffin file holding one
+    ``deletion-vector-v1`` blob (portable roaring64, CRC) per
+    referenced data file, plus a delete manifest whose entries carry
+    ``file_format: PUFFIN`` and — unless ``dv_manifest_fields=False``
+    (exercising the puffin-footer fallback of ``snapshot_scan``) — the
+    v3 ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes`` fields. Sets ``format-version: 3``."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     if record_counts is None:
@@ -756,6 +861,44 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             os.path.join(table_dir, "data"), position_deletes)
         manifests.append(_pos_delete_manifest(
             meta_dir, snapshot_id, data_sequence_number + 1, [(dp, n)]))
+    if deletion_vectors:
+        from . import puffin
+        data_dir = os.path.join(table_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        dv_path = os.path.join(data_dir, f"dv-{uuid.uuid4().hex}.puffin")
+        locs = puffin.write_dv_puffin(
+            dv_path, {_fixture_abs(p): v
+                      for p, v in deletion_vectors.items()},
+            snapshot_id=snapshot_id,
+            sequence_number=data_sequence_number + 1)
+        dv_entries = []
+        for ref in sorted(locs):
+            rec = {
+                "content": 1,
+                "file_path": dv_path,
+                "file_format": "PUFFIN",
+                "record_count": locs[ref]["cardinality"],
+                "file_size_in_bytes": os.path.getsize(dv_path),
+            }
+            if dv_manifest_fields:
+                rec["referenced_data_file"] = ref
+                rec["content_offset"] = locs[ref]["offset"]
+                rec["content_size_in_bytes"] = locs[ref]["length"]
+            dv_entries.append({"status": 1, "snapshot_id": snapshot_id,
+                               "sequence_number": None,
+                               "data_file": rec})
+        dv_man = os.path.join(meta_dir, f"dv-{uuid.uuid4().hex}.avro")
+        avro_io.write_avro(
+            dv_man, _manifest_schema(with_dv_fields=dv_manifest_fields),
+            dv_entries)
+        manifests.append({
+            "manifest_path": dv_man,
+            "manifest_length": os.path.getsize(dv_man),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": data_sequence_number + 1,
+            "added_snapshot_id": snapshot_id,
+        })
     if equality_deletes:
         eq_man = os.path.join(meta_dir, f"eqdel-{uuid.uuid4().hex}.avro")
         avro_io.write_avro(eq_man, _MANIFEST_SCHEMA, [{
@@ -836,7 +979,7 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     avro_io.write_avro(mlist, _MANIFEST_LIST_SCHEMA, manifests)
     meta = {
-        "format-version": 2,
+        "format-version": 3 if deletion_vectors else 2,
         "table-uuid": str(uuid.uuid4()),
         "location": os.path.abspath(table_dir),
         "current-snapshot-id": snapshot_id,

@@ -874,10 +874,11 @@ def test_verify_files_missing_source_is_per_file_err(spark, tokens_dir,
 
 
 def test_iceberg_v3_puffin_delete_vector_refused(tmp_path, tokens_dir):
-    """Iceberg v3 deletion vectors live in PUFFIN files (manifest delete
-    entries with file_format PUFFIN). We do not parse puffin — the scan
-    must refuse loudly at planning time, never hand a puffin path to a
-    parquet reader."""
+    """An UNRESOLVABLE v3 deletion vector refuses at planning: this DV
+    manifest entry carries none of the referenced_data_file /
+    content_offset fields AND points at a puffin file that does not
+    exist, so the footer fallback cannot map it either. (Well-formed
+    DVs decode natively — test_iceberg_v3_deletion_vectors_encode.)"""
     import glob
     import json
     import os
@@ -913,6 +914,167 @@ def test_iceberg_v3_puffin_delete_vector_refused(tmp_path, tokens_dir):
     avro_io.write_avro(mlist, iceberg_meta._MANIFEST_LIST_SCHEMA,
                        manifests)
     with pytest.raises(iceberg_meta.IcebergMetaError, match="PUFFIN"):
+        iceberg_meta.snapshot_scan(tdir)
+
+
+def test_iceberg_v3_deletion_vectors_encode(spark, tokens_dir, tmp_path):
+    """Iceberg v3 MOR: deletion vectors (puffin roaring bitmaps) decode
+    natively — snapshot_scan maps each DV blob to its data file via the
+    manifest's referenced_data_file/content_offset fields, the encode
+    task ranged-reads and applies it, and the decoded tree holds
+    exactly the live rows. Verify replays the same mapping."""
+    import glob
+    import pyarrow.parquet as pq
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "dv_enc_tbl")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    n0 = pq.read_metadata(files[0]).num_rows
+    # position 0, a dense run (roaring run/array shapes), and the last
+    # row of file 0; a sparse scatter in file 1
+    dels = {files[0]: [0] + list(range(10, 40)) + [n0 - 1],
+            files[1]: [5, 64, 65]}
+    iceberg_meta.write_table_fixture(tdir, files, deletion_vectors=dels)
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="deletion vector"):
+        iceberg_meta.snapshot_data_files(tdir)
+    scan = iceberg_meta.snapshot_scan(tdir)
+    assert set(scan["position_deletes"]) == set(scan["data_files"])
+    for v in scan["position_deletes"].values():
+        assert len(v) == 1 and v[0].startswith("puffin:")
+    out = str(tmp_path / "dv_enc_out")
+    totals = pipeline.encode_path(
+        spark, tdir, out, input_files=scan["data_files"],
+        row_deletes=scan["position_deletes"], batch_rows=32)
+    n_del = sum(len(v) for v in dels.values())
+    assert totals["n_rows"] == 300 - n_del
+    expected = []
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"]).column(
+            "doc_id").to_pylist()
+        dead = set(dels.get(f, []))
+        expected += [d for i, d in enumerate(ids) if i not in dead]
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    assert sorted(r.doc_id for r in dec.collect()) == sorted(expected)
+    vf = verify.verify_files(spark, out, batch_rows=32,
+                             row_deletes=scan["position_deletes"])
+    assert vf["ok"] and vf["rows_compared"] == 300 - n_del
+    assert not verify.verify_files(spark, out, batch_rows=32)["ok"]
+
+
+def test_iceberg_dv_footer_fallback(tmp_path, tokens_dir):
+    """A DV manifest entry WITHOUT the v3 referenced/offset fields maps
+    through the puffin footer's blob metadata instead (two ranged
+    reads at planning, still no blob data)."""
+    import glob
+    import os
+    import numpy as np
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "dv_fb_tbl")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(
+        tdir, files, deletion_vectors={files[0]: [3, 4, 90]},
+        dv_manifest_fields=False)
+    scan = iceberg_meta.snapshot_scan(tdir)
+    f0 = os.path.abspath(files[0])
+    assert list(scan["position_deletes"]) == [f0]
+    got = pipeline._read_delete_positions(
+        f0, scan["position_deletes"][f0])
+    assert np.array_equal(got, [3, 4, 90])
+
+
+def test_iceberg_dv_supersedes_parquet_pos_deletes(tmp_path, tokens_dir):
+    """When a data file has BOTH v2 position-delete parquet and a v3 DV,
+    the DV wins alone — the spec requires a DV to carry ALL deleted
+    positions of its file and readers to ignore older delete files."""
+    import glob
+    import os
+    import numpy as np
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "dv_both_tbl")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(
+        tdir, files,
+        position_deletes={files[0]: [1, 2], files[1]: [7]},
+        # the DV (written later, per spec merged from the old deletes)
+        deletion_vectors={files[0]: [1, 2, 50]})
+    scan = iceberg_meta.snapshot_scan(tdir)
+    f0, f1 = (os.path.abspath(f) for f in files)
+    assert len(scan["position_deletes"][f0]) == 1
+    assert scan["position_deletes"][f0][0].startswith("puffin:")
+    got = pipeline._read_delete_positions(
+        f0, scan["position_deletes"][f0])
+    assert np.array_equal(got, [1, 2, 50])
+    # the other file keeps its parquet position-delete path
+    assert scan["position_deletes"][f1][0].endswith(".parquet")
+
+
+def test_iceberg_dv_on_old_file_refuses_diff(tmp_path, tokens_dir):
+    """A DV arriving on a file that was already live at the FROM
+    snapshot changes that file's effective rows — snapshot_scan_diff
+    must refuse (append-only encode trees cannot retract committed
+    rows), exactly as it does for new parquet position deletes."""
+    import glob
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    tdir = str(tmp_path / "dv_diff_tbl")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(
+        tdir, files, snapshot_id=2,
+        older_snapshots={1: files},          # same files, no deletes
+        deletion_vectors={files[0]: [4, 8]})  # DV added by snapshot 2
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="changed between snapshots"):
+        iceberg_meta.snapshot_scan_diff(tdir, 1)
+
+
+def test_iceberg_dv_duplicate_refused(tmp_path, tokens_dir):
+    """Two DVs referencing the same data file violate the v3 spec's
+    at-most-one rule — refuse rather than guess which is current."""
+    import glob
+    import json
+    import os
+    import uuid
+    from embulk_input_parquet_hadoop_spark.sources import (avro_io,
+                                                           iceberg_meta,
+                                                           puffin)
+    tdir = str(tmp_path / "dv_dup_tbl")
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    iceberg_meta.write_table_fixture(
+        tdir, files, deletion_vectors={files[0]: [1]})
+    # splice a second DV manifest targeting the same data file
+    meta_dir = os.path.join(tdir, "metadata")
+    dv2 = os.path.join(tdir, "data", "dv-extra.puffin")
+    locs = puffin.write_dv_puffin(
+        dv2, {os.path.abspath(files[0]): [9]})
+    loc = locs[os.path.abspath(files[0])]
+    man = os.path.join(meta_dir, f"dv-{uuid.uuid4().hex}.avro")
+    avro_io.write_avro(
+        man, iceberg_meta._manifest_schema(with_dv_fields=True), [{
+            "status": 1, "snapshot_id": 1, "sequence_number": None,
+            "data_file": {
+                "content": 1, "file_path": dv2, "file_format": "PUFFIN",
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(dv2),
+                "referenced_data_file": os.path.abspath(files[0]),
+                "content_offset": loc["offset"],
+                "content_size_in_bytes": loc["length"],
+            }}])
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    mlist = meta["snapshots"][-1]["manifest-list"]
+    _, manifests = avro_io.read_avro(mlist)
+    manifests.append({
+        "manifest_path": man, "manifest_length": os.path.getsize(man),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 3, "added_snapshot_id": 1,
+    })
+    avro_io.write_avro(mlist, iceberg_meta._MANIFEST_LIST_SCHEMA,
+                       manifests)
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="more than one deletion vector"):
         iceberg_meta.snapshot_scan(tdir)
 
 
