@@ -1,4 +1,6 @@
-"""Optional C hot loop for the rANS coder (``codecs/rans.py``).
+"""Optional C hot loops: the rANS coder (``codecs/rans.py``) and the
+exception-plane codec (``codecs/intcodecs.py`` ``xp_*``) share this one
+compile-and-cache module — one source blob, one .so, one build.
 
 The numpy coder is the REFERENCE implementation: it runs the lane loop
 as O(n / L) interpreter steps of L-wide vector ops, which bounds encode
@@ -317,6 +319,96 @@ int64_t pair_count(int64_t n, const int64_t *ctx, const int64_t *u,
     }
     return distinct;
 }
+
+/* --- exception-plane (xp) codec kernels (codecs/intcodecs.py) ----------
+   Same build/dispatch infrastructure as the rANS loops above; the numpy
+   implementations in intcodecs.py stay the byte-exact reference. The
+   encode split is one fused streaming pass emitting all three planes
+   ([lo bytes][big-endian exception bitmap][hi bytes of the >=256
+   minority]) where numpy needs five full-array passes (sub/astype, &,
+   compare, boolean gather, packbits). min/max stay in numpy (SIMD
+   reductions beat this scalar loop) and arrive as `mn`. The hi plane is
+   compacted with an unconditional store + predicated advance (hi must
+   have n bytes of capacity) — no branch, no mispredict on the ~16%
+   exception rate of Zipfian token chunks. Returns the exception count. */
+int64_t xp_split_i32(int64_t n, const int32_t *a, int32_t mn,
+                     uint8_t *lo, uint8_t *bm, uint8_t *hi) {
+    int64_t k = 0, i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint32_t bits = 0;
+        for (int j = 0; j < 8; j++) {
+            uint32_t u = (uint32_t)(a[i + j] - mn);
+            lo[i + j] = (uint8_t)u;
+            uint32_t h = u >> 8;
+            hi[k] = (uint8_t)h;
+            k += (h != 0);
+            bits |= (uint32_t)(h != 0) << (7 - j);
+        }
+        bm[i >> 3] = (uint8_t)bits;
+    }
+    if (i < n) {
+        uint32_t bits = 0;
+        for (int j = 0; i + j < n; j++) {
+            uint32_t u = (uint32_t)(a[i + j] - mn);
+            lo[i + j] = (uint8_t)u;
+            uint32_t h = u >> 8;
+            hi[k] = (uint8_t)h;
+            k += (h != 0);
+            bits |= (uint32_t)(h != 0) << (7 - j);
+        }
+        bm[i >> 3] = (uint8_t)bits;
+    }
+    return k;
+}
+
+int64_t xp_split_i64(int64_t n, const int64_t *a, int64_t mn,
+                     uint8_t *lo, uint8_t *bm, uint8_t *hi) {
+    int64_t k = 0, i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint32_t bits = 0;
+        for (int j = 0; j < 8; j++) {
+            /* unsigned wraparound subtraction is exact for any int64
+               pair with 0 <= a-mn < 2^64; the caller range-checked
+               a-mn < 2^16 already */
+            uint32_t u = (uint32_t)((uint64_t)a[i + j] - (uint64_t)mn);
+            lo[i + j] = (uint8_t)u;
+            uint32_t h = u >> 8;
+            hi[k] = (uint8_t)h;
+            k += (h != 0);
+            bits |= (uint32_t)(h != 0) << (7 - j);
+        }
+        bm[i >> 3] = (uint8_t)bits;
+    }
+    if (i < n) {
+        uint32_t bits = 0;
+        for (int j = 0; i + j < n; j++) {
+            uint32_t u = (uint32_t)((uint64_t)a[i + j] - (uint64_t)mn);
+            lo[i + j] = (uint8_t)u;
+            uint32_t h = u >> 8;
+            hi[k] = (uint8_t)h;
+            k += (h != 0);
+            bits |= (uint32_t)(h != 0) << (7 - j);
+        }
+        bm[i >> 3] = (uint8_t)bits;
+    }
+    return k;
+}
+
+/* xp decode: one pass reassembling int64 values from the three planes.
+   Branchless hi consumption: hi[k] is read unconditionally and masked
+   by the bitmap bit, so `hi` must carry ONE byte of padding past the
+   last exception (the Python wrapper pads its copy). */
+void xp_decode_fill(int64_t n, const uint8_t *lo, const uint8_t *bm,
+                    const uint8_t *hi, int64_t vmin, int64_t *out) {
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t bit = (bm[i >> 3] >> (7 - (i & 7))) & 1u;
+        uint32_t u = (uint32_t)lo[i]
+                     | (((uint32_t)hi[k] << 8) & (0u - bit));
+        k += bit;
+        out[i] = (int64_t)u + vmin;
+    }
+}
 """
 
 
@@ -374,6 +466,16 @@ def _build() -> ctypes.CDLL | None:
     lib.pair_count.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, i64p, i64p]
     lib.pair_count.restype = ctypes.c_int64
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.xp_split_i32.argtypes = [
+        ctypes.c_int64, i32p, ctypes.c_int32, u8p, u8p, u8p]
+    lib.xp_split_i32.restype = ctypes.c_int64
+    lib.xp_split_i64.argtypes = [
+        ctypes.c_int64, i64p, ctypes.c_int64, u8p, u8p, u8p]
+    lib.xp_split_i64.restype = ctypes.c_int64
+    lib.xp_decode_fill.argtypes = [
+        ctypes.c_int64, u8p, u8p, u8p, ctypes.c_int64, i64p]
+    lib.xp_decode_fill.restype = None
     return lib
 
 

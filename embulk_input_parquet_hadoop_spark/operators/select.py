@@ -109,7 +109,12 @@ def encode_best(a: np.ndarray) -> tuple[str, bytes, dict]:
     choice, _st, _est = select_int_codec(a)
     enc, _ = INT_CODECS[choice]
     try:
-        payload, params = enc(a)
+        if choice == "xp":
+            # stats_of computed the exact full-array min/max already;
+            # xp_encode skips its own reduction pass when given both
+            payload, params = enc(a, vmin=_st.vmin, vmax=_st.vmax)
+        else:
+            payload, params = enc(a)
     except OverflowError:
         choice, (payload, params) = "plain", INT_CODECS["plain"][0](a)
     if choice != "plain" and len(payload) >= len(a) * a.dtype.itemsize:

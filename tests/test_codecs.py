@@ -121,6 +121,49 @@ def test_xp_roundtrip_edges():
         enc(np.array([0, 1 << 16], dtype=np.int64))
 
 
+def test_xp_c_and_numpy_bit_identical():
+    """The fused C xp kernels (codecs/_rans_c.py xp_split_*/
+    xp_decode_fill) must produce byte-identical payloads to the numpy
+    reference and cross-decode in both directions, across dtypes,
+    bitmap-byte boundaries (n % 8), exception densities (none / all /
+    Zipf-sparse), negative mins, >2^40 int64 bases, and non-contiguous
+    inputs."""
+    from embulk_input_parquet_hadoop_spark.codecs import _rans_c
+    from embulk_input_parquet_hadoop_spark.codecs.intcodecs import (
+        xp_decode, xp_encode)
+    if _rans_c.LIB is None:
+        pytest.skip("no C compiler available")
+    rng = np.random.default_rng(7)
+    cases = [
+        np.array([0], dtype=np.int32),
+        np.arange(7, dtype=np.int32) + 250,          # straddles 256, n<8
+        np.arange(9, dtype=np.int64) - 4,            # n%8 == 1, negatives
+        np.full(1000, 300, dtype=np.int32),          # every value escapes
+        np.full(1000, 5, dtype=np.int32),            # none escape
+        rng.integers(-40000, 25536, 100_001).astype(np.int32),
+        (rng.zipf(1.3, 65_537) % 50257).astype(np.int32),
+        (rng.zipf(1.3, 4096) % 60000).astype(np.int64) + (1 << 40),
+        rng.integers(0, 65536, 8192).astype(np.int16),
+        np.ascontiguousarray(
+            rng.integers(0, 1000, 10000).astype(np.int32)[::2]) * 0
+        + rng.integers(0, 1000, 5000).astype(np.int32),
+    ]
+    cases.append(rng.integers(0, 500, 10001).astype(np.int32)[::2])  # strided
+    for arr in cases:
+        pc, mc = xp_encode(arr)
+        lib = _rans_c.LIB
+        try:
+            _rans_c.LIB = None
+            pn, mn = xp_encode(arr)
+            dec_numpy_of_c = xp_decode(pc, mc, len(arr))
+        finally:
+            _rans_c.LIB = lib
+        dec_c_of_numpy = xp_decode(pn, mn, len(arr))
+        assert pc == pn and mc == mn
+        np.testing.assert_array_equal(dec_numpy_of_c, arr.astype(np.int64))
+        np.testing.assert_array_equal(dec_c_of_numpy, arr.astype(np.int64))
+
+
 def test_selector_picks_xp_for_heavy_headed_tokens():
     # Zipfian token ids (the north rule's dominant payload): most values
     # < 256, tail up to vocab size. xp must win over 16-bit FOR packing,
