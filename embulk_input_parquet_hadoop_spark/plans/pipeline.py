@@ -303,6 +303,14 @@ def _read_delete_positions(data_path: str, delete_files: list[str]):
             parts.append(puffin.read_dv(d["path"], d["offset"],
                                         d["length"]))
             continue
+        if dp.startswith("deltadv:"):
+            # Delta Lake deletion vector (file-stored: one ranged read
+            # of this data file's own frame; inline: decoded straight
+            # from the descriptor). Positions are path-free, like the
+            # puffin branch above.
+            from ..sources import delta_meta
+            parts.append(delta_meta.read_dv_positions(dp))
+            continue
         t = fsutil.read_parquet(dp, columns=["pos"],
                                 filters=[("file_path", "in", keys)])
         if not t.num_rows:

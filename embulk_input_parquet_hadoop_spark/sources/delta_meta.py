@@ -1,0 +1,837 @@
+"""Delta Lake table reader (no jar, no delta-spark runtime needed).
+
+Plans encode jobs over Delta tables the same way ``iceberg_meta`` does
+for Iceberg: read the table's own metadata (here ``_delta_log`` JSON
+commits + parquet checkpoints — both public formats from the Delta
+PROTOCOL.md), produce the live data-file list for a snapshot, and map
+each file's DELETION VECTOR (merge-on-read row deletes) into the
+``encode_path(row_deletes=)`` mapping so the encode task that owns a
+file filters its deleted rows out. Everything is metadata-level: no
+Spark jobs, no Delta runtime, any ``fsutil`` scheme (local, hdfs, s3,
+mock-s3).
+
+Formats implemented (all public):
+
+- Commit log: ``_delta_log/%020d.json``, one JSON action per line
+  (``add`` / ``remove`` / ``metaData`` / ``protocol`` / ``commitInfo``
+  / ``txn`` / ...). ``add.path`` is URL-encoded and
+  table-root-relative (absolute URIs allowed, as shallow clones write).
+- Checkpoints: ``_last_checkpoint`` + classic single-file
+  ``%020d.checkpoint.parquet`` and multi-part
+  ``%020d.checkpoint.%010d.%010d.parquet`` (one column struct per
+  action type, exactly one non-null per row). UUID-named v2
+  checkpoints are NOT read — a table that *requires* one refuses
+  loudly (a complete JSON chain back to version 0 is still replayed).
+- Action reconciliation: state keyed by ``(path, dv uniqueId)``;
+  ``add`` upserts, ``remove`` deletes; latest ``metaData`` /
+  ``protocol`` win. Replay = newest checkpoint ≤ target, then JSON
+  commits in version order.
+- Deletion vectors: descriptor ``{storageType, pathOrInlineDv,
+  offset, sizeInBytes, cardinality}`` with storage ``u`` (z85 uuid →
+  ``deletion_vector_<uuid>.bin`` under an optional random-prefix dir),
+  ``p`` (absolute path), ``i`` (inline z85 of the serialized bitmap).
+  On-disk frame at ``offset``: 4-byte big-endian size, magic, a 64-bit
+  Roaring bitmap in the portable serialization, 4-byte big-endian
+  CRC-32 of (magic+bitmap) — byte-identical framing to the Iceberg v3
+  ``deletion-vector-v1`` blob ``sources/puffin.py`` decodes, so the
+  bitmap decode is shared. MAGIC CAVEAT: Delta's PROTOCOL.md gives the
+  magic as little-endian int 1681511377 (bytes ``D1 D3 39 64``) while
+  the Iceberg v3 spec prints ``D1 D3 3D ED``; the two specs describe
+  the same framing and are meant to interoperate, and with no network
+  in this sandbox the discrepancy can't be re-checked — so the reader
+  accepts EITHER magic (the frame is still length- and CRC-gated, and
+  cardinality must match the decoded count) and the fixture writer
+  defaults to the Delta constant.
+- Z85 (ZeroMQ base-85, the alphabet Delta's Base85Codec uses):
+  implemented here with explicit zero-padding + true-length trim,
+  checked against the ZeroMQ spec test vector.
+
+Reference analogue: the reference plugin's scan is a Hadoop FileSystem
+glob (`ParquetHadoopInputPlugin.java:85-93`); table formats with
+delete semantics and time travel are our scan planner's concern, same
+split as ``sources/iceberg_meta.py``.
+
+Scale notes: planning cost is O(log tail + checkpoint metadata) —
+checkpoint parquet reads pull only the five action columns; per-task
+delete cost is one ranged GET of that file's own DV frame (never
+another file's), the same contract as the Iceberg DV path. Partition
+pruning happens here at planning (Delta partition values live ONLY in
+the log, not in the data files), so a pruned file is never opened.
+
+Partition-column caveat (documented, inherent to Delta's layout):
+partition column VALUES are not stored in the data files, so an encode
+over a partitioned Delta table encodes the physical file columns; the
+scan returns ``partition_values`` per file for manifest-side use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import re
+import struct
+import uuid as uuid_mod
+import zlib
+from urllib.parse import quote, unquote, urlparse
+
+import numpy as np
+
+from ..plans import fsutil
+from . import puffin
+
+# Delta PROTOCOL.md: "magic: 1681511377" as a 4-byte little-endian int.
+DELTA_DV_MAGIC = struct.pack("<I", 1681511377)  # D1 D3 39 64
+# Iceberg v3 prints the on-disk bytes directly; accepted too (header).
+_ACCEPTED_MAGICS = (DELTA_DV_MAGIC, puffin.DV_MAGIC)
+
+# How a Delta DV rides the {data_file: [delete inputs]} mapping of
+# encode_path(row_deletes=) / verify_files: prefix + json with either
+# {"path", "offset", "size", "cardinality"} (file-stored) or
+# {"inline", "size", "cardinality"} (z85 payload carried whole).
+DV_DESC_PREFIX = "deltadv:"
+
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
+    "v2Checkpoint",  # tolerated: we refuse only if a v2 checkpoint
+                     # must actually be READ (see _pick_checkpoint)
+    "columnMapping",  # tolerated iff the mode is none/absent
+}
+
+
+class DeltaMetaError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------
+# Z85 (ZeroMQ base-85) — Delta's Base85Codec alphabet
+# ---------------------------------------------------------------------
+
+_Z85_CHARS = ("0123456789abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_ORD = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85 of ``data`` zero-padded to a multiple of 4 (Delta's codec
+    pads and lets the descriptor's true byte length trim on decode)."""
+    pad = (-len(data)) % 4
+    buf = data + b"\x00" * pad
+    out = []
+    for i in range(0, len(buf), 4):
+        v = struct.unpack(">I", buf[i:i + 4])[0]
+        grp = []
+        for _ in range(5):
+            grp.append(_Z85_CHARS[v % 85])
+            v //= 85
+        out.extend(reversed(grp))
+    return "".join(out)
+
+
+def z85_decode(s: str, out_len: int | None = None) -> bytes:
+    """Inverse of :func:`z85_encode`; ``out_len`` trims the padding."""
+    if len(s) % 5:
+        raise DeltaMetaError(f"z85 string length {len(s)} not a "
+                             "multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i:i + 5]:
+            d = _Z85_ORD.get(c)
+            if d is None:
+                raise DeltaMetaError(f"invalid z85 character {c!r}")
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise DeltaMetaError("z85 group overflows 32 bits")
+        out += struct.pack(">I", v)
+    if out_len is not None:
+        if out_len > len(out) or len(out) - out_len >= 4:
+            raise DeltaMetaError(
+                f"z85 payload of {len(out)} bytes cannot trim to "
+                f"{out_len}")
+        del out[out_len:]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# Deletion-vector descriptors
+# ---------------------------------------------------------------------
+
+def dv_unique_id(dv: dict | None) -> str | None:
+    """Protocol uniqueId: storageType + pathOrInlineDv (+ @offset when
+    present) — the second half of the (path, dvId) file identity."""
+    if not dv:
+        return None
+    uid = f"{dv['storageType']}{dv['pathOrInlineDv']}"
+    if dv.get("offset") is not None:
+        uid += f"@{dv['offset']}"
+    return uid
+
+
+def _dv_abs_path(dv: dict, table_dir: str) -> str:
+    st = dv["storageType"]
+    if st == "p":
+        return dv["pathOrInlineDv"]
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        if len(enc) < 20:
+            raise DeltaMetaError(
+                f"uuid DV pathOrInlineDv shorter than 20 chars: {enc!r}")
+        prefix, tail = enc[:-20], enc[-20:]
+        u = uuid_mod.UUID(bytes=z85_decode(tail))
+        name = f"deletion_vector_{u}.bin"
+        base = table_dir.rstrip("/")
+        return f"{base}/{prefix}/{name}" if prefix else f"{base}/{name}"
+    raise DeltaMetaError(f"unknown DV storageType {st!r}")
+
+
+def dv_descriptor(dv: dict, table_dir: str) -> str:
+    """``deltadv:{json}`` entry for the row_deletes mapping."""
+    if dv["storageType"] == "i":
+        body = {"inline": dv["pathOrInlineDv"],
+                "size": int(dv["sizeInBytes"]),
+                "cardinality": int(dv["cardinality"])}
+    else:
+        off = dv.get("offset")
+        if off is None:
+            raise DeltaMetaError(
+                "file-stored DV descriptor has no offset (storageType "
+                f"{dv['storageType']!r})")
+        body = {"path": _dv_abs_path(dv, table_dir),
+                "offset": int(off),
+                "size": int(dv["sizeInBytes"]),
+                "cardinality": int(dv["cardinality"])}
+    return DV_DESC_PREFIX + json.dumps(body, sort_keys=True)
+
+
+def parse_dv_desc(desc: str) -> dict:
+    return json.loads(desc[len(DV_DESC_PREFIX):])
+
+
+def _decode_dv_data(data: bytes) -> np.ndarray:
+    """Sorted int64 positions from magic+portable-roaring64 bytes."""
+    if len(data) < 4 or data[:4] not in _ACCEPTED_MAGICS:
+        got = data[:4].hex() if len(data) >= 4 else data.hex()
+        raise DeltaMetaError(
+            f"bad deletion-vector magic {got} (accepted: "
+            + ", ".join(m.hex() for m in _ACCEPTED_MAGICS) + ")")
+    vals, end = puffin.roaring64_read(memoryview(data), 4)
+    if end != len(data):
+        raise DeltaMetaError(
+            f"deletion-vector bitmap ends at byte {end}, payload has "
+            f"{len(data)} — trailing garbage")
+    return vals
+
+
+def read_dv_positions(desc: str) -> np.ndarray:
+    """Sorted int64 deleted positions of one ``deltadv:`` descriptor.
+
+    Runs inside the encode task that owns the data file: file-stored
+    DVs cost one ranged read of [offset, offset+4+size+4) — big-endian
+    size prefix, payload, big-endian CRC-32 of the payload — inline
+    ones decode straight from the descriptor. Size, CRC and the
+    descriptor's cardinality are all enforced; a truncated or
+    bit-rotted vector raises instead of silently resurrecting rows.
+    """
+    d = parse_dv_desc(desc)
+    if "inline" in d:
+        data = z85_decode(d["inline"], out_len=d["size"])
+    else:
+        blob = fsutil.read_bytes_range(d["path"], d["offset"],
+                                       4 + d["size"] + 4)
+        if len(blob) != 4 + d["size"] + 4:
+            raise DeltaMetaError(
+                f"DV frame truncated: wanted {4 + d['size'] + 4} bytes "
+                f"at offset {d['offset']} of {d['path']}, got "
+                f"{len(blob)}")
+        (stored_size,) = struct.unpack(">I", blob[:4])
+        if stored_size != d["size"]:
+            raise DeltaMetaError(
+                f"DV frame size prefix {stored_size} != descriptor "
+                f"sizeInBytes {d['size']} ({d['path']})")
+        data = blob[4:4 + d["size"]]
+        (crc,) = struct.unpack(">I", blob[4 + d["size"]:])
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise DeltaMetaError(f"DV CRC mismatch in {d['path']} at "
+                                 f"offset {d['offset']}")
+    vals = _decode_dv_data(data)
+    if len(vals) != d["cardinality"]:
+        raise DeltaMetaError(
+            f"DV cardinality mismatch: descriptor says "
+            f"{d['cardinality']}, bitmap holds {len(vals)}")
+    return vals
+
+
+# ---------------------------------------------------------------------
+# Log listing
+# ---------------------------------------------------------------------
+
+_RE_JSON = re.compile(r"^(\d{20})\.json$")
+_RE_CKPT = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_RE_CKPT_PART = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+_RE_CKPT_V2 = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(json|parquet)$")
+
+
+def _log_dir(table_dir: str) -> str:
+    return f"{table_dir.rstrip('/')}/_delta_log"
+
+
+def _list_log(table_dir: str) -> dict:
+    log = _log_dir(table_dir)
+    names = fsutil.listdir(log)
+    if not names:
+        raise DeltaMetaError(f"no _delta_log under {table_dir}")
+    jsons: set[int] = set()
+    ckpts: dict[int, list[str]] = {}
+    v2_only: set[int] = set()
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
+    for n in names:
+        m = _RE_JSON.match(n)
+        if m:
+            jsons.add(int(m.group(1)))
+            continue
+        m = _RE_CKPT.match(n)
+        if m:
+            ckpts[int(m.group(1))] = [f"{log}/{n}"]
+            continue
+        m = _RE_CKPT_PART.match(n)
+        if m:
+            v, part, total = int(m.group(1)), int(m.group(2)), int(
+                m.group(3))
+            parts.setdefault(v, {})[part] = (total, f"{log}/{n}")
+            continue
+        m = _RE_CKPT_V2.match(n)
+        if m:
+            v2_only.add(int(m.group(1)))
+    for v, pmap in parts.items():
+        totals = {t for t, _ in pmap.values()}
+        if len(totals) == 1 and set(pmap) == set(
+                range(1, next(iter(totals)) + 1)):
+            ckpts.setdefault(v, [p for _, p in sorted(
+                (k, pth) for k, (_, pth) in pmap.items())])
+    v2_only -= set(ckpts)
+    return {"jsons": jsons, "checkpoints": ckpts, "v2_only": v2_only}
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """Versions readable from the current log (a version is readable
+    iff some readable checkpoint ≤ v plus contiguous JSON to v exists,
+    or JSON is contiguous from 0)."""
+    lst = _list_log(table_dir)
+    out = []
+    hi = max(lst["jsons"] | set(lst["checkpoints"]) | lst["v2_only"],
+             default=-1)
+    for v in range(hi + 1):
+        try:
+            _pick_checkpoint(lst, v)
+            out.append(v)
+        except DeltaMetaError:
+            pass
+    return out
+
+
+def latest_version(table_dir: str) -> int:
+    lst = _list_log(table_dir)
+    vs = lst["jsons"] | set(lst["checkpoints"]) | lst["v2_only"]
+    if not vs:
+        raise DeltaMetaError(f"empty _delta_log under {table_dir}")
+    return max(vs)
+
+
+def _pick_checkpoint(lst: dict, version: int) -> tuple[int | None,
+                                                       list[str]]:
+    """(checkpoint version | None, checkpoint files) such that JSON
+    commits (ckpt, version] are all present; None = replay from 0."""
+    usable = [v for v in lst["checkpoints"] if v <= version]
+    for cv in sorted(usable, reverse=True):
+        if all(j in lst["jsons"] for j in range(cv + 1, version + 1)):
+            return cv, lst["checkpoints"][cv]
+    if all(j in lst["jsons"] for j in range(0, version + 1)):
+        return None, []
+    blockers = sorted(v for v in lst["v2_only"] if v <= version)
+    if blockers:
+        raise DeltaMetaError(
+            f"version {version} is only reachable through a v2 "
+            f"(uuid-named) checkpoint at version {blockers[-1]}; v2 "
+            "checkpoints (sidecar layout) are not supported — keep a "
+            "classic checkpoint or the full JSON chain")
+    raise DeltaMetaError(
+        f"cannot reconstruct version {version}: missing JSON commits "
+        "and no usable classic checkpoint ≤ it")
+
+
+# ---------------------------------------------------------------------
+# Action reading + replay
+# ---------------------------------------------------------------------
+
+def _read_json_commit(path: str) -> list[dict]:
+    out = []
+    for line in fsutil.read_bytes(path).decode().splitlines():
+        line = line.strip()
+        if line:
+            out.append(json.loads(line))
+    return out
+
+
+def _as_map(v) -> dict:
+    """pyarrow map → dict (to_pylist yields [(k, v), ...])."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+def _read_checkpoint(files: list[str]) -> list[dict]:
+    """Checkpoint parquet rows → the same action dicts JSON commits
+    carry (one non-null struct per row; extra columns ignored)."""
+    actions: list[dict] = []
+    for f in files:
+        cols = [c for c in ("add", "remove", "metaData", "protocol")
+                if c in fsutil.parquet_file(f).schema_arrow.names]
+        tab = fsutil.read_parquet(f, columns=cols)
+        data = {c: tab.column(c).to_pylist() for c in cols}
+        for i in range(tab.num_rows):
+            for c in cols:
+                v = data[c][i]
+                if v is None:
+                    continue
+                if c in ("add", "remove") and v.get(
+                        "partitionValues") is not None:
+                    v = dict(v)
+                    v["partitionValues"] = _as_map(v["partitionValues"])
+                if c == "metaData":
+                    v = dict(v)
+                    v["configuration"] = _as_map(v.get("configuration"))
+                actions.append({c: v})
+    return actions
+
+
+def _file_key(action: dict) -> tuple[str, str | None]:
+    return (action["path"], dv_unique_id(action.get("deletionVector")))
+
+
+def _replay(table_dir: str, version: int | None) -> dict:
+    lst = _list_log(table_dir)
+    if version is None:
+        version = max(lst["jsons"] | set(lst["checkpoints"])
+                      | lst["v2_only"], default=-1)
+        if version < 0:
+            raise DeltaMetaError(f"empty _delta_log under {table_dir}")
+    cv, cfiles = _pick_checkpoint(lst, version)
+    adds: dict[tuple[str, str | None], dict] = {}
+    meta = None
+    protocol = None
+
+    def _apply(actions: list[dict]):
+        nonlocal meta, protocol
+        for a in actions:
+            if "add" in a and a["add"] is not None:
+                adds[_file_key(a["add"])] = a["add"]
+            elif "remove" in a and a["remove"] is not None:
+                adds.pop(_file_key(a["remove"]), None)
+            elif "metaData" in a and a["metaData"] is not None:
+                meta = a["metaData"]
+            elif "protocol" in a and a["protocol"] is not None:
+                protocol = a["protocol"]
+
+    if cv is not None:
+        _apply(_read_checkpoint(cfiles))
+        start = cv + 1
+    else:
+        start = 0
+    log = _log_dir(table_dir)
+    for v in range(start, version + 1):
+        _apply(_read_json_commit(f"{log}/{v:020d}.json"))
+    if protocol is None or meta is None:
+        raise DeltaMetaError(
+            f"log replay to version {version} found no "
+            f"{'protocol' if protocol is None else 'metaData'} action")
+    _check_protocol(protocol, meta)
+    # One data file must carry at most one DV: two live (path, dvId)
+    # entries sharing a path means a corrupt log (the writer forgot the
+    # remove of the superseded entry).
+    by_path: dict[str, int] = {}
+    for p, _ in adds:
+        by_path[p] = by_path.get(p, 0) + 1
+    dupes = [p for p, c in by_path.items() if c > 1]
+    if dupes:
+        raise DeltaMetaError(
+            f"corrupt log: {len(dupes)} path(s) live under multiple "
+            f"deletion-vector identities, e.g. {dupes[0]!r}")
+    return {"version": version, "adds": adds, "metaData": meta,
+            "protocol": protocol}
+
+
+def _check_protocol(protocol: dict, meta: dict) -> None:
+    mrv = int(protocol.get("minReaderVersion", 1))
+    if mrv > 3:
+        raise DeltaMetaError(f"minReaderVersion {mrv} > 3 unsupported")
+    feats = set(protocol.get("readerFeatures") or [])
+    unknown = feats - _SUPPORTED_READER_FEATURES
+    if unknown:
+        raise DeltaMetaError(
+            "unsupported readerFeatures (protocol requires refusing): "
+            + ", ".join(sorted(unknown)))
+    cfg = _as_map(meta.get("configuration"))
+    cm = cfg.get("delta.columnMapping.mode", "none")
+    if (mrv >= 2 or "columnMapping" in feats) and cm not in (
+            "none", "", None):
+        raise DeltaMetaError(
+            f"column mapping mode {cm!r} unsupported: physical parquet "
+            "column names differ from the logical schema — read the "
+            "table through a Delta-aware engine or rewrite it")
+
+
+# ---------------------------------------------------------------------
+# Scan planning
+# ---------------------------------------------------------------------
+
+def _resolve_path(table_dir: str, raw: str) -> str:
+    p = unquote(raw)
+    if p.startswith("/") or urlparse(p).scheme:
+        return p
+    return f"{table_dir.rstrip('/')}/{p}"
+
+
+def _part_match(pv: dict, flt: dict) -> bool:
+    for k, want in flt.items():
+        got = pv.get(k)
+        if want is None:
+            if got is not None:
+                return False
+        else:
+            s = ("true" if want is True else
+                 "false" if want is False else str(want))
+            if got != s:
+                return False
+    return True
+
+
+def snapshot_scan(table_dir: str, version: int | None = None,
+                  partition_filter: dict | None = None) -> dict:
+    """Scan plan for one snapshot: ``{"version", "data_files",
+    "row_deletes" ({abs data path: ["deltadv:{json}"]}),
+    "partition_values" ({abs data path: {col: str|None}}),
+    "partition_columns", "schema_string"}``.
+
+    Feed ``data_files``/``row_deletes`` to ``encode_path(input_files=,
+    row_deletes=)``; deletion vectors apply exactly like Iceberg
+    position deletes (the shared per-task filtered read).
+    ``partition_filter`` ({col: value}) prunes at planning against the
+    log's string-serialized partition values (bools serialize
+    true/false, None matches a null partition) — Delta data files do
+    NOT contain partition columns, so pruning here is the only layer.
+    """
+    st = _replay(table_dir, version)
+    pcols = st["metaData"].get("partitionColumns") or []
+    files, deletes, pvals = [], {}, {}
+    for (raw_path, _), add in sorted(st["adds"].items()):
+        pv = _as_map(add.get("partitionValues"))
+        if partition_filter and not _part_match(pv, partition_filter):
+            continue
+        ap = _resolve_path(table_dir, raw_path)
+        files.append(ap)
+        if pcols:
+            pvals[ap] = {c: pv.get(c) for c in pcols}
+        dv = add.get("deletionVector")
+        if dv:
+            deletes[ap] = [dv_descriptor(dv, table_dir)]
+    return {"version": st["version"], "data_files": files,
+            "row_deletes": deletes, "partition_values": pvals,
+            "partition_columns": list(pcols),
+            "schema_string": st["metaData"].get("schemaString")}
+
+
+def snapshot_scan_diff(table_dir: str, from_version: int,
+                       to_version: int | None = None,
+                       partition_filter: dict | None = None) -> dict:
+    """Incremental scan: data files live at ``to`` but not at ``from``,
+    with ``to``'s DV mapping restricted to them — the CDC ingest unit,
+    same contract as ``iceberg_meta.snapshot_scan_diff``.
+
+    Refuses when ``to`` changes the effective rows of a file already
+    live at ``from``: a file removed (rewrite/compaction/COW delete),
+    or its deletion-vector identity changed (new deletes arriving, or
+    rows resurrected) — an append-only encode tree cannot retract rows
+    it already committed. Returns ``row_deletes_full`` /
+    ``partition_values_full`` over ALL live files for
+    ``verify_files``-style full-tree checks (the restricted mappings
+    would false-fail earlier waves' files).
+    """
+    a = snapshot_scan(table_dir, from_version, partition_filter)
+    b = snapshot_scan(table_dir, to_version, partition_filter)
+    a_set = set(a["data_files"])
+    b_set = set(b["data_files"])
+    removed = sorted(a_set - b_set)
+    if removed:
+        raise DeltaMetaError(
+            f"{len(removed)} data file(s) live at version "
+            f"{a['version']} are gone at {b['version']} (e.g. "
+            f"{removed[0]!r}) — rewrites/compaction/COW deletes cannot "
+            "be appended incrementally; run a fresh full encode")
+    changed = sorted(
+        p for p in (a_set & b_set)
+        if (a["row_deletes"].get(p) or []) != (b["row_deletes"].get(p)
+                                               or []))
+    if changed:
+        raise DeltaMetaError(
+            f"deletion vectors changed on {len(changed)} already-"
+            f"encoded file(s) between versions {a['version']} and "
+            f"{b['version']} (e.g. {changed[0]!r}) — committed chunks "
+            "would serve retracted rows; run a fresh full encode")
+    added = [p for p in b["data_files"] if p not in a_set]
+    return {"from_version": a["version"], "version": b["version"],
+            "data_files": added,
+            "row_deletes": {p: v for p, v in b["row_deletes"].items()
+                            if p in set(added)},
+            "partition_values": {p: v for p, v in
+                                 b["partition_values"].items()
+                                 if p in set(added)},
+            "row_deletes_full": b["row_deletes"],
+            "partition_values_full": b["partition_values"],
+            "partition_columns": b["partition_columns"],
+            "schema_string": b["schema_string"]}
+
+
+# ---------------------------------------------------------------------
+# Fixture writer (tests only — spec-shaped layouts, no Delta runtime)
+# ---------------------------------------------------------------------
+
+def _schema_string_of(arrow_schema) -> str:
+    """Minimal Delta schemaString (logical JSON struct) for the fixture
+    writer — primitive name mapping only; tests' tables are flat."""
+    prim = {"int32": "integer", "int64": "long", "float": "float",
+            "double": "double", "string": "string", "large_string":
+            "string", "bool": "boolean", "date32[day]": "date",
+            "binary": "binary"}
+
+    def field(f):
+        t = prim.get(str(f.type), str(f.type))
+        return {"name": f.name, "type": t, "nullable": True,
+                "metadata": {}}
+
+    return json.dumps({"type": "struct",
+                       "fields": [field(f) for f in arrow_schema]})
+
+
+def write_delta_fixture(table_dir: str, tables: list,
+                        commits: list[dict] | None = None,
+                        partition_columns: list[str] | None = None,
+                        partition_values: dict[int, dict] | None = None,
+                        file_names: list[str] | None = None,
+                        checkpoint_at: int | None = None,
+                        checkpoint_parts: int = 1,
+                        drop_json_upto: int | None = None,
+                        dv_storage: str = "u",
+                        dv_magic: bytes = DELTA_DV_MAGIC,
+                        min_reader: int | None = None,
+                        reader_features: list[str] | None = None,
+                        configuration: dict | None = None) -> str:
+    """Spec-shaped Delta table over ``tables`` (pyarrow Tables written
+    as the data files). ``commits``: list of per-version dicts —
+    ``{"add": [idx, ...]}``, ``{"remove": [idx, ...]}``, ``{"dv": {idx:
+    [deleted positions]}}`` (emits the protocol's remove-old + add-new
+    pair; empty list = remove the DV) — defaulting to one commit adding
+    every table. ``dv_storage``: ``u`` (uuid-named .bin with a 2-char
+    prefix dir), ``p`` (absolute path), or ``i`` (inline z85).
+    ``checkpoint_at`` writes a classic checkpoint (split into
+    ``checkpoint_parts`` files when >1) + ``_last_checkpoint``;
+    ``drop_json_upto`` then deletes JSON commits ≤ that version to
+    prove replay really uses it. ``partition_values``: {table idx:
+    {col: str|None}}. Everything goes through ``fsutil`` so the
+    fixture works on mock-s3 too."""
+    import pyarrow.parquet as pq
+    import io as _io
+
+    base = table_dir.rstrip("/")
+    fsutil.makedirs_any(f"{base}/_delta_log")
+    names = file_names or [f"part-{i:05d}.parquet"
+                           for i in range(len(tables))]
+    abs_paths = []
+    for t, n in zip(tables, names):
+        sink = _io.BytesIO()
+        pq.write_table(t, sink)
+        fsutil.put_bytes(f"{base}/{n}", sink.getvalue())
+        abs_paths.append(f"{base}/{n}")
+
+    if commits is None:
+        commits = [{"add": list(range(len(tables)))}]
+    if min_reader is None:
+        min_reader = 3 if any("dv" in c for c in commits) else 1
+    if reader_features is None and min_reader >= 3:
+        reader_features = ["deletionVectors"]
+
+    schema_string = _schema_string_of(tables[0].schema)
+    meta = {"id": "00000000-0000-0000-0000-00000000beef",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": partition_columns or [],
+            "configuration": configuration or {},
+            "createdTime": 0}
+    proto = {"minReaderVersion": min_reader,
+             "minWriterVersion": 7 if min_reader >= 3 else 2}
+    if min_reader >= 3:
+        proto["readerFeatures"] = reader_features or []
+        proto["writerFeatures"] = list(reader_features or [])
+
+    def _pv(idx: int) -> dict:
+        return (partition_values or {}).get(idx, {})
+
+    def _add_action(idx: int, dv: dict | None) -> dict:
+        a = {"path": quote(names[idx]), "partitionValues": _pv(idx),
+             "size": fsutil.file_size(abs_paths[idx]),
+             "modificationTime": 0, "dataChange": True}
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    def _make_dv(idx: int, positions: list[int]) -> dict:
+        body = dv_magic + puffin.roaring64_write(
+            np.asarray(sorted(positions), dtype=np.int64))
+        if dv_storage == "i":
+            return {"storageType": "i",
+                    "pathOrInlineDv": z85_encode(body),
+                    "sizeInBytes": len(body),
+                    "cardinality": len(positions)}
+        frame = (struct.pack(">I", len(body)) + body
+                 + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+        u = uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f"dv-{idx}-"
+                           + ",".join(map(str, positions)))
+        blob = b"\x01" + frame  # format-version byte, then the frame
+        if dv_storage == "u":
+            prefix = "ab"
+            fsutil.makedirs_any(f"{base}/{prefix}")
+            fsutil.put_bytes(
+                f"{base}/{prefix}/deletion_vector_{u}.bin", blob)
+            return {"storageType": "u",
+                    "pathOrInlineDv": prefix + z85_encode(u.bytes),
+                    "offset": 1, "sizeInBytes": len(body),
+                    "cardinality": len(positions)}
+        p = f"{base}/deletion_vector_{u}.bin"
+        fsutil.put_bytes(p, blob)
+        return {"storageType": "p", "pathOrInlineDv": p, "offset": 1,
+                "sizeInBytes": len(body),
+                "cardinality": len(positions)}
+
+    live_dv: dict[int, dict | None] = {}
+    all_versions: list[list[dict]] = []
+    for v, c in enumerate(commits):
+        actions: list[dict] = []
+        if v == 0:
+            actions.append({"protocol": proto})
+            actions.append({"metaData": meta})
+        for idx in c.get("remove", []):
+            r = {"path": quote(names[idx]), "dataChange": True,
+                 "deletionTimestamp": 0}
+            if live_dv.get(idx):
+                r["deletionVector"] = live_dv[idx]
+            actions.append({"remove": r})
+            live_dv.pop(idx, None)
+        for idx, positions in c.get("dv", {}).items():
+            old = live_dv.get(idx)
+            r = {"path": quote(names[idx]), "dataChange": False,
+                 "deletionTimestamp": 0}
+            if old:
+                r["deletionVector"] = old
+            actions.append({"remove": r})
+            new = _make_dv(idx, positions) if positions else None
+            live_dv[idx] = new
+            actions.append(_add_action(idx, new))
+        for idx in c.get("add", []):
+            live_dv.setdefault(idx, None)
+            actions.append(_add_action(idx, live_dv[idx]))
+        all_versions.append(actions)
+        fsutil.put_bytes(
+            f"{base}/_delta_log/{v:020d}.json",
+            ("\n".join(json.dumps(a) for a in actions) + "\n").encode())
+
+    if checkpoint_at is not None:
+        _write_checkpoint(base, all_versions, checkpoint_at,
+                          checkpoint_parts)
+    if drop_json_upto is not None:
+        for v in range(drop_json_upto + 1):
+            fsutil.delete_quiet(f"{base}/_delta_log/{v:020d}.json")
+    return table_dir
+
+
+def _write_checkpoint(base: str, all_versions: list[list[dict]],
+                      version: int, parts: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import io as _io
+
+    adds: dict[tuple, dict] = {}
+    meta = proto = None
+    for v in range(version + 1):
+        for a in all_versions[v]:
+            if "add" in a:
+                adds[_file_key(a["add"])] = a["add"]
+            elif "remove" in a:
+                adds.pop(_file_key(a["remove"]), None)
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "protocol" in a:
+                proto = a["protocol"]
+
+    dv_t = pa.struct([("storageType", pa.string()),
+                      ("pathOrInlineDv", pa.string()),
+                      ("offset", pa.int32()),
+                      ("sizeInBytes", pa.int32()),
+                      ("cardinality", pa.int64())])
+    add_t = pa.struct([("path", pa.string()),
+                       ("partitionValues",
+                        pa.map_(pa.string(), pa.string())),
+                       ("size", pa.int64()),
+                       ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_()),
+                       ("deletionVector", dv_t)])
+    meta_t = pa.struct([("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration",
+                         pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64())])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32()),
+                         ("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))])
+    schema = pa.schema([("add", add_t), ("metaData", meta_t),
+                        ("protocol", proto_t)])
+
+    rows = [{"add": None, "metaData":
+             {k: meta[k] for k in ("id", "schemaString",
+                                   "partitionColumns", "configuration",
+                                   "createdTime")},
+             "protocol": None},
+            {"add": None, "metaData": None, "protocol":
+             {"minReaderVersion": proto["minReaderVersion"],
+              "minWriterVersion": proto["minWriterVersion"],
+              "readerFeatures": proto.get("readerFeatures"),
+              "writerFeatures": proto.get("writerFeatures")}}]
+    for (_, _), add in sorted(adds.items()):
+        a = {k: add.get(k) for k in ("path", "partitionValues", "size",
+                                     "modificationTime", "dataChange",
+                                     "deletionVector")}
+        rows.append({"add": a, "metaData": None, "protocol": None})
+
+    chunks = [rows[i::parts] for i in range(parts)] if parts > 1 \
+        else [rows]
+    log = f"{base}/_delta_log"
+    written = []
+    for i, chunk in enumerate(chunks):
+        tab = pa.Table.from_pylist(chunk, schema=schema)
+        sink = _io.BytesIO()
+        pq.write_table(tab, sink)
+        name = (f"{version:020d}.checkpoint.parquet" if parts == 1 else
+                f"{version:020d}.checkpoint.{i + 1:010d}."
+                f"{parts:010d}.parquet")
+        fsutil.put_bytes(f"{log}/{name}", sink.getvalue())
+        written.append(name)
+    last = {"version": version, "size": len(rows)}
+    if parts > 1:
+        last["parts"] = parts
+    fsutil.put_bytes(f"{log}/_last_checkpoint",
+                     json.dumps(last).encode())

@@ -77,10 +77,25 @@ def main() -> int:
                         "resolve the current snapshot's data files from "
                         "the table metadata (pure-Python avro reader, no "
                         "runtime jar) and encode that frozen file list")
+    p.add_argument("--delta", action="store_true",
+                   help="treat --input as a Delta Lake table directory: "
+                        "replay _delta_log (JSON commits + classic "
+                        "checkpoints, no Delta runtime) for the current "
+                        "version's data files; deletion vectors apply "
+                        "inside the encode tasks")
+    p.add_argument("--at-version", type=int, default=None, metavar="V",
+                   help="with --delta: time-travel to table version V "
+                        "instead of the latest")
+    p.add_argument("--since-version", type=int, default=None,
+                   metavar="V",
+                   help="with --delta: encode only data files added "
+                        "after version V (live-set diff vs --at-version "
+                        "or latest); implies --append")
     p.add_argument("--partition", action="append", default=None,
                    metavar="FIELD=VALUE",
-                   help="with --iceberg: metadata-level partition "
-                        "pruning; repeatable, fields AND together")
+                   help="with --iceberg/--delta: metadata-level "
+                        "partition pruning; repeatable, fields AND "
+                        "together")
     p.add_argument("--append", action="store_true",
                    help="incremental mode: subtract source files already "
                         "in the manifest lineage, encode only new ones "
@@ -157,10 +172,37 @@ def main() -> int:
             eq_deletes = scan.get("equality_deletes") or None
             verify_row_deletes = row_deletes
             verify_eq_deletes = eq_deletes
+    elif args.delta:
+        from embulk_input_parquet_hadoop_spark.sources import delta_meta
+        pf = None
+        if args.partition:
+            pf = dict(kv.split("=", 1) for kv in args.partition)
+        if args.since_version is not None:
+            # same incremental contract as --iceberg --since-snapshot:
+            # diff refuses removals / changed deletion vectors on
+            # already-encoded files; verify replays the FULL mapping
+            args.append = True
+            scan = delta_meta.snapshot_scan_diff(
+                args.input, args.since_version,
+                to_version=args.at_version, partition_filter=pf)
+            input_files = scan["data_files"]
+            row_deletes = scan["row_deletes"] or None
+            verify_row_deletes = scan["row_deletes_full"] or None
+        else:
+            scan = delta_meta.snapshot_scan(
+                args.input, version=args.at_version,
+                partition_filter=pf)
+            input_files = scan["data_files"]
+            row_deletes = scan["row_deletes"] or None
+            verify_row_deletes = row_deletes
     elif args.partition:
-        raise SystemExit("--partition requires --iceberg")
+        raise SystemExit("--partition requires --iceberg or --delta")
     elif args.since_snapshot is not None:
         raise SystemExit("--since-snapshot requires --iceberg")
+    elif args.since_version is not None or args.at_version is not None:
+        raise SystemExit("--since-version/--at-version require --delta")
+    if args.iceberg and args.delta:
+        raise SystemExit("--iceberg and --delta are mutually exclusive")
     vacuum_result = None
     if args.vacuum:
         from embulk_input_parquet_hadoop_spark.plans import fsutil

@@ -1,0 +1,428 @@
+"""Delta Lake source: log replay, checkpoints, deletion vectors, and
+the encode integration (``sources/delta_meta.py``).
+
+All fixtures are spec-shaped ``_delta_log`` layouts written by
+``write_delta_fixture`` — JSON commits, classic single-/multi-part
+parquet checkpoints, and real DV ``.bin`` files — no Delta runtime
+anywhere. Mirrors the Iceberg coverage in ``test_sources.py``."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from embulk_input_parquet_hadoop_spark.sources import delta_meta as dm
+from embulk_input_parquet_hadoop_spark.sources import puffin
+
+
+def _tabs():
+    t1 = pa.table({"doc_id": ["a", "b", "c", "d"],
+                   "n": pa.array([1, 2, 3, 4], pa.int32())})
+    t2 = pa.table({"doc_id": ["e", "f"],
+                   "n": pa.array([5, 6], pa.int32())})
+    return t1, t2
+
+
+# ---------------------------------------------------------------------
+# Z85
+# ---------------------------------------------------------------------
+
+def test_z85_spec_vector():
+    # ZeroMQ RFC 32's reference vector.
+    assert dm.z85_encode(bytes.fromhex("864FD26FB559F75B")) == \
+        "HelloWorld"
+    assert dm.z85_decode("HelloWorld") == bytes.fromhex(
+        "864FD26FB559F75B")
+
+
+def test_z85_padding_roundtrip():
+    for n in range(0, 23):
+        data = bytes((i * 37 + 11) % 256 for i in range(n))
+        enc = dm.z85_encode(data)
+        assert len(enc) % 5 == 0
+        assert dm.z85_decode(enc, out_len=n) == data
+
+
+def test_z85_rejects_garbage():
+    with pytest.raises(dm.DeltaMetaError, match="multiple of 5"):
+        dm.z85_decode("abc")
+    with pytest.raises(dm.DeltaMetaError, match="invalid z85"):
+        dm.z85_decode('ab"de')
+    with pytest.raises(dm.DeltaMetaError, match="cannot trim"):
+        dm.z85_decode("HelloWorld", out_len=3)  # would drop 5 bytes
+
+
+# ---------------------------------------------------------------------
+# Log replay / scan
+# ---------------------------------------------------------------------
+
+def test_scan_add_dv_remove_and_time_travel(tmp_path):
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1, t2], commits=[
+        {"add": [0, 1]}, {"dv": {0: [1, 3]}}, {"remove": [1]}])
+    s = dm.snapshot_scan(d)
+    assert s["version"] == 2
+    assert [os.path.basename(f) for f in s["data_files"]] == \
+        ["part-00000.parquet"]
+    (desc,) = s["row_deletes"][s["data_files"][0]]
+    assert list(dm.read_dv_positions(desc)) == [1, 3]
+    # time travel
+    s0 = dm.snapshot_scan(d, version=0)
+    assert len(s0["data_files"]) == 2 and not s0["row_deletes"]
+    s1 = dm.snapshot_scan(d, version=1)
+    assert len(s1["data_files"]) == 2 and len(s1["row_deletes"]) == 1
+    assert dm.snapshot_versions(d) == [0, 1, 2]
+    assert dm.latest_version(d) == 2
+
+
+def test_dv_replacement_uses_unique_id_keys(tmp_path):
+    """Upserting a file's DV emits remove(old id) + add(new id); replay
+    keyed by (path, dvId) must keep exactly the newest identity."""
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], commits=[
+        {"add": [0]}, {"dv": {0: [1]}}, {"dv": {0: [1, 2]}}])
+    s = dm.snapshot_scan(d)
+    assert len(s["data_files"]) == 1
+    (desc,) = s["row_deletes"][s["data_files"][0]]
+    assert list(dm.read_dv_positions(desc)) == [1, 2]
+    # ...and clearing the DV (empty positions) leaves a plain file
+    dm.write_delta_fixture(str(tmp_path / "t2"), [t1], commits=[
+        {"add": [0]}, {"dv": {0: [1]}}, {"dv": {0: []}}])
+    s2 = dm.snapshot_scan(str(tmp_path / "t2"))
+    assert not s2["row_deletes"]
+
+
+def test_two_live_dv_identities_refuse(tmp_path):
+    """A log where one path stays live under two DV identities (writer
+    forgot the remove) is corrupt — refuse, never pick silently."""
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], commits=[
+        {"add": [0]}, {"dv": {0: [1]}}])
+    # hand-append a commit that re-adds with a DIFFERENT dv id and no
+    # remove of the previous identity
+    log = os.path.join(d, "_delta_log")
+    prev = [json.loads(ln) for ln in
+            open(os.path.join(log, f"{1:020d}.json"))]
+    add = next(a for a in prev if "add" in a)["add"]
+    bad = dict(add)
+    bad["deletionVector"] = dict(add["deletionVector"],
+                                 offset=add["deletionVector"]["offset"]
+                                 + 1)
+    open(os.path.join(log, f"{2:020d}.json"), "w").write(
+        json.dumps({"add": bad}) + "\n")
+    with pytest.raises(dm.DeltaMetaError, match="multiple"):
+        dm.snapshot_scan(d)
+
+
+def test_url_encoded_paths(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1],
+                           file_names=["part 00 %x=1.parquet"])
+    raw = open(os.path.join(d, "_delta_log", f"{0:020d}.json")
+               ).read()
+    assert "part%2000%20%25x%3D1.parquet" in raw  # stored URL-encoded
+    s = dm.snapshot_scan(d)
+    assert os.path.basename(s["data_files"][0]) == \
+        "part 00 %x=1.parquet"
+    assert pq.read_table(s["data_files"][0]).num_rows == 4
+
+
+def test_partition_pruning_and_values(tmp_path):
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(
+        d, [t1, t2], partition_columns=["src", "flag"],
+        partition_values={0: {"src": "web", "flag": "true"},
+                          1: {"src": "book", "flag": None}})
+    s = dm.snapshot_scan(d, partition_filter={"src": "web"})
+    assert len(s["data_files"]) == 1
+    assert s["partition_values"][s["data_files"][0]] == \
+        {"src": "web", "flag": "true"}
+    # bool serialization + null matching
+    assert len(dm.snapshot_scan(
+        d, partition_filter={"flag": True})["data_files"]) == 1
+    assert len(dm.snapshot_scan(
+        d, partition_filter={"flag": None})["data_files"]) == 1
+    assert dm.snapshot_scan(
+        d, partition_filter={"src": "nope"})["data_files"] == []
+
+
+# ---------------------------------------------------------------------
+# Checkpoints
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_checkpoint_replay(tmp_path, parts):
+    t1, t2 = _tabs()
+    d = str(tmp_path / f"t{parts}")
+    dm.write_delta_fixture(
+        d, [t1, t2],
+        commits=[{"add": [0]}, {"dv": {0: [2]}}, {"add": [1]}],
+        checkpoint_at=1, checkpoint_parts=parts, drop_json_upto=1)
+    s = dm.snapshot_scan(d)
+    assert s["version"] == 2 and len(s["data_files"]) == 2
+    k = next(f for f in s["data_files"]
+             if f.endswith("part-00000.parquet"))
+    assert list(dm.read_dv_positions(s["row_deletes"][k][0])) == [2]
+    # versions below the checkpoint are no longer reconstructible
+    with pytest.raises(dm.DeltaMetaError, match="cannot reconstruct"):
+        dm.snapshot_scan(d, version=0)
+    assert dm.snapshot_versions(d) == [1, 2]
+
+
+def test_checkpoint_state_equals_json_replay(tmp_path):
+    """Same table with and without checkpoint compaction must scan
+    identically (checkpoint is a pure materialization)."""
+    t1, t2 = _tabs()
+    commits = [{"add": [0, 1]}, {"dv": {1: [0]}}, {"remove": [0]}]
+    d1 = str(tmp_path / "json_only")
+    d2 = str(tmp_path / "ckpt")
+    dm.write_delta_fixture(d1, [t1, t2], commits=commits)
+    dm.write_delta_fixture(d2, [t1, t2], commits=commits,
+                           checkpoint_at=2, drop_json_upto=2)
+    s1, s2 = dm.snapshot_scan(d1), dm.snapshot_scan(d2)
+    assert [os.path.basename(f) for f in s1["data_files"]] == \
+        [os.path.basename(f) for f in s2["data_files"]]
+    k1, = s1["row_deletes"]
+    k2, = s2["row_deletes"]
+    assert list(dm.read_dv_positions(s1["row_deletes"][k1][0])) == \
+        list(dm.read_dv_positions(s2["row_deletes"][k2][0])) == [0]
+
+
+def test_v2_checkpoint_refused_only_when_required(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], commits=[{"add": [0]}, {}])
+    # a uuid-named v2 checkpoint at version 1
+    v2 = os.path.join(d, "_delta_log",
+                      f"{1:020d}.checkpoint."
+                      "0f0f0f0f-0000-0000-0000-000000000000.parquet")
+    open(v2, "wb").write(b"not really parquet")
+    # full JSON chain exists -> replay ignores the v2 checkpoint
+    assert len(dm.snapshot_scan(d)["data_files"]) == 1
+    # drop the JSON chain -> the v2 checkpoint becomes required: refuse
+    os.remove(os.path.join(d, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(dm.DeltaMetaError, match="v2"):
+        dm.snapshot_scan(d)
+
+
+# ---------------------------------------------------------------------
+# Protocol gating
+# ---------------------------------------------------------------------
+
+def test_unknown_reader_feature_refuses(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], min_reader=3,
+                           reader_features=["deletionVectors",
+                                            "catalogOwned-preview"])
+    with pytest.raises(dm.DeltaMetaError, match="catalogOwned"):
+        dm.snapshot_scan(d)
+
+
+def test_reader_version_above_3_refuses(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], min_reader=3,
+                           reader_features=["deletionVectors"])
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(log)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"]["minReaderVersion"] = 4
+    open(log, "w").write("\n".join(json.dumps(a) for a in lines))
+    with pytest.raises(dm.DeltaMetaError, match="minReaderVersion"):
+        dm.snapshot_scan(d)
+
+
+def test_column_mapping_mode_refuses(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(
+        d, [t1], min_reader=3,
+        reader_features=["columnMapping"],
+        configuration={"delta.columnMapping.mode": "name"})
+    with pytest.raises(dm.DeltaMetaError, match="column mapping"):
+        dm.snapshot_scan(d)
+    # feature present but mode none -> fine
+    d2 = str(tmp_path / "t2")
+    dm.write_delta_fixture(d2, [t1], min_reader=3,
+                           reader_features=["columnMapping"],
+                           configuration={"delta.columnMapping.mode":
+                                          "none"})
+    assert len(dm.snapshot_scan(d2)["data_files"]) == 1
+
+
+# ---------------------------------------------------------------------
+# Deletion-vector integrity
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("storage", ["u", "p", "i"])
+def test_dv_storage_modes(tmp_path, storage):
+    t1, _ = _tabs()
+    d = str(tmp_path / storage)
+    dm.write_delta_fixture(d, [t1],
+                           commits=[{"add": [0]}, {"dv": {0: [0, 3]}}],
+                           dv_storage=storage)
+    s = dm.snapshot_scan(d)
+    (desc,) = s["row_deletes"][s["data_files"][0]]
+    body = dm.parse_dv_desc(desc)
+    assert ("inline" in body) == (storage == "i")
+    assert list(dm.read_dv_positions(desc)) == [0, 3]
+
+
+def test_dv_accepts_both_spec_magics(tmp_path):
+    t1, _ = _tabs()
+    for tag, magic in (("delta", dm.DELTA_DV_MAGIC),
+                       ("iceberg", puffin.DV_MAGIC)):
+        d = str(tmp_path / tag)
+        dm.write_delta_fixture(d, [t1],
+                               commits=[{"add": [0]},
+                                        {"dv": {0: [1]}}],
+                               dv_magic=magic)
+        s = dm.snapshot_scan(d)
+        (desc,) = s["row_deletes"][s["data_files"][0]]
+        assert list(dm.read_dv_positions(desc)) == [1]
+
+
+def test_dv_crc_and_cardinality_gates(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1],
+                           commits=[{"add": [0]}, {"dv": {0: [1, 2]}}],
+                           dv_storage="p")
+    s = dm.snapshot_scan(d)
+    (desc,) = s["row_deletes"][s["data_files"][0]]
+    body = dm.parse_dv_desc(desc)
+    # flip a payload bit -> CRC mismatch
+    raw = bytearray(open(body["path"], "rb").read())
+    raw[body["offset"] + 10] ^= 0x40
+    open(body["path"], "wb").write(bytes(raw))
+    with pytest.raises(dm.DeltaMetaError, match="CRC"):
+        dm.read_dv_positions(desc)
+    # restore, then lie about cardinality
+    raw[body["offset"] + 10] ^= 0x40
+    open(body["path"], "wb").write(bytes(raw))
+    lied = dict(body, cardinality=5)
+    with pytest.raises(dm.DeltaMetaError, match="cardinality"):
+        dm.read_dv_positions(dm.DV_DESC_PREFIX + json.dumps(lied))
+    # unknown magic refuses with both accepted values named
+    bad_body = b"\x00\x00\x00\x00" + puffin.roaring64_write(
+        np.array([1], dtype=np.int64))
+    frame = (struct.pack(">I", len(bad_body)) + bad_body
+             + struct.pack(">I", zlib.crc32(bad_body) & 0xFFFFFFFF))
+    p = str(tmp_path / "bad.bin")
+    open(p, "wb").write(b"\x01" + frame)
+    with pytest.raises(dm.DeltaMetaError, match="magic"):
+        dm.read_dv_positions(dm.DV_DESC_PREFIX + json.dumps(
+            {"path": p, "offset": 1, "size": len(bad_body),
+             "cardinality": 1}))
+
+
+def test_dv_size_prefix_disagreement_refuses(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1],
+                           commits=[{"add": [0]}, {"dv": {0: [1]}}],
+                           dv_storage="p")
+    s = dm.snapshot_scan(d)
+    (desc,) = s["row_deletes"][s["data_files"][0]]
+    body = dm.parse_dv_desc(desc)
+    lied = dict(body, size=body["size"] - 2)
+    with pytest.raises(dm.DeltaMetaError, match="size"):
+        dm.read_dv_positions(dm.DV_DESC_PREFIX + json.dumps(lied))
+
+
+# ---------------------------------------------------------------------
+# Incremental diffs
+# ---------------------------------------------------------------------
+
+def test_diff_append_only_and_refusals(tmp_path):
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1, t2], commits=[
+        {"add": [0]}, {"add": [1]}, {"dv": {0: [1]}}])
+    diff = dm.snapshot_scan_diff(d, 0, 1)
+    assert [os.path.basename(p) for p in diff["data_files"]] == \
+        ["part-00001.parquet"]
+    assert diff["row_deletes"] == {}
+    # full mappings cover the WHOLE to-snapshot (verify needs them)
+    assert diff["row_deletes_full"] == \
+        dm.snapshot_scan(d, 1)["row_deletes"]
+    # DV arriving on an already-live file refuses
+    with pytest.raises(dm.DeltaMetaError, match="[Dd]eletion vector"):
+        dm.snapshot_scan_diff(d, 1, 2)
+    # file removal refuses
+    d2 = str(tmp_path / "t2")
+    dm.write_delta_fixture(d2, [t1, t2],
+                           commits=[{"add": [0, 1]}, {"remove": [1]}])
+    with pytest.raises(dm.DeltaMetaError, match="gone"):
+        dm.snapshot_scan_diff(d2, 0, 1)
+
+
+# ---------------------------------------------------------------------
+# Object-store metadata (mock-s3: PUT-only, no rename)
+# ---------------------------------------------------------------------
+
+def test_delta_on_object_store(tmp_path):
+    t1, _ = _tabs()
+    d = f"mock-s3://bucket{tmp_path}/t"
+    dm.write_delta_fixture(d, [t1],
+                           commits=[{"add": [0]}, {"dv": {0: [2]}}])
+    s = dm.snapshot_scan(d)
+    assert s["data_files"][0].startswith("mock-s3://")
+    (desc,) = s["row_deletes"][s["data_files"][0]]
+    assert list(dm.read_dv_positions(desc)) == [2]
+
+
+# ---------------------------------------------------------------------
+# Encode integration (the whole point)
+# ---------------------------------------------------------------------
+
+def test_delta_dv_encode_end_to_end(spark, tokens_path, tmp_path):
+    """Delta table with deletion vectors: snapshot_scan feeds
+    encode_path(row_deletes=), the decoded tree holds exactly the live
+    rows, and verify_files replays the same masking — the Iceberg MOR
+    contract (test_iceberg_position_deletes_encode) on the Delta
+    source."""
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    files = sorted(glob.glob(f"{tokens_path}/*.parquet"))[:2]
+    tabs = [pq.read_table(f) for f in files]
+    n0 = tabs[0].num_rows
+    d = str(tmp_path / "delta_tbl")
+    dm.write_delta_fixture(
+        d, tabs,
+        commits=[{"add": [0, 1]},
+                 {"dv": {0: [0, 3, 7, 8, n0 - 1], 1: [5]}}])
+    scan = dm.snapshot_scan(d)
+    assert set(scan["row_deletes"]) == set(scan["data_files"])
+    out = str(tmp_path / "enc")
+    totals = pipeline.encode_path(
+        spark, d, out, input_files=scan["data_files"],
+        row_deletes=scan["row_deletes"])
+    n_rows = sum(t.num_rows for t in tabs)
+    assert totals["n_rows"] == n_rows - 6
+    expected = []
+    for i, (f, t) in enumerate(zip(scan["data_files"], tabs)):
+        dead = {0, 3, 7, 8, n0 - 1} if i == 0 else {5}
+        ids = t.column("doc_id").to_pylist()
+        expected += [x for j, x in enumerate(ids) if j not in dead]
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    assert sorted(r.doc_id for r in dec.collect()) == sorted(expected)
+    vf = verify.verify_files(spark, out,
+                             row_deletes=scan["row_deletes"])
+    assert vf["ok"] and vf["rows_compared"] == n_rows - 6
+    assert not verify.verify_files(spark, out)["ok"]
