@@ -265,6 +265,38 @@ def make_encode_fn(wave_id: int, entropy: bool = False):
     return encode_batches
 
 
+# Constant-column injection: types a per-file constant may carry.
+# Partition values in Delta live only in the commit log and in Hive
+# trees only in the directory names — injecting them as constant
+# columns is the only way the encoded output can serve them. Constant
+# columns RLE down to one run per chunk, so the storage cost is nil.
+_CONST_TYPES = {
+    "string": pa.string(), "bool": pa.bool_(),
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+    "int64": pa.int64(), "float32": pa.float32(),
+    "float64": pa.float64(), "date32": pa.date32(),
+}
+
+
+def _const_arrays(consts: dict, n: int,
+                  types: dict[str, str]) -> list[tuple[str, "pa.Array"]]:
+    """[(name, n-long constant Arrow array)] in sorted-name order.
+    Values ride JSON (so dates arrive as ISO strings) and cast to the
+    declared type; None becomes a typed null column."""
+    out = []
+    for name in sorted(consts):
+        t = _CONST_TYPES[types[name]]
+        v = consts[name]
+        if v is None:
+            arr = pa.nulls(n, t)
+        else:
+            arr = pa.array([v] * n)
+            if arr.type != t:
+                arr = arr.cast(t)
+        out.append((name, arr))
+    return out
+
+
 def _read_delete_positions(data_path: str, delete_files: list[str]):
     """Sorted unique row positions deleted from ``data_path``, gathered
     from Iceberg position-delete Parquet files (spec columns
@@ -517,8 +549,16 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                          columns: list[str] | None = None,
                          bad_record_threshold: float = 0.0,
                          meta_dir: str | None = None,
-                         entropy: bool = False):
+                         entropy: bool = False,
+                         const_schema: dict[str, str] | None = None):
     """mapInArrow fn for the file-source path: paths in, chunk *stats* out.
+
+    ``const_schema`` ({column: _CONST_TYPES key}) declares the types of
+    per-file CONSTANT columns; the values ride the path DataFrame's
+    ``consts`` JSON column and are appended to every batch after delete
+    masking (partition values for Delta / Hive sources — see
+    ``encode_path(const_columns=)``). A constant whose name collides
+    with a physical column fails that file loudly.
 
     The task reads its files with pyarrow (row-group iteration like the
     reference's ``ParquetRowReader``, one group at a time,
@@ -619,8 +659,11 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
             ecol = (b.column("eq").to_pylist()
                     if "eq" in b.schema.names
                     else [None] * b.num_rows)
-            for path, dfiles, eqjson in zip(b.column("path").to_pylist(),
-                                            dcol, ecol):
+            ccol = (b.column("consts").to_pylist()
+                    if "consts" in b.schema.names
+                    else [None] * b.num_rows)
+            for path, dfiles, eqjson, cjson in zip(
+                    b.column("path").to_pylist(), dcol, ecol, ccol):
                 if local:
                     final = os.path.join(
                         wave_dir, f"part-{pid:05d}-f{fseq:04d}.parquet")
@@ -657,6 +700,15 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                     eqf = (_EqualityDeleteFilter.build(
                         json.loads(eqjson), data_schema=pf.schema_arrow)
                            if eqjson else None)
+                    consts = json.loads(cjson) if cjson else None
+                    if consts:
+                        clash = [c for c in consts
+                                 if c in pf.schema_arrow.names]
+                        if clash:
+                            raise ValueError(
+                                f"constant column(s) {clash} already "
+                                f"exist physically in {path} — injecting"
+                                " would shadow real data")
                     rg_start = 0  # file-absolute row offset of this group
                     for rg in range(pf.metadata.num_row_groups):
                         rg_rows = pf.metadata.row_group(rg).num_rows
@@ -698,6 +750,11 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                             if batch.num_rows == 0:
                                 rows_read += n_read
                                 continue
+                            if consts:
+                                for nm, arr in _const_arrays(
+                                        consts, batch.num_rows,
+                                        const_schema or {}):
+                                    batch = batch.append_column(nm, arr)
                             chunk_row, stats = _encode_one_batch(
                                 batch, wave_id, pid, bidx)
                             if writer is None:
@@ -909,6 +966,22 @@ def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
     return spark.read.parquet(wave_path)
 
 
+def _uri_to_path(uri: str) -> str:
+    """Decode a Spark-listed file URI to the raw path pyarrow opens:
+    ``file:/tmp/a%20b.parquet`` -> ``/tmp/a b.parquet``; non-file
+    schemes keep scheme+authority with the path percent-decoded; plain
+    paths (no scheme) pass through UNdecoded — only URIs are encoded."""
+    from urllib.parse import unquote, urlparse
+    if ":" not in uri.split("/", 1)[0]:
+        return uri
+    u = urlparse(uri)
+    if u.scheme == "file" and u.netloc in ("", "localhost"):
+        return unquote(u.path)
+    if u.scheme:
+        return f"{u.scheme}://{u.netloc}{unquote(u.path)}"
+    return uri
+
+
 def _lineage_key(path: str) -> str:
     """Scheme-normalized file identity for manifest-lineage comparison:
     ``file:/p``, ``file:///p``, ``file://localhost/p`` and ``/p`` all mean
@@ -944,7 +1017,9 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 input_files: list[str] | None = None,
                 append: bool = False,
                 row_deletes: dict[str, list[str]] | None = None,
-                eq_deletes: dict[str, list[dict]] | None = None) -> dict:
+                eq_deletes: dict[str, list[dict]] | None = None,
+                const_columns: dict[str, dict] | None = None,
+                const_schema: dict[str, str] | None = None) -> dict:
     """Run the full encode job; returns aggregate metrics.
 
     ``row_deletes`` ({data_file_path: [position-delete parquet paths]})
@@ -969,6 +1044,20 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     ``_EQ_MAX_KEYS`` (equality deletes are not file-keyed, so every
     task reads the full set — compact delete files past that). Same
     file-source-only restriction as ``row_deletes``.
+
+    ``const_columns`` ({data_file_path: {column: value}}) +
+    ``const_schema`` ({column: type name from ``_CONST_TYPES``}) inject
+    per-file CONSTANT columns into every batch after delete masking —
+    how partition values reach the encoded tree for sources that store
+    them outside the data files (Delta:
+    ``delta_meta.partition_const_columns``; Hive trees:
+    ``table.hive_partitioned_files``). Values ride the path DataFrame
+    as JSON and cast to the declared type in-task (dates as ISO
+    strings; None = typed null). A constant column RLEs to one run per
+    chunk, so the storage cost is nil; a name colliding with a physical
+    column fails that file loudly. Verify with
+    ``verify_files(const_columns=, const_schema=)``. File-source path
+    only, like the delete mappings.
 
     ``append=True`` is the INCREMENTAL mode: source files already present
     in any committed wave's manifest lineage are subtracted from the
@@ -1057,6 +1146,28 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             "row_deletes/eq_deletes need the file-source path (deletes "
             "apply per-file); cluster_partitions reads through Spark — "
             "pre-apply deletes and use encode_df instead")
+    if const_columns:
+        # per-file constant columns (partition values for Delta / Hive
+        # sources, delta_meta.partition_const_columns /
+        # table.hive_partitioned_files). File-source path only: the
+        # injection is keyed by source file.
+        if cluster_partitions:
+            raise ValueError(
+                "const_columns need the file-source path (constants "
+                "apply per-file); pre-join them and use encode_df "
+                "instead")
+        need = {c for v in const_columns.values() for c in v}
+        missing = sorted(need - set(const_schema or {}))
+        if missing:
+            raise ValueError(
+                f"const_schema missing type declarations for {missing} "
+                f"(supported: {sorted(_CONST_TYPES)})")
+        bad_t = sorted(t for t in (const_schema or {}).values()
+                       if t not in _CONST_TYPES)
+        if bad_t:
+            raise ValueError(
+                f"unsupported const_schema type(s) {bad_t} "
+                f"(supported: {sorted(_CONST_TYPES)})")
     if input_files is not None and not input_files:
         # an explicit empty list must NEVER fall back to listing
         # input_path (`if input_files` is falsy for []) — under append it
@@ -1123,7 +1234,10 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                     f"{df0.schema.simpleString()}, "
                     f"expected {expected.simpleString()}")
         if df0 is not None:
-            groups = [sorted(df0.inputFiles())]
+            # inputFiles() returns percent-ENCODED URIs (a literal "%"
+            # or space in a file name comes back as %25 / %20, which
+            # pyarrow then fails to open); decode back to raw paths
+            groups = [sorted(_uri_to_path(f) for f in df0.inputFiles())]
     else:
         if expected_schema is not None:
             raise ValueError("expected_schema requires schema_mode='single'")
@@ -1189,26 +1303,33 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             # files on ~1/3 of partitions and leaves the rest empty, which
             # doubles the straggler tail; parallelize's even slicing is
             # exact)
-            if row_deletes or eq_deletes:
-                # per-file delete inputs ride the path DataFrame; a
-                # file's lineage identity is unchanged (deletes alter
-                # row content, not which source files were consumed).
+            if row_deletes or eq_deletes or const_columns:
+                # per-file delete/constant inputs ride the path
+                # DataFrame; a file's lineage identity is unchanged
+                # (deletes alter row content, constants add columns —
+                # neither changes which source files were consumed).
                 # Keys match on the scheme-normalized identity: the
                 # single-schema path lists via Spark (file:/ URIs) while
-                # scan plans carry plain paths. Equality descriptors go
-                # as JSON (a struct column would pin one fixed shape)
+                # scan plans carry plain paths. Equality descriptors and
+                # constants go as JSON (a struct column would pin one
+                # fixed shape)
                 rd = {_lineage_key(k): v
                       for k, v in (row_deletes or {}).items()}
                 eq = {_lineage_key(k): v
                       for k, v in (eq_deletes or {}).items()}
+                cc = {_lineage_key(k): v
+                      for k, v in (const_columns or {}).items()}
                 rows = []
                 for f in wfiles:
                     e = eq.get(_lineage_key(f))
+                    c = cc.get(_lineage_key(f))
                     rows.append((f, rd.get(_lineage_key(f)),
-                                 json.dumps(e) if e else None))
+                                 json.dumps(e) if e else None,
+                                 json.dumps(c) if c else None))
                 rdd = spark.sparkContext.parallelize(rows, len(wfiles))
                 paths = spark.createDataFrame(
-                    rdd, "path string, deletes array<string>, eq string")
+                    rdd, "path string, deletes array<string>, "
+                         "eq string, consts string")
             else:
                 rdd = spark.sparkContext.parallelize(
                     [(f,) for f in wfiles], len(wfiles))
@@ -1225,7 +1346,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                                      bad_record_threshold=(
                                          bad_record_threshold),
                                      meta_dir=wave_meta_dir,
-                                     entropy=entropy),
+                                     entropy=entropy,
+                                     const_schema=const_schema),
                 FILE_SUMMARY_SPARK_SCHEMA if distributed
                 else CHUNK_META_SPARK_SCHEMA)
             # one action runs the wave; what comes back to the driver is

@@ -95,7 +95,8 @@ VERIFY_FILES_SCHEMA = ("source_file string, chunk_file string, "
 
 
 def _source_batches(path: str, batch_rows: int, columns: list[str],
-                    del_pos=None, eqf=None, pf=None):
+                    del_pos=None, eqf=None, pf=None,
+                    consts=None, const_schema=None):
     """The encoder's exact source iteration (row-group at a time, corrupt
     groups skipped mid-stream) so batch boundaries line up with chunks.
 
@@ -113,10 +114,15 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
     from . import fsutil
     if pf is None:
         pf = fsutil.parquet_file(path)
-    read_cols = columns
+    # injected constant columns live in chunk names but NOT in the
+    # source file — read the physical remainder and re-inject after
+    # the filters, exactly as the encoder did
+    phys_cols = ([c for c in columns if c not in consts]
+                 if consts else columns)
+    read_cols = phys_cols
     if eqf is not None:
-        extra = [c for c in eqf.columns_needed if c not in columns]
-        read_cols = list(columns) + extra
+        extra = [c for c in eqf.columns_needed if c not in phys_cols]
+        read_cols = list(phys_cols) + extra
     rg_start = 0
     for rg in range(pf.metadata.num_row_groups):
         rg_rows = pf.metadata.row_group(rg).num_rows
@@ -145,14 +151,19 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
                 rows_read += n_read
                 continue
             rows_read += n_read
-            if read_cols is not columns:
+            if consts:
+                for nm, arr in pipeline._const_arrays(
+                        consts, batch.num_rows, const_schema or {}):
+                    batch = batch.append_column(nm, arr)
+            if read_cols is not columns or consts:
                 batch = batch.select(columns)
             yield batch
         rg_start += rg_rows
 
 
 def _verify_one(src: str, chk: str, batch_rows: int,
-                del_files=None, eq_json=None) -> tuple:
+                del_files=None, eq_json=None, consts_json=None,
+                const_schema=None) -> tuple:
     """``del_files``/``eq_json`` are the RAW per-file delete inputs
     (position-delete paths / equality-descriptor JSON); they are
     resolved here, inside the error capture, so a missing or corrupt
@@ -169,6 +180,7 @@ def _verify_one(src: str, chk: str, batch_rows: int,
             return (src, chk, 0, 0, 0, None)
         del_pos = (pipeline._read_delete_positions(src, del_files)
                    if del_files else None)
+        consts = json.loads(consts_json) if consts_json else None
         spf = None
         eqf = None
         if eq_json:
@@ -196,7 +208,9 @@ def _verify_one(src: str, chk: str, batch_rows: int,
                 if columns is None:
                     columns = names
                     src_iter = _source_batches(src, batch_rows, columns,
-                                               del_pos, eqf, pf=spf)
+                                               del_pos, eqf, pf=spf,
+                                               consts=consts,
+                                               const_schema=const_schema)
                 try:
                     sb = next(src_iter)
                 except StopIteration:
@@ -226,21 +240,25 @@ def _verify_one(src: str, chk: str, batch_rows: int,
     return (src, chk, rows, toks, mism, err)
 
 
-def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
+def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS,
+                         const_schema: dict[str, str] | None = None):
     def fn(batches):
         for b in batches:
             dcol = (b.column("deletes").to_pylist()
                     if "deletes" in b.schema.names else [None] * b.num_rows)
             ecol = (b.column("eq").to_pylist()
                     if "eq" in b.schema.names else [None] * b.num_rows)
-            for src, chk, dfiles, eqjson in zip(
+            ccol = (b.column("consts").to_pylist()
+                    if "consts" in b.schema.names else [None] * b.num_rows)
+            for src, chk, dfiles, eqjson, cjson in zip(
                     b.column("source_file").to_pylist(),
-                    b.column("chunk_file").to_pylist(), dcol, ecol):
+                    b.column("chunk_file").to_pylist(), dcol, ecol, ccol):
                 # raw inputs only — _verify_one resolves them (JSON
                 # included) inside its per-file error capture
                 s, c, r, t, m, e = _verify_one(
                     src, chk, batch_rows, del_files=dfiles,
-                    eq_json=eqjson)
+                    eq_json=eqjson, consts_json=cjson,
+                    const_schema=const_schema)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([s]), pa.array([c]),
                      pa.array([r], type=pa.int64()),
@@ -256,7 +274,9 @@ def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS):
 def verify_files(spark: SparkSession, out_dir: str,
                  batch_rows: int = pipeline.DEFAULT_BATCH_ROWS,
                  row_deletes: dict[str, list[str]] | None = None,
-                 eq_deletes: dict[str, list[dict]] | None = None) -> dict:
+                 eq_deletes: dict[str, list[dict]] | None = None,
+                 const_columns: dict[str, dict] | None = None,
+                 const_schema: dict[str, str] | None = None) -> dict:
     """Distributed positional bit-identity check, one task per source file.
 
     Requires the file-source encode path (chunks_meta carries the
@@ -269,6 +289,12 @@ def verify_files(spark: SparkSession, out_dir: str,
     tree verifies against the live rows only. Without them a
     delete-masked tree correctly FAILS this check (the tree really
     doesn't match the raw files).
+
+    ``const_columns``/``const_schema``: the same per-file constant
+    injection the encode ran with (``encode_path(const_columns=)``) —
+    each task re-injects the constants after its filters, so a
+    partition-augmented tree verifies bit-identically. Without them the
+    check correctly fails (the chunk columns don't exist in the source).
     """
     from . import fsutil
     pairs = set()
@@ -285,26 +311,31 @@ def verify_files(spark: SparkSession, out_dir: str,
         raise FileNotFoundError(
             f"no chunks_meta lineage under {out_dir} (verify_files needs "
             f"the file-source encode path; use verify_path otherwise)")
-    if row_deletes or eq_deletes:
+    if row_deletes or eq_deletes or const_columns:
         import json
         rd = {pipeline._lineage_key(k): v
               for k, v in (row_deletes or {}).items()}
         eqm = {pipeline._lineage_key(k): v
                for k, v in (eq_deletes or {}).items()}
+        ccm = {pipeline._lineage_key(k): v
+               for k, v in (const_columns or {}).items()}
         rows = []
         for s, c in sorted(pairs):
             e = eqm.get(pipeline._lineage_key(s))
+            cv = ccm.get(pipeline._lineage_key(s))
             rows.append((s, c, rd.get(pipeline._lineage_key(s)),
-                         json.dumps(e) if e else None))
+                         json.dumps(e) if e else None,
+                         json.dumps(cv) if cv else None))
         rdd = spark.sparkContext.parallelize(rows, len(rows))
         df = spark.createDataFrame(
             rdd, "source_file string, chunk_file string, "
-                 "deletes array<string>, eq string")
+                 "deletes array<string>, eq string, consts string")
     else:
         rdd = spark.sparkContext.parallelize(sorted(pairs), len(pairs))
         df = spark.createDataFrame(
             rdd, "source_file string, chunk_file string")
-    res = df.mapInArrow(make_verify_files_fn(batch_rows),
+    res = df.mapInArrow(make_verify_files_fn(batch_rows,
+                                             const_schema=const_schema),
                         VERIFY_FILES_SCHEMA).toArrow()
     import pyarrow.compute as pc
     errs = [e for e in res.column("err").to_pylist() if e]

@@ -596,6 +596,59 @@ def snapshot_scan_diff(table_dir: str, from_version: int,
             "schema_string": b["schema_string"]}
 
 
+# Delta logical type -> encode_path const_schema type for partition
+# columns. Partition values serialize as strings in the log; the
+# encode task casts them back through these declared types.
+_PART_TYPE_MAP = {
+    "integer": "int32", "long": "int64", "short": "int16",
+    "byte": "int8", "string": "string", "boolean": "bool",
+    "double": "float64", "float": "float32", "date": "date32",
+}
+
+
+def partition_const_columns(scan: dict) -> tuple[dict, dict]:
+    """(const_columns, const_schema) for ``encode_path`` /
+    ``verify_files`` from a :func:`snapshot_scan` result — injects the
+    table's partition columns (which Delta stores ONLY in the log, not
+    in the data files) as typed per-file constants so the encoded tree
+    serves them like any other column. Values parse from the log's
+    string serialization through the table schema's logical types;
+    timestamp/decimal/nested partition types refuse (no unambiguous
+    string parse here — partition on simpler types or pre-join).
+    Constant columns RLE to one run per chunk, so storage cost is nil.
+    """
+    pcols = scan["partition_columns"]
+    if not pcols:
+        return {}, {}
+    fields = json.loads(scan["schema_string"])["fields"]
+    ftype = {f["name"]: f["type"] for f in fields}
+    const_schema = {}
+    for c in pcols:
+        t = ftype.get(c)
+        if not isinstance(t, str) or t not in _PART_TYPE_MAP:
+            raise DeltaMetaError(
+                f"partition column {c!r} has unsupported type {t!r} "
+                f"for constant injection (supported: "
+                f"{sorted(_PART_TYPE_MAP)})")
+        const_schema[c] = _PART_TYPE_MAP[t]
+
+    def _parse(s: str | None, t: str):
+        if s is None:
+            return None
+        if t in ("integer", "long", "short", "byte"):
+            return int(s)
+        if t in ("double", "float"):
+            return float(s)
+        if t == "boolean":
+            return s == "true"
+        return s  # string / date (ISO string; cast lands in-task)
+
+    const_columns = {
+        f: {c: _parse(pv.get(c), ftype[c]) for c in pcols}
+        for f, pv in scan["partition_values"].items()}
+    return const_columns, const_schema
+
+
 # ---------------------------------------------------------------------
 # Fixture writer (tests only — spec-shaped layouts, no Delta runtime)
 # ---------------------------------------------------------------------
@@ -620,6 +673,7 @@ def _schema_string_of(arrow_schema) -> str:
 def write_delta_fixture(table_dir: str, tables: list,
                         commits: list[dict] | None = None,
                         partition_columns: list[str] | None = None,
+                        partition_types: dict[str, str] | None = None,
                         partition_values: dict[int, dict] | None = None,
                         file_names: list[str] | None = None,
                         checkpoint_at: int | None = None,
@@ -665,6 +719,16 @@ def write_delta_fixture(table_dir: str, tables: list,
         reader_features = ["deletionVectors"]
 
     schema_string = _schema_string_of(tables[0].schema)
+    if partition_columns:
+        # real writers put partition columns in the LOGICAL schema even
+        # though they are absent from the data files
+        sch = json.loads(schema_string)
+        sch["fields"] += [
+            {"name": c, "type": (partition_types or {}).get(c, "string"),
+             "nullable": True, "metadata": {}}
+            for c in partition_columns
+            if c not in {f["name"] for f in sch["fields"]}]
+        schema_string = json.dumps(sch)
     meta = {"id": "00000000-0000-0000-0000-00000000beef",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,

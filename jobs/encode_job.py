@@ -91,6 +91,16 @@ def main() -> int:
                    help="with --delta: encode only data files added "
                         "after version V (live-set diff vs --at-version "
                         "or latest); implies --append")
+    p.add_argument("--inject-partitions", action="store_true",
+                   help="with --delta or --hive: inject each file's "
+                        "partition values as typed constant columns so "
+                        "the encoded tree serves them (Delta and Hive "
+                        "store partition values outside the data files)")
+    p.add_argument("--hive", action="store_true",
+                   help="treat --input as a Hive-partitioned parquet "
+                        "tree (key=value directories); combine with "
+                        "--inject-partitions to keep the partition "
+                        "columns (as strings) in the encoded output")
     p.add_argument("--partition", action="append", default=None,
                    metavar="FIELD=VALUE",
                    help="with --iceberg/--delta: metadata-level "
@@ -136,6 +146,9 @@ def main() -> int:
     eq_deletes = None
     verify_row_deletes = None
     verify_eq_deletes = None
+    const_columns = None
+    const_schema = None
+    verify_const_columns = None
     if args.iceberg:
         from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
         pf = None
@@ -188,6 +201,15 @@ def main() -> int:
             input_files = scan["data_files"]
             row_deletes = scan["row_deletes"] or None
             verify_row_deletes = scan["row_deletes_full"] or None
+            if args.inject_partitions:
+                const_columns, const_schema = \
+                    delta_meta.partition_const_columns(scan)
+                # the verify replay needs EVERY wave's constants, not
+                # just this diff's files
+                verify_const_columns, _ = delta_meta.\
+                    partition_const_columns(dict(
+                        scan,
+                        partition_values=scan["partition_values_full"]))
         else:
             scan = delta_meta.snapshot_scan(
                 args.input, version=args.at_version,
@@ -195,14 +217,28 @@ def main() -> int:
             input_files = scan["data_files"]
             row_deletes = scan["row_deletes"] or None
             verify_row_deletes = row_deletes
+            if args.inject_partitions:
+                const_columns, const_schema = \
+                    delta_meta.partition_const_columns(scan)
+                verify_const_columns = const_columns
+    elif args.hive:
+        from embulk_input_parquet_hadoop_spark.sources import table
+        input_files, cc, cs = table.hive_partitioned_files(args.input)
+        if args.inject_partitions:
+            const_columns, const_schema = cc, cs
+            verify_const_columns = cc
     elif args.partition:
         raise SystemExit("--partition requires --iceberg or --delta")
     elif args.since_snapshot is not None:
         raise SystemExit("--since-snapshot requires --iceberg")
     elif args.since_version is not None or args.at_version is not None:
         raise SystemExit("--since-version/--at-version require --delta")
-    if args.iceberg and args.delta:
-        raise SystemExit("--iceberg and --delta are mutually exclusive")
+    if sum((args.iceberg, args.delta, args.hive)) > 1:
+        raise SystemExit("--iceberg/--delta/--hive are mutually "
+                         "exclusive")
+    if args.inject_partitions and not (args.delta or args.hive):
+        raise SystemExit("--inject-partitions requires --delta or "
+                         "--hive")
     vacuum_result = None
     if args.vacuum:
         from embulk_input_parquet_hadoop_spark.plans import fsutil
@@ -224,7 +260,8 @@ def main() -> int:
         bad_file_threshold=args.bad_file_threshold,
         bad_record_threshold=args.bad_record_threshold,
         meta_mode=args.meta_mode, entropy=args.entropy,
-        row_deletes=row_deletes, eq_deletes=eq_deletes)
+        row_deletes=row_deletes, eq_deletes=eq_deletes,
+        const_columns=const_columns, const_schema=const_schema)
     totals["total_wall_s"] = time.perf_counter() - t0
     if vacuum_result is not None:
         totals["vacuum"] = vacuum_result
@@ -242,7 +279,9 @@ def main() -> int:
         totals["verify"] = verify.verify_files(
             spark, args.output, batch_rows=args.batch_rows,
             row_deletes=verify_row_deletes,
-            eq_deletes=verify_eq_deletes)
+            eq_deletes=verify_eq_deletes,
+            const_columns=verify_const_columns,
+            const_schema=const_schema)
     elif args.verify:
         if verify_row_deletes or verify_eq_deletes:
             raise SystemExit(
