@@ -550,7 +550,8 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                          bad_record_threshold: float = 0.0,
                          meta_dir: str | None = None,
                          entropy: bool = False,
-                         const_schema: dict[str, str] | None = None):
+                         const_schema: dict[str, str] | None = None,
+                         column_renames: list[dict] | None = None):
     """mapInArrow fn for the file-source path: paths in, chunk *stats* out.
 
     ``const_schema`` ({column: _CONST_TYPES key}) declares the types of
@@ -559,6 +560,14 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
     masking (partition values for Delta / Hive sources — see
     ``encode_path(const_columns=)``). A constant whose name collides
     with a physical column fails that file loudly.
+
+    ``column_renames`` ([{"logical", "physical", "id"}], table-uniform)
+    maps column-mapped physical parquet names to the table's logical
+    schema (Delta columnMapping modes name/id,
+    ``delta_meta.column_renames``): every batch is renamed right after
+    the read, a ``columns=`` projection is LOGICAL and translates to
+    the physical read set per file, and field-id resolution wins over
+    physical-name matching where ids exist (``_logical_names``).
 
     The task reads its files with pyarrow (row-group iteration like the
     reference's ``ParquetRowReader``, one group at a time,
@@ -701,9 +710,18 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                         json.loads(eqjson), data_schema=pf.schema_arrow)
                            if eqjson else None)
                     consts = json.loads(cjson) if cjson else None
+                    if column_renames:
+                        file_names_now = _logical_names(pf.schema_arrow,
+                                                        column_renames)
+                        read_cols = (_physical_columns(
+                            pf.schema_arrow, column_renames, columns)
+                            if columns else None)
+                    else:
+                        file_names_now = pf.schema_arrow.names
+                        read_cols = columns
                     if consts:
                         clash = [c for c in consts
-                                 if c in pf.schema_arrow.names]
+                                 if c in file_names_now]
                         if clash:
                             raise ValueError(
                                 f"constant column(s) {clash} already "
@@ -720,7 +738,7 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                         # per-core accounting
                         it = pf.iter_batches(batch_size=batch_rows,
                                              row_groups=[rg],
-                                             columns=columns,
+                                             columns=read_cols,
                                              use_threads=False)
                         while True:
                             try:
@@ -734,6 +752,10 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                                 bad_groups += 1
                                 break
                             n_read = batch.num_rows
+                            if column_renames:
+                                batch = batch.rename_columns(
+                                    _logical_names(batch.schema,
+                                                   column_renames))
                             if del_pos is not None:
                                 # apply position deletes for this batch's
                                 # file-absolute row range [off, off+n)
@@ -966,6 +988,52 @@ def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
     return spark.read.parquet(wave_path)
 
 
+def _logical_names(schema: "pa.Schema",
+                   renames: list[dict]) -> list[str]:
+    """LOGICAL name per physical field of ``schema``, from a
+    column-mapping rename plan ([{"logical", "physical", "id"}],
+    ``delta_meta.column_renames``). A field resolves by its parquet
+    FIELD ID when both sides carry one (the mode=id rule — survives
+    physical renames), else by physical name. A physical column the
+    plan doesn't cover fails loudly: it is not part of the table's
+    schema, and silently passing its physical name through would serve
+    a column the table doesn't have."""
+    by_id = {r["id"]: r["logical"] for r in renames
+             if r.get("id") is not None}
+    by_phys = {r["physical"]: r["logical"] for r in renames}
+    out = []
+    for f in schema:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None and int(fid) in by_id:
+            out.append(by_id[int(fid)])
+        elif f.name in by_phys:
+            out.append(by_phys[f.name])
+        else:
+            raise ValueError(
+                f"physical column {f.name!r} (field id {fid}) has no "
+                "entry in the column-mapping plan — a foreign or "
+                "stale data file?")
+    dupes = {n for n in out if out.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"column-mapping plan resolves multiple physical columns "
+            f"to the same logical name(s) {sorted(dupes)}")
+    return out
+
+
+def _physical_columns(schema: "pa.Schema", renames: list[dict],
+                      columns: list[str]) -> list[str]:
+    """Physical read columns for the requested LOGICAL projection."""
+    logical = _logical_names(schema, renames)
+    phys_of = {ln: f.name for ln, f in zip(logical, schema)}
+    missing = [c for c in columns if c not in phys_of]
+    if missing:
+        raise ValueError(
+            f"projected column(s) {missing} not in the column-mapped "
+            f"schema (logical columns: {sorted(phys_of)})")
+    return [phys_of[c] for c in columns]
+
+
 def _uri_to_path(uri: str) -> str:
     """Decode a Spark-listed file URI to the raw path pyarrow opens:
     ``file:/tmp/a%20b.parquet`` -> ``/tmp/a b.parquet``; non-file
@@ -1019,7 +1087,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                 row_deletes: dict[str, list[str]] | None = None,
                 eq_deletes: dict[str, list[dict]] | None = None,
                 const_columns: dict[str, dict] | None = None,
-                const_schema: dict[str, str] | None = None) -> dict:
+                const_schema: dict[str, str] | None = None,
+                column_renames: list[dict] | None = None) -> dict:
     """Run the full encode job; returns aggregate metrics.
 
     ``row_deletes`` ({data_file_path: [position-delete parquet paths]})
@@ -1058,6 +1127,15 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
     column fails that file loudly. Verify with
     ``verify_files(const_columns=, const_schema=)``. File-source path
     only, like the delete mappings.
+
+    ``column_renames`` ([{"logical", "physical", "id"}]) maps
+    column-mapped physical parquet names to the table's LOGICAL schema
+    (Delta columnMapping name/id modes —
+    ``delta_meta.snapshot_scan(...)["column_renames"]``): batches
+    rename right after the read, ``columns=`` becomes a logical
+    projection, and field-id resolution wins over physical names.
+    ``expected_schema`` (a pre-read Spark probe) still sees physical
+    names. File-source path only.
 
     ``append=True`` is the INCREMENTAL mode: source files already present
     in any committed wave's manifest lineage are subtracted from the
@@ -1168,6 +1246,11 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
             raise ValueError(
                 f"unsupported const_schema type(s) {bad_t} "
                 f"(supported: {sorted(_CONST_TYPES)})")
+    if column_renames and cluster_partitions:
+        raise ValueError(
+            "column_renames need the file-source path (renames apply "
+            "at the pyarrow read); cluster_partitions reads through "
+            "Spark — rename via the DataFrame and use encode_df")
     if input_files is not None and not input_files:
         # an explicit empty list must NEVER fall back to listing
         # input_path (`if input_files` is falsy for []) — under append it
@@ -1347,7 +1430,8 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
                                          bad_record_threshold),
                                      meta_dir=wave_meta_dir,
                                      entropy=entropy,
-                                     const_schema=const_schema),
+                                     const_schema=const_schema,
+                                     column_renames=column_renames),
                 FILE_SUMMARY_SPARK_SCHEMA if distributed
                 else CHUNK_META_SPARK_SCHEMA)
             # one action runs the wave; what comes back to the driver is

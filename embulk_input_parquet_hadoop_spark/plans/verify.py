@@ -96,7 +96,8 @@ VERIFY_FILES_SCHEMA = ("source_file string, chunk_file string, "
 
 def _source_batches(path: str, batch_rows: int, columns: list[str],
                     del_pos=None, eqf=None, pf=None,
-                    consts=None, const_schema=None):
+                    consts=None, const_schema=None,
+                    column_renames=None):
     """The encoder's exact source iteration (row-group at a time, corrupt
     groups skipped mid-stream) so batch boundaries line up with chunks.
 
@@ -119,6 +120,11 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
     # the filters, exactly as the encoder did
     phys_cols = ([c for c in columns if c not in consts]
                  if consts else columns)
+    if column_renames:
+        # chunk names are LOGICAL; translate to the physical read set
+        # and rename each batch back, exactly as the encoder did
+        phys_cols = pipeline._physical_columns(
+            pf.schema_arrow, column_renames, phys_cols)
     read_cols = phys_cols
     if eqf is not None:
         extra = [c for c in eqf.columns_needed if c not in phys_cols]
@@ -151,11 +157,14 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
                 rows_read += n_read
                 continue
             rows_read += n_read
+            if column_renames:
+                batch = batch.rename_columns(pipeline._logical_names(
+                    batch.schema, column_renames))
             if consts:
                 for nm, arr in pipeline._const_arrays(
                         consts, batch.num_rows, const_schema or {}):
                     batch = batch.append_column(nm, arr)
-            if read_cols is not columns or consts:
+            if read_cols is not columns or consts or column_renames:
                 batch = batch.select(columns)
             yield batch
         rg_start += rg_rows
@@ -163,7 +172,7 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
 
 def _verify_one(src: str, chk: str, batch_rows: int,
                 del_files=None, eq_json=None, consts_json=None,
-                const_schema=None) -> tuple:
+                const_schema=None, column_renames=None) -> tuple:
     """``del_files``/``eq_json`` are the RAW per-file delete inputs
     (position-delete paths / equality-descriptor JSON); they are
     resolved here, inside the error capture, so a missing or corrupt
@@ -207,10 +216,10 @@ def _verify_one(src: str, chk: str, batch_rows: int,
                 kinds = kinds_flat[lo:hi]
                 if columns is None:
                     columns = names
-                    src_iter = _source_batches(src, batch_rows, columns,
-                                               del_pos, eqf, pf=spf,
-                                               consts=consts,
-                                               const_schema=const_schema)
+                    src_iter = _source_batches(
+                        src, batch_rows, columns, del_pos, eqf, pf=spf,
+                        consts=consts, const_schema=const_schema,
+                        column_renames=column_renames)
                 try:
                     sb = next(src_iter)
                 except StopIteration:
@@ -241,7 +250,8 @@ def _verify_one(src: str, chk: str, batch_rows: int,
 
 
 def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS,
-                         const_schema: dict[str, str] | None = None):
+                         const_schema: dict[str, str] | None = None,
+                         column_renames: list[dict] | None = None):
     def fn(batches):
         for b in batches:
             dcol = (b.column("deletes").to_pylist()
@@ -258,7 +268,8 @@ def make_verify_files_fn(batch_rows: int = pipeline.DEFAULT_BATCH_ROWS,
                 s, c, r, t, m, e = _verify_one(
                     src, chk, batch_rows, del_files=dfiles,
                     eq_json=eqjson, consts_json=cjson,
-                    const_schema=const_schema)
+                    const_schema=const_schema,
+                    column_renames=column_renames)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([s]), pa.array([c]),
                      pa.array([r], type=pa.int64()),
@@ -276,7 +287,8 @@ def verify_files(spark: SparkSession, out_dir: str,
                  row_deletes: dict[str, list[str]] | None = None,
                  eq_deletes: dict[str, list[dict]] | None = None,
                  const_columns: dict[str, dict] | None = None,
-                 const_schema: dict[str, str] | None = None) -> dict:
+                 const_schema: dict[str, str] | None = None,
+                 column_renames: list[dict] | None = None) -> dict:
     """Distributed positional bit-identity check, one task per source file.
 
     Requires the file-source encode path (chunks_meta carries the
@@ -334,9 +346,10 @@ def verify_files(spark: SparkSession, out_dir: str,
         rdd = spark.sparkContext.parallelize(sorted(pairs), len(pairs))
         df = spark.createDataFrame(
             rdd, "source_file string, chunk_file string")
-    res = df.mapInArrow(make_verify_files_fn(batch_rows,
-                                             const_schema=const_schema),
-                        VERIFY_FILES_SCHEMA).toArrow()
+    res = df.mapInArrow(
+        make_verify_files_fn(batch_rows, const_schema=const_schema,
+                             column_renames=column_renames),
+        VERIFY_FILES_SCHEMA).toArrow()
     import pyarrow.compute as pc
     errs = [e for e in res.column("err").to_pylist() if e]
     mism = int(pc.sum(res.column("mismatch_chunks")).as_py() or 0)

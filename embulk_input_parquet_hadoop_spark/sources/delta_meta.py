@@ -95,7 +95,7 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
     "v2Checkpoint",  # tolerated: we refuse only if a v2 checkpoint
                      # must actually be READ (see _pick_checkpoint)
-    "columnMapping",  # tolerated iff the mode is none/absent
+    "columnMapping",  # modes name/id supported via column_renames()
 }
 
 
@@ -477,12 +477,44 @@ def _check_protocol(protocol: dict, meta: dict) -> None:
             + ", ".join(sorted(unknown)))
     cfg = _as_map(meta.get("configuration"))
     cm = cfg.get("delta.columnMapping.mode", "none")
-    if (mrv >= 2 or "columnMapping" in feats) and cm not in (
-            "none", "", None):
+    if cm not in ("none", "", None, "name", "id"):
         raise DeltaMetaError(
-            f"column mapping mode {cm!r} unsupported: physical parquet "
-            "column names differ from the logical schema — read the "
-            "table through a Delta-aware engine or rewrite it")
+            f"unknown column mapping mode {cm!r} (supported: none, "
+            "name, id)")
+
+
+def column_renames(meta: dict) -> list[dict] | None:
+    """Column-mapping rename plan, or None when the table has no
+    mapping: ``[{"logical", "physical", "id"}]`` per top-level field,
+    from the schemaString's ``delta.columnMapping.physicalName`` /
+    ``delta.columnMapping.id`` metadata. Resolution in the encode task
+    prefers the parquet FIELD ID when both sides carry one (the mode=id
+    rule — it survives physical renames), else the physical name
+    (mode=name). Nested schemas refuse: the mapping applies to inner
+    struct fields too, and the encoder's shred would keep their
+    physical names — serving half-renamed columns would be worse than
+    refusing."""
+    cfg = _as_map(meta.get("configuration"))
+    if cfg.get("delta.columnMapping.mode", "none") in ("none", "",
+                                                       None):
+        return None
+    out = []
+    for f in json.loads(meta["schemaString"])["fields"]:
+        if not isinstance(f["type"], str):
+            raise DeltaMetaError(
+                f"column mapping on nested column {f['name']!r} is "
+                "unsupported: inner field names would stay physical in "
+                "the encoded output")
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaMetaError(
+                f"column-mapped table lacks physicalName metadata for "
+                f"{f['name']!r}")
+        fid = md.get("delta.columnMapping.id")
+        out.append({"logical": f["name"], "physical": phys,
+                    "id": int(fid) if fid is not None else None})
+    return out
 
 
 # ---------------------------------------------------------------------
@@ -527,9 +559,16 @@ def snapshot_scan(table_dir: str, version: int | None = None,
     """
     st = _replay(table_dir, version)
     pcols = st["metaData"].get("partitionColumns") or []
+    renames = column_renames(st["metaData"])
+    # column-mapped tables key add.partitionValues by PHYSICAL name
+    # while metaData.partitionColumns stays logical — translate back
+    # (tolerantly: an unmapped key passes through, covering writers
+    # that recorded logical keys)
+    log_of_phys = {r["physical"]: r["logical"] for r in (renames or [])}
     files, deletes, pvals = [], {}, {}
     for (raw_path, _), add in sorted(st["adds"].items()):
-        pv = _as_map(add.get("partitionValues"))
+        pv = {log_of_phys.get(k, k): v
+              for k, v in _as_map(add.get("partitionValues")).items()}
         if partition_filter and not _part_match(pv, partition_filter):
             continue
         ap = _resolve_path(table_dir, raw_path)
@@ -542,7 +581,8 @@ def snapshot_scan(table_dir: str, version: int | None = None,
     return {"version": st["version"], "data_files": files,
             "row_deletes": deletes, "partition_values": pvals,
             "partition_columns": list(pcols),
-            "schema_string": st["metaData"].get("schemaString")}
+            "schema_string": st["metaData"].get("schemaString"),
+            "column_renames": renames}
 
 
 def snapshot_scan_diff(table_dir: str, from_version: int,
@@ -593,7 +633,8 @@ def snapshot_scan_diff(table_dir: str, from_version: int,
             "row_deletes_full": b["row_deletes"],
             "partition_values_full": b["partition_values"],
             "partition_columns": b["partition_columns"],
-            "schema_string": b["schema_string"]}
+            "schema_string": b["schema_string"],
+            "column_renames": b["column_renames"]}
 
 
 # Delta logical type -> encode_path const_schema type for partition
@@ -683,7 +724,10 @@ def write_delta_fixture(table_dir: str, tables: list,
                         dv_magic: bytes = DELTA_DV_MAGIC,
                         min_reader: int | None = None,
                         reader_features: list[str] | None = None,
-                        configuration: dict | None = None) -> str:
+                        configuration: dict | None = None,
+                        column_mapping: str | None = None,
+                        physical_names: list[str] | None = None,
+                        field_ids: list[int] | None = None) -> str:
     """Spec-shaped Delta table over ``tables`` (pyarrow Tables written
     as the data files). ``commits``: list of per-version dicts —
     ``{"add": [idx, ...]}``, ``{"remove": [idx, ...]}``, ``{"dv": {idx:
@@ -695,8 +739,14 @@ def write_delta_fixture(table_dir: str, tables: list,
     ``checkpoint_parts`` files when >1) + ``_last_checkpoint``;
     ``drop_json_upto`` then deletes JSON commits ≤ that version to
     prove replay really uses it. ``partition_values``: {table idx:
-    {col: str|None}}. Everything goes through ``fsutil`` so the
-    fixture works on mock-s3 too."""
+    {col: str|None}}. ``column_mapping`` ('name' | 'id') writes a
+    column-mapped layout: data files carry PHYSICAL column names
+    (default ``col-<i+1>``, override with ``physical_names``) with
+    parquet field ids (default 1..n, override with ``field_ids`` —
+    e.g. to test id-over-name precedence), and the logical
+    schemaString carries the mapping metadata. Everything goes
+    through ``fsutil`` so the fixture works on mock-s3 too."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     import io as _io
 
@@ -704,6 +754,19 @@ def write_delta_fixture(table_dir: str, tables: list,
     fsutil.makedirs_any(f"{base}/_delta_log")
     names = file_names or [f"part-{i:05d}.parquet"
                            for i in range(len(tables))]
+    logical_schema = tables[0].schema
+    cm_fields = None
+    if column_mapping:
+        phys = physical_names or [
+            f"col-{i + 1}" for i in range(len(logical_schema))]
+        fids = field_ids or list(range(1, len(logical_schema) + 1))
+        pfields = [
+            pa.field(p, f.type,
+                     metadata={b"PARQUET:field_id": str(i).encode()})
+            for p, i, f in zip(phys, fids, logical_schema)]
+        tables = [t.rename_columns(phys).cast(pa.schema(pfields))
+                  for t in tables]
+        cm_fields = list(zip(phys, fids))
     abs_paths = []
     for t, n in zip(tables, names):
         sink = _io.BytesIO()
@@ -714,20 +777,48 @@ def write_delta_fixture(table_dir: str, tables: list,
     if commits is None:
         commits = [{"add": list(range(len(tables)))}]
     if min_reader is None:
-        min_reader = 3 if any("dv" in c for c in commits) else 1
+        min_reader = (3 if any("dv" in c for c in commits)
+                      else 2 if column_mapping else 1)
     if reader_features is None and min_reader >= 3:
-        reader_features = ["deletionVectors"]
+        reader_features = ["deletionVectors"] + (
+            ["columnMapping"] if column_mapping else [])
 
-    schema_string = _schema_string_of(tables[0].schema)
+    schema_string = _schema_string_of(logical_schema)
+    if column_mapping:
+        sch = json.loads(schema_string)
+        for f, (p, i) in zip(sch["fields"], cm_fields):
+            f["metadata"] = {"delta.columnMapping.id": i,
+                             "delta.columnMapping.physicalName": p}
+        schema_string = json.dumps(sch)
+        configuration = dict(configuration or {})
+        configuration.setdefault("delta.columnMapping.mode",
+                                 column_mapping)
+        configuration.setdefault(
+            "delta.columnMapping.maxColumnId",
+            str(max(i for _, i in cm_fields)))
+    phys_part: dict[str, str] = {}
     if partition_columns:
         # real writers put partition columns in the LOGICAL schema even
-        # though they are absent from the data files
+        # though they are absent from the data files; under column
+        # mapping they get physical names + ids too, and add-action
+        # partitionValues are keyed by the PHYSICAL name
         sch = json.loads(schema_string)
-        sch["fields"] += [
-            {"name": c, "type": (partition_types or {}).get(c, "string"),
-             "nullable": True, "metadata": {}}
-            for c in partition_columns
-            if c not in {f["name"] for f in sch["fields"]}]
+        next_id = len(sch["fields"]) + 1
+        for j, c in enumerate(partition_columns):
+            if c in {f["name"] for f in sch["fields"]}:
+                continue
+            md = {}
+            if column_mapping:
+                phys_part[c] = f"p-{j + 1}"
+                md = {"delta.columnMapping.id": next_id + j,
+                      "delta.columnMapping.physicalName": phys_part[c]}
+            sch["fields"].append(
+                {"name": c,
+                 "type": (partition_types or {}).get(c, "string"),
+                 "nullable": True, "metadata": md})
+        if column_mapping:
+            configuration["delta.columnMapping.maxColumnId"] = str(
+                next_id + len(partition_columns) - 1)
         schema_string = json.dumps(sch)
     meta = {"id": "00000000-0000-0000-0000-00000000beef",
             "format": {"provider": "parquet", "options": {}},
@@ -742,7 +833,9 @@ def write_delta_fixture(table_dir: str, tables: list,
         proto["writerFeatures"] = list(reader_features or [])
 
     def _pv(idx: int) -> dict:
-        return (partition_values or {}).get(idx, {})
+        pv = (partition_values or {}).get(idx, {})
+        # column-mapped tables key partitionValues by physical name
+        return {phys_part.get(k, k): v for k, v in pv.items()}
 
     def _add_action(idx: int, dv: dict | None) -> dict:
         a = {"path": quote(names[idx]), "partitionValues": _pv(idx),

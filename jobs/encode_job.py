@@ -149,6 +149,7 @@ def main() -> int:
     const_columns = None
     const_schema = None
     verify_const_columns = None
+    column_renames = None
     if args.iceberg:
         from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
         pf = None
@@ -201,6 +202,7 @@ def main() -> int:
             input_files = scan["data_files"]
             row_deletes = scan["row_deletes"] or None
             verify_row_deletes = scan["row_deletes_full"] or None
+            column_renames = scan["column_renames"]
             if args.inject_partitions:
                 const_columns, const_schema = \
                     delta_meta.partition_const_columns(scan)
@@ -217,6 +219,7 @@ def main() -> int:
             input_files = scan["data_files"]
             row_deletes = scan["row_deletes"] or None
             verify_row_deletes = row_deletes
+            column_renames = scan["column_renames"]
             if args.inject_partitions:
                 const_columns, const_schema = \
                     delta_meta.partition_const_columns(scan)
@@ -261,7 +264,8 @@ def main() -> int:
         bad_record_threshold=args.bad_record_threshold,
         meta_mode=args.meta_mode, entropy=args.entropy,
         row_deletes=row_deletes, eq_deletes=eq_deletes,
-        const_columns=const_columns, const_schema=const_schema)
+        const_columns=const_columns, const_schema=const_schema,
+        column_renames=column_renames)
     totals["total_wall_s"] = time.perf_counter() - t0
     if vacuum_result is not None:
         totals["vacuum"] = vacuum_result
@@ -281,7 +285,8 @@ def main() -> int:
             row_deletes=verify_row_deletes,
             eq_deletes=verify_eq_deletes,
             const_columns=verify_const_columns,
-            const_schema=const_schema)
+            const_schema=const_schema,
+            column_renames=column_renames)
     elif args.verify:
         if verify_row_deletes or verify_eq_deletes:
             raise SystemExit(

@@ -247,22 +247,24 @@ def test_reader_version_above_3_refuses(tmp_path):
         dm.snapshot_scan(d)
 
 
-def test_column_mapping_mode_refuses(tmp_path):
+def test_column_mapping_unknown_mode_refuses(tmp_path):
     t1, _ = _tabs()
     d = str(tmp_path / "t")
     dm.write_delta_fixture(
         d, [t1], min_reader=3,
         reader_features=["columnMapping"],
-        configuration={"delta.columnMapping.mode": "name"})
-    with pytest.raises(dm.DeltaMetaError, match="column mapping"):
+        configuration={"delta.columnMapping.mode": "weird"})
+    with pytest.raises(dm.DeltaMetaError, match="unknown column "
+                                                "mapping"):
         dm.snapshot_scan(d)
-    # feature present but mode none -> fine
+    # feature present but mode none -> fine, no rename plan
     d2 = str(tmp_path / "t2")
     dm.write_delta_fixture(d2, [t1], min_reader=3,
                            reader_features=["columnMapping"],
                            configuration={"delta.columnMapping.mode":
                                           "none"})
-    assert len(dm.snapshot_scan(d2)["data_files"]) == 1
+    s = dm.snapshot_scan(d2)
+    assert len(s["data_files"]) == 1 and s["column_renames"] is None
 
 
 # ---------------------------------------------------------------------
@@ -426,3 +428,158 @@ def test_delta_dv_encode_end_to_end(spark, tokens_path, tmp_path):
                              row_deletes=scan["row_deletes"])
     assert vf["ok"] and vf["rows_compared"] == n_rows - 6
     assert not verify.verify_files(spark, out)["ok"]
+
+
+# ---------------------------------------------------------------------
+# Column mapping (modes name / id)
+# ---------------------------------------------------------------------
+
+def test_column_mapping_scan_returns_renames(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], column_mapping="name")
+    s = dm.snapshot_scan(d)
+    assert s["column_renames"] == [
+        {"logical": "doc_id", "physical": "col-1", "id": 1},
+        {"logical": "n", "physical": "col-2", "id": 2}]
+    # the data files really carry physical names
+    assert pq.read_schema(s["data_files"][0]).names == ["col-1",
+                                                        "col-2"]
+    # unmapped table returns None
+    d2 = str(tmp_path / "plain")
+    dm.write_delta_fixture(d2, [t1])
+    assert dm.snapshot_scan(d2)["column_renames"] is None
+
+
+def test_column_mapping_encode_end_to_end(spark, tmp_path):
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1, t2], column_mapping="name",
+                           commits=[{"add": [0, 1]},
+                                    {"dv": {0: [1]}}])
+    s = dm.snapshot_scan(d)
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    out = str(tmp_path / "enc")
+    totals = pipeline.encode_path(
+        spark, d, out, input_files=s["data_files"],
+        row_deletes=s["row_deletes"],
+        column_renames=s["column_renames"])
+    assert totals["n_rows"] == 5  # 6 rows - 1 DV-deleted
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id", "n"],
+        "doc_id string, n int")
+    got = sorted((r.doc_id, r.n) for r in dec.collect())
+    assert got == [("a", 1), ("c", 3), ("d", 4), ("e", 5), ("f", 6)]
+    vf = verify.verify_files(spark, out, row_deletes=s["row_deletes"],
+                             column_renames=s["column_renames"])
+    assert vf["ok"] and vf["rows_compared"] == 5
+    # without the rename plan the source columns don't exist -> fails
+    bad = verify.verify_files(spark, out, row_deletes=s["row_deletes"])
+    assert not bad["ok"]
+
+
+def test_column_mapping_logical_projection(spark, tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], column_mapping="id")
+    s = dm.snapshot_scan(d)
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    out = str(tmp_path / "enc")
+    pipeline.encode_path(spark, d, out, input_files=s["data_files"],
+                         columns=["n"],
+                         column_renames=s["column_renames"])
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["n"], "n int")
+    assert sorted(r.n for r in dec.collect()) == [1, 2, 3, 4]
+
+
+def test_column_mapping_id_beats_physical_name(spark, tmp_path):
+    """mode=id: resolution must go through the parquet field ids, so a
+    physically-renamed data file (stale physicalName metadata) still
+    maps correctly."""
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], column_mapping="id")
+    # make the schemaString's physicalName stale/wrong; ids stay right
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(log)]
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                f["metadata"]["delta.columnMapping.physicalName"] = \
+                    "stale-" + f["metadata"][
+                        "delta.columnMapping.physicalName"]
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    open(log, "w").write("\n".join(json.dumps(a) for a in lines))
+    s = dm.snapshot_scan(d)
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    out = str(tmp_path / "enc")
+    pipeline.encode_path(spark, d, out, input_files=s["data_files"],
+                         column_renames=s["column_renames"])
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id", "n"],
+        "doc_id string, n int")
+    assert sorted((r.doc_id, r.n) for r in dec.collect()) == \
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+
+
+def test_column_mapping_unmapped_physical_column_fails(spark,
+                                                       tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], column_mapping="name")
+    # drop one field from the logical schema: its physical column in
+    # the data file is now unmapped -> the encode task must refuse
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(log)]
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"] = sch["fields"][:1]
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    open(log, "w").write("\n".join(json.dumps(a) for a in lines))
+    s = dm.snapshot_scan(d)
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    with pytest.raises(RuntimeError, match="no entry|failed"):
+        pipeline.encode_path(spark, d, str(tmp_path / "enc"),
+                             input_files=s["data_files"],
+                             column_renames=s["column_renames"])
+
+
+def test_column_mapping_nested_refuses(tmp_path):
+    t1, _ = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1], column_mapping="name")
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(log)]
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][1]["type"] = {
+                "type": "array", "elementType": "integer",
+                "containsNull": True}
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    open(log, "w").write("\n".join(json.dumps(a) for a in lines))
+    with pytest.raises(dm.DeltaMetaError, match="nested"):
+        dm.snapshot_scan(d)
+
+
+def test_column_mapping_partition_values_physical_keys(tmp_path):
+    """Column-mapped partitioned table: add.partitionValues are keyed
+    by PHYSICAL name in the log; the scan translates back to logical
+    for pruning and const injection."""
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(
+        d, [t1, t2], column_mapping="name",
+        partition_columns=["src"],
+        partition_values={0: {"src": "web"}, 1: {"src": "book"}})
+    raw = open(os.path.join(d, "_delta_log", f"{0:020d}.json")).read()
+    assert '"p-1": "web"' in raw  # physically keyed on disk
+    s = dm.snapshot_scan(d, partition_filter={"src": "web"})
+    assert len(s["data_files"]) == 1
+    assert s["partition_values"][s["data_files"][0]] == {"src": "web"}
+    cc, cs = dm.partition_const_columns(dm.snapshot_scan(d))
+    assert cs == {"src": "string"}
+    assert sorted(v["src"] for v in cc.values()) == ["book", "web"]
