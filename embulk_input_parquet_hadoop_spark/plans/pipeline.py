@@ -275,6 +275,7 @@ _CONST_TYPES = {
     "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
     "int64": pa.int64(), "float32": pa.float32(),
     "float64": pa.float64(), "date32": pa.date32(),
+    "timestamp_us": pa.timestamp("us"),
 }
 
 

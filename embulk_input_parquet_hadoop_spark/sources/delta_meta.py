@@ -644,6 +644,9 @@ _PART_TYPE_MAP = {
     "integer": "int32", "long": "int64", "short": "int16",
     "byte": "int8", "string": "string", "boolean": "bool",
     "double": "float64", "float": "float32", "date": "date32",
+    # the log serializes both as "{y}-{m}-{d} {h}:{m}:{s}[.micros]",
+    # which the in-task string->timestamp cast parses
+    "timestamp": "timestamp_us", "timestampNtz": "timestamp_us",
 }
 
 
@@ -654,7 +657,7 @@ def partition_const_columns(scan: dict) -> tuple[dict, dict]:
     in the data files) as typed per-file constants so the encoded tree
     serves them like any other column. Values parse from the log's
     string serialization through the table schema's logical types;
-    timestamp/decimal/nested partition types refuse (no unambiguous
+    decimal/binary/nested partition types refuse (no unambiguous
     string parse here — partition on simpler types or pre-join).
     Constant columns RLE to one run per chunk, so storage cost is nil.
     """

@@ -110,9 +110,9 @@ def test_delta_partition_injection_end_to_end(spark, tokens_path,
 def test_delta_partition_unsupported_type_refuses(tmp_path):
     t = pa.table({"doc_id": ["a"], "n": pa.array([1], pa.int32())})
     d = str(tmp_path / "t")
-    dm.write_delta_fixture(d, [t], partition_columns=["ts"],
-                           partition_types={"ts": "timestamp"},
-                           partition_values={0: {"ts": "2024"}})
+    dm.write_delta_fixture(d, [t], partition_columns=["amt"],
+                           partition_types={"amt": "decimal(10,2)"},
+                           partition_values={0: {"amt": "12.50"}})
     with pytest.raises(dm.DeltaMetaError, match="unsupported type"):
         dm.partition_const_columns(dm.snapshot_scan(d))
 
@@ -175,3 +175,28 @@ def test_hive_inconsistent_keys_raise(tokens_path, tmp_path):
                        os.path.join(d, os.path.basename(f)))
     with pytest.raises(ValueError, match="inconsistent"):
         tbl.hive_partitioned_files(root)
+
+
+def test_delta_timestamp_partition_injection(spark, tmp_path):
+    t = pa.table({"doc_id": ["a", "b"],
+                  "n": pa.array([1, 2], pa.int32())})
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(
+        d, [t], partition_columns=["ts"],
+        partition_types={"ts": "timestamp"},
+        partition_values={0: {"ts": "2024-03-04 05:06:07.123456"}})
+    scan = dm.snapshot_scan(d)
+    cc, cs = dm.partition_const_columns(scan)
+    assert cs == {"ts": "timestamp_us"}
+    out = str(tmp_path / "enc")
+    pipeline.encode_path(spark, d, out, input_files=scan["data_files"],
+                         const_columns=cc, const_schema=cs)
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id", "ts"],
+        "doc_id string, ts timestamp_ntz")
+    rows = dec.collect()
+    assert len(rows) == 2
+    assert all(r.ts == datetime.datetime(2024, 3, 4, 5, 6, 7, 123456)
+               for r in rows)
+    assert verify.verify_files(spark, out, const_columns=cc,
+                               const_schema=cs)["ok"]

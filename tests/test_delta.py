@@ -583,3 +583,67 @@ def test_column_mapping_partition_values_physical_keys(tmp_path):
     cc, cs = dm.partition_const_columns(dm.snapshot_scan(d))
     assert cs == {"src": "string"}
     assert sorted(v["src"] for v in cc.values()) == ["book", "web"]
+
+
+# ---------------------------------------------------------------------
+# Replay reconciliation fuzz (model-based)
+# ---------------------------------------------------------------------
+
+def test_replay_fuzz_vs_model(tmp_path):
+    """Random add/remove/dv commit sequences: the scan's live file set
+    + DV contents must equal a trivial dict model, and compacting any
+    prefix into a checkpoint must not change the answer."""
+    import random
+    rng = random.Random(20260820)
+    t1, t2 = _tabs()
+    tabs = [t1, t2, t1, t2]
+    for trial in range(12):
+        n = len(tabs)
+        live: dict[int, list[int] | None] = {}   # model: idx -> dv
+        commits = []
+        for _ in range(rng.randint(1, 7)):
+            c = {}
+            op = rng.random()
+            absent = [i for i in range(n) if i not in live]
+            present = sorted(live)
+            if op < 0.45 and absent:
+                picks = rng.sample(absent, rng.randint(
+                    1, min(2, len(absent))))
+                c["add"] = picks
+                for i in picks:
+                    live[i] = None
+            elif op < 0.7 and present:
+                i = rng.choice(present)
+                c["remove"] = [i]
+                del live[i]
+            elif present:
+                i = rng.choice(present)
+                pos = sorted(rng.sample(range(tabs[i].num_rows),
+                                        rng.randint(0, tabs[i].num_rows)))
+                c["dv"] = {i: pos}
+                live[i] = pos or None
+            if c:
+                commits.append(c)
+        if not commits:
+            continue
+        d = str(tmp_path / f"fz{trial}")
+        dm.write_delta_fixture(d, tabs, commits=commits,
+                               dv_storage="p")
+        ck = rng.randint(0, len(commits) - 1)
+        d2 = str(tmp_path / f"fzc{trial}")
+        dm.write_delta_fixture(d2, tabs, commits=commits,
+                               dv_storage="p", checkpoint_at=ck,
+                               drop_json_upto=ck)
+
+        def state(scan):
+            out = {}
+            for f in scan["data_files"]:
+                idx = int(os.path.basename(f)[5:10])
+                descs = scan["row_deletes"].get(f)
+                out[idx] = (list(dm.read_dv_positions(descs[0]))
+                            if descs else None)
+            return out
+
+        want = {i: (list(v) if v else None) for i, v in live.items()}
+        assert state(dm.snapshot_scan(d)) == want, (trial, commits)
+        assert state(dm.snapshot_scan(d2)) == want, (trial, ck, commits)
