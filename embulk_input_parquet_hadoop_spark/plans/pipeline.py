@@ -754,9 +754,8 @@ def make_encode_files_fn(wave_id: int, wave_dir: str,
                                 break
                             n_read = batch.num_rows
                             if column_renames:
-                                batch = batch.rename_columns(
-                                    _logical_names(batch.schema,
-                                                   column_renames))
+                                batch = rename_batch(batch,
+                                                     column_renames)
                             if del_pos is not None:
                                 # apply position deletes for this batch's
                                 # file-absolute row range [off, off+n)
@@ -989,21 +988,20 @@ def encode_df(spark: SparkSession, df: DataFrame, out_dir: str,
     return spark.read.parquet(wave_path)
 
 
-def _logical_names(schema: "pa.Schema",
-                   renames: list[dict]) -> list[str]:
-    """LOGICAL name per physical field of ``schema``, from a
-    column-mapping rename plan ([{"logical", "physical", "id"}],
+def _resolve_fields(fields, renames: list[dict]) -> list[dict]:
+    """Rename-plan entry per physical field (``fields``: a pa.Schema or
+    pa.StructType — any iterable of pa.Field), from a column-mapping
+    plan ([{"logical", "physical", "id", "children"?}],
     ``delta_meta.column_renames``). A field resolves by its parquet
     FIELD ID when both sides carry one (the mode=id rule — survives
     physical renames), else by physical name. A physical column the
     plan doesn't cover fails loudly: it is not part of the table's
     schema, and silently passing its physical name through would serve
     a column the table doesn't have."""
-    by_id = {r["id"]: r["logical"] for r in renames
-             if r.get("id") is not None}
-    by_phys = {r["physical"]: r["logical"] for r in renames}
+    by_id = {r["id"]: r for r in renames if r.get("id") is not None}
+    by_phys = {r["physical"]: r for r in renames}
     out = []
-    for f in schema:
+    for f in fields:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None and int(fid) in by_id:
             out.append(by_id[int(fid)])
@@ -1014,12 +1012,85 @@ def _logical_names(schema: "pa.Schema",
                 f"physical column {f.name!r} (field id {fid}) has no "
                 "entry in the column-mapping plan — a foreign or "
                 "stale data file?")
-    dupes = {n for n in out if out.count(n) > 1}
+    names = [r["logical"] for r in out]
+    dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(
             f"column-mapping plan resolves multiple physical columns "
             f"to the same logical name(s) {sorted(dupes)}")
     return out
+
+
+def _logical_names(schema: "pa.Schema",
+                   renames: list[dict]) -> list[str]:
+    """LOGICAL name per physical top-level field (see
+    ``_resolve_fields`` for the resolution rule)."""
+    return [r["logical"] for r in _resolve_fields(schema, renames)]
+
+
+def _logical_type(t: "pa.DataType", plan: dict | None) -> "pa.DataType":
+    """The LOGICAL Arrow type for a physical nested type ``t`` under a
+    recursive rename plan (``delta_meta._rename_plan_type`` shape).
+    Same memory layout as ``t`` — only struct field names change — so
+    the conversion is a zero-copy ``Array.view``. ``plan`` None means
+    nothing below needs renaming."""
+    if plan is None:
+        return t
+    kind = plan["kind"]
+    if kind == "struct":
+        if not pa.types.is_struct(t):
+            raise ValueError(
+                f"column-mapping plan expects a struct, data file has "
+                f"{t}")
+        entries = _resolve_fields(t, plan["fields"])
+        return pa.struct([
+            pa.field(r["logical"],
+                     _logical_type(f.type, r.get("children")),
+                     f.nullable)
+            for f, r in zip(t, entries)])
+    if kind == "array":
+        if not (pa.types.is_list(t) or pa.types.is_large_list(t)
+                or pa.types.is_fixed_size_list(t)):
+            raise ValueError(
+                f"column-mapping plan expects a list, data file has "
+                f"{t}")
+        vf = t.value_field.with_type(
+            _logical_type(t.value_type, plan["element"]))
+        if pa.types.is_large_list(t):
+            return pa.large_list(vf)
+        if pa.types.is_fixed_size_list(t):
+            return pa.list_(vf, t.list_size)
+        return pa.list_(vf)
+    if kind == "map":
+        if not pa.types.is_map(t):
+            raise ValueError(
+                f"column-mapping plan expects a map, data file has "
+                f"{t}")
+        return pa.map_(
+            t.key_field.with_type(
+                _logical_type(t.key_type, plan["key"])),
+            t.item_field.with_type(
+                _logical_type(t.item_type, plan["value"])),
+            t.keys_sorted)
+    raise ValueError(f"unknown rename-plan kind {kind!r}")
+
+
+def rename_batch(batch: "pa.RecordBatch",
+                 renames: list[dict]) -> "pa.RecordBatch":
+    """Physical->logical batch rename under a column-mapping plan:
+    top-level names always, nested struct fields via a zero-copy
+    ``view`` to the renamed type (field-id resolution at every struct
+    level). Shared by the encode task and ``verify_files`` so both
+    sides serve the table's logical schema."""
+    entries = _resolve_fields(batch.schema, renames)
+    cols, fields = [], []
+    for f, col, r in zip(batch.schema, batch.columns, entries):
+        nt = _logical_type(f.type, r.get("children"))
+        if nt != f.type:
+            col = col.view(nt)
+        cols.append(col)
+        fields.append(pa.field(r["logical"], nt, f.nullable))
+    return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
 
 
 def _physical_columns(schema: "pa.Schema", renames: list[dict],

@@ -158,8 +158,7 @@ def _source_batches(path: str, batch_rows: int, columns: list[str],
                 continue
             rows_read += n_read
             if column_renames:
-                batch = batch.rename_columns(pipeline._logical_names(
-                    batch.schema, column_renames))
+                batch = pipeline.rename_batch(batch, column_renames)
             if consts:
                 for nm, arr in pipeline._const_arrays(
                         consts, batch.num_rows, const_schema or {}):

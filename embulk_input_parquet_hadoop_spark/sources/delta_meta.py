@@ -19,9 +19,12 @@ Formats implemented (all public):
 - Checkpoints: ``_last_checkpoint`` + classic single-file
   ``%020d.checkpoint.parquet`` and multi-part
   ``%020d.checkpoint.%010d.%010d.parquet`` (one column struct per
-  action type, exactly one non-null per row). UUID-named v2
-  checkpoints are NOT read — a table that *requires* one refuses
-  loudly (a complete JSON chain back to version 0 is still replayed).
+  action type, exactly one non-null per row), plus UUID-named v2
+  checkpoints ``%020d.checkpoint.<uuid>.{json|parquet}`` — the
+  ``checkpointMetadata`` action is validated against the file name
+  and ``sidecar`` actions pull add/remove from
+  ``_delta_log/_sidecars/`` parquet files. A classic checkpoint at
+  the same version wins (no extra reads).
 - Action reconciliation: state keyed by ``(path, dv uniqueId)``;
   ``add`` upserts, ``remove`` deletes; latest ``metaData`` /
   ``protocol`` win. Replay = newest checkpoint ≤ target, then JSON
@@ -93,8 +96,7 @@ DV_DESC_PREFIX = "deltadv:"
 
 _SUPPORTED_READER_FEATURES = {
     "deletionVectors", "timestampNtz", "vacuumProtocolCheck",
-    "v2Checkpoint",  # tolerated: we refuse only if a v2 checkpoint
-                     # must actually be READ (see _pick_checkpoint)
+    "v2Checkpoint",  # read natively (checkpointMetadata + sidecars)
     "columnMapping",  # modes name/id supported via column_renames()
 }
 
@@ -285,7 +287,7 @@ def _list_log(table_dir: str) -> dict:
         raise DeltaMetaError(f"no _delta_log under {table_dir}")
     jsons: set[int] = set()
     ckpts: dict[int, list[str]] = {}
-    v2_only: set[int] = set()
+    v2: dict[int, list[str]] = {}
     parts: dict[int, dict[int, tuple[int, str]]] = {}
     for n in names:
         m = _RE_JSON.match(n)
@@ -304,15 +306,14 @@ def _list_log(table_dir: str) -> dict:
             continue
         m = _RE_CKPT_V2.match(n)
         if m:
-            v2_only.add(int(m.group(1)))
+            v2.setdefault(int(m.group(1)), []).append(f"{log}/{n}")
     for v, pmap in parts.items():
         totals = {t for t, _ in pmap.values()}
         if len(totals) == 1 and set(pmap) == set(
                 range(1, next(iter(totals)) + 1)):
             ckpts.setdefault(v, [p for _, p in sorted(
                 (k, pth) for k, (_, pth) in pmap.items())])
-    v2_only -= set(ckpts)
-    return {"jsons": jsons, "checkpoints": ckpts, "v2_only": v2_only}
+    return {"jsons": jsons, "checkpoints": ckpts, "v2": v2}
 
 
 def snapshot_versions(table_dir: str) -> list[int]:
@@ -321,7 +322,7 @@ def snapshot_versions(table_dir: str) -> list[int]:
     or JSON is contiguous from 0)."""
     lst = _list_log(table_dir)
     out = []
-    hi = max(lst["jsons"] | set(lst["checkpoints"]) | lst["v2_only"],
+    hi = max(lst["jsons"] | set(lst["checkpoints"]) | set(lst["v2"]),
              default=-1)
     for v in range(hi + 1):
         try:
@@ -334,32 +335,33 @@ def snapshot_versions(table_dir: str) -> list[int]:
 
 def latest_version(table_dir: str) -> int:
     lst = _list_log(table_dir)
-    vs = lst["jsons"] | set(lst["checkpoints"]) | lst["v2_only"]
+    vs = lst["jsons"] | set(lst["checkpoints"]) | set(lst["v2"])
     if not vs:
         raise DeltaMetaError(f"empty _delta_log under {table_dir}")
     return max(vs)
 
 
 def _pick_checkpoint(lst: dict, version: int) -> tuple[int | None,
-                                                       list[str]]:
-    """(checkpoint version | None, checkpoint files) such that JSON
-    commits (ckpt, version] are all present; None = replay from 0."""
-    usable = [v for v in lst["checkpoints"] if v <= version]
+                                                       list[str],
+                                                       bool]:
+    """(checkpoint version | None, checkpoint files, is_v2) such that
+    JSON commits (ckpt, version] are all present; None = replay from
+    0. Classic checkpoints win over a v2 one at the same version (both
+    are complete; classic has no extra reads). Several uuid-named v2
+    files at one version are each complete per spec — the
+    lexicographically greatest is picked, deterministically."""
+    usable = [v for v in (set(lst["checkpoints"]) | set(lst["v2"]))
+              if v <= version]
     for cv in sorted(usable, reverse=True):
         if all(j in lst["jsons"] for j in range(cv + 1, version + 1)):
-            return cv, lst["checkpoints"][cv]
+            if cv in lst["checkpoints"]:
+                return cv, lst["checkpoints"][cv], False
+            return cv, [sorted(lst["v2"][cv])[-1]], True
     if all(j in lst["jsons"] for j in range(0, version + 1)):
-        return None, []
-    blockers = sorted(v for v in lst["v2_only"] if v <= version)
-    if blockers:
-        raise DeltaMetaError(
-            f"version {version} is only reachable through a v2 "
-            f"(uuid-named) checkpoint at version {blockers[-1]}; v2 "
-            "checkpoints (sidecar layout) are not supported — keep a "
-            "classic checkpoint or the full JSON chain")
+        return None, [], False
     raise DeltaMetaError(
         f"cannot reconstruct version {version}: missing JSON commits "
-        "and no usable classic checkpoint ≤ it")
+        "and no usable checkpoint ≤ it")
 
 
 # ---------------------------------------------------------------------
@@ -384,28 +386,76 @@ def _as_map(v) -> dict:
     return dict(v)
 
 
+def _ckpt_parquet_actions(f: str, wanted: tuple[str, ...]) \
+        -> list[dict]:
+    """Checkpoint/sidecar parquet rows → the same action dicts JSON
+    commits carry (one non-null struct per row; extra columns
+    ignored)."""
+    actions: list[dict] = []
+    cols = [c for c in wanted
+            if c in fsutil.parquet_file(f).schema_arrow.names]
+    tab = fsutil.read_parquet(f, columns=cols)
+    data = {c: tab.column(c).to_pylist() for c in cols}
+    for i in range(tab.num_rows):
+        for c in cols:
+            v = data[c][i]
+            if v is None:
+                continue
+            if c in ("add", "remove") and v.get(
+                    "partitionValues") is not None:
+                v = dict(v)
+                v["partitionValues"] = _as_map(v["partitionValues"])
+            if c == "metaData":
+                v = dict(v)
+                v["configuration"] = _as_map(v.get("configuration"))
+            actions.append({c: v})
+    return actions
+
+
 def _read_checkpoint(files: list[str]) -> list[dict]:
-    """Checkpoint parquet rows → the same action dicts JSON commits
-    carry (one non-null struct per row; extra columns ignored)."""
+    """Classic checkpoint (single or multi-part parquet)."""
     actions: list[dict] = []
     for f in files:
-        cols = [c for c in ("add", "remove", "metaData", "protocol")
-                if c in fsutil.parquet_file(f).schema_arrow.names]
-        tab = fsutil.read_parquet(f, columns=cols)
-        data = {c: tab.column(c).to_pylist() for c in cols}
-        for i in range(tab.num_rows):
-            for c in cols:
-                v = data[c][i]
-                if v is None:
-                    continue
-                if c in ("add", "remove") and v.get(
-                        "partitionValues") is not None:
-                    v = dict(v)
-                    v["partitionValues"] = _as_map(v["partitionValues"])
-                if c == "metaData":
-                    v = dict(v)
-                    v["configuration"] = _as_map(v.get("configuration"))
-                actions.append({c: v})
+        actions.extend(_ckpt_parquet_actions(
+            f, ("add", "remove", "metaData", "protocol")))
+    return actions
+
+
+def _read_checkpoint_v2(path: str, log_dir: str,
+                        version: int) -> list[dict]:
+    """V2 (uuid-named) checkpoint: the file itself is JSON lines or
+    parquet, must carry a ``checkpointMetadata`` action whose version
+    matches its file name, and may point at sidecar parquet files
+    (``_delta_log/_sidecars/``) holding the add/remove actions."""
+    wanted = ("add", "remove", "metaData", "protocol",
+              "checkpointMetadata", "sidecar")
+    if path.endswith(".json"):
+        top = [a for a in _read_json_commit(path)
+               if any(k in a for k in wanted)]
+    else:
+        top = _ckpt_parquet_actions(path, wanted)
+    cms = [a["checkpointMetadata"] for a in top
+           if a.get("checkpointMetadata") is not None]
+    if len(cms) != 1:
+        raise DeltaMetaError(
+            f"v2 checkpoint {path!r} carries {len(cms)} "
+            "checkpointMetadata actions (the spec requires exactly 1)")
+    if int(cms[0].get("version", -1)) != version:
+        raise DeltaMetaError(
+            f"v2 checkpoint {path!r} says version "
+            f"{cms[0].get('version')} but is named for {version} — "
+            "corrupt or misplaced file")
+    actions: list[dict] = []
+    for a in top:
+        sc = a.get("sidecar")
+        if sc is not None:
+            raw = sc["path"]
+            sp = (raw if urlparse(raw).scheme or raw.startswith("/")
+                  else f"{log_dir}/_sidecars/{raw}")
+            actions.extend(_ckpt_parquet_actions(
+                sp, ("add", "remove")))
+        elif not a.get("checkpointMetadata"):
+            actions.append(a)
     return actions
 
 
@@ -417,10 +467,10 @@ def _replay(table_dir: str, version: int | None) -> dict:
     lst = _list_log(table_dir)
     if version is None:
         version = max(lst["jsons"] | set(lst["checkpoints"])
-                      | lst["v2_only"], default=-1)
+                      | set(lst["v2"]), default=-1)
         if version < 0:
             raise DeltaMetaError(f"empty _delta_log under {table_dir}")
-    cv, cfiles = _pick_checkpoint(lst, version)
+    cv, cfiles, is_v2 = _pick_checkpoint(lst, version)
     adds: dict[tuple[str, str | None], dict] = {}
     meta = None
     protocol = None
@@ -437,12 +487,13 @@ def _replay(table_dir: str, version: int | None) -> dict:
             elif "protocol" in a and a["protocol"] is not None:
                 protocol = a["protocol"]
 
+    log = _log_dir(table_dir)
     if cv is not None:
-        _apply(_read_checkpoint(cfiles))
+        _apply(_read_checkpoint_v2(cfiles[0], log, cv) if is_v2
+               else _read_checkpoint(cfiles))
         start = cv + 1
     else:
         start = 0
-    log = _log_dir(table_dir)
     for v in range(start, version + 1):
         _apply(_read_json_commit(f"{log}/{v:020d}.json"))
     if protocol is None or meta is None:
@@ -483,38 +534,64 @@ def _check_protocol(protocol: dict, meta: dict) -> None:
             "name, id)")
 
 
+def _rename_plan_type(t) -> dict | None:
+    """Recursive rename plan for a Delta type JSON, or None when
+    nothing below it needs renaming (primitives, and array/map chains
+    of primitives). The mapping metadata lives on STRUCT FIELDS at
+    every nesting level; array elements and map keys/values carry no
+    names of their own, they only recurse."""
+    if isinstance(t, str):
+        return None
+    kind = t.get("type")
+    if kind == "struct":
+        return {"kind": "struct",
+                "fields": [_rename_plan_field(f) for f in t["fields"]]}
+    if kind == "array":
+        el = _rename_plan_type(t["elementType"])
+        return {"kind": "array", "element": el} if el else None
+    if kind == "map":
+        k = _rename_plan_type(t["keyType"])
+        v = _rename_plan_type(t["valueType"])
+        return ({"kind": "map", "key": k, "value": v}
+                if (k or v) else None)
+    raise DeltaMetaError(
+        f"unsupported type {kind!r} under column mapping")
+
+
+def _rename_plan_field(f: dict) -> dict:
+    md = f.get("metadata") or {}
+    phys = md.get("delta.columnMapping.physicalName")
+    if not phys:
+        raise DeltaMetaError(
+            f"column-mapped table lacks physicalName metadata for "
+            f"{f['name']!r}")
+    fid = md.get("delta.columnMapping.id")
+    r = {"logical": f["name"], "physical": phys,
+         "id": int(fid) if fid is not None else None}
+    ch = _rename_plan_type(f["type"])
+    if ch:
+        r["children"] = ch
+    return r
+
+
 def column_renames(meta: dict) -> list[dict] | None:
     """Column-mapping rename plan, or None when the table has no
-    mapping: ``[{"logical", "physical", "id"}]`` per top-level field,
-    from the schemaString's ``delta.columnMapping.physicalName`` /
-    ``delta.columnMapping.id`` metadata. Resolution in the encode task
-    prefers the parquet FIELD ID when both sides carry one (the mode=id
-    rule — it survives physical renames), else the physical name
-    (mode=name). Nested schemas refuse: the mapping applies to inner
-    struct fields too, and the encoder's shred would keep their
-    physical names — serving half-renamed columns would be worse than
-    refusing."""
+    mapping: ``[{"logical", "physical", "id", "children"?}]`` per
+    top-level field, from the schemaString's
+    ``delta.columnMapping.physicalName`` / ``delta.columnMapping.id``
+    metadata. Resolution in the encode task prefers the parquet FIELD
+    ID when both sides carry one (the mode=id rule — it survives
+    physical renames), else the physical name (mode=name). Nested
+    schemas get a recursive ``children`` plan (struct fields rename at
+    every level, field-id resolved per level; array/map levels just
+    recurse) applied zero-copy via an Arrow type ``view`` in the
+    encode task (``pipeline.rename_batch``)."""
     cfg = _as_map(meta.get("configuration"))
     if cfg.get("delta.columnMapping.mode", "none") in ("none", "",
                                                        None):
         return None
-    out = []
-    for f in json.loads(meta["schemaString"])["fields"]:
-        if not isinstance(f["type"], str):
-            raise DeltaMetaError(
-                f"column mapping on nested column {f['name']!r} is "
-                "unsupported: inner field names would stay physical in "
-                "the encoded output")
-        md = f.get("metadata") or {}
-        phys = md.get("delta.columnMapping.physicalName")
-        if not phys:
-            raise DeltaMetaError(
-                f"column-mapped table lacks physicalName metadata for "
-                f"{f['name']!r}")
-        fid = md.get("delta.columnMapping.id")
-        out.append({"logical": f["name"], "physical": phys,
-                    "id": int(fid) if fid is not None else None})
-    return out
+    return [_rename_plan_field(f)
+            for f in json.loads(meta["schemaString"])["fields"]]
 
 
 # ---------------------------------------------------------------------
@@ -697,21 +774,39 @@ def partition_const_columns(scan: dict) -> tuple[dict, dict]:
 # Fixture writer (tests only — spec-shaped layouts, no Delta runtime)
 # ---------------------------------------------------------------------
 
-def _schema_string_of(arrow_schema) -> str:
-    """Minimal Delta schemaString (logical JSON struct) for the fixture
-    writer — primitive name mapping only; tests' tables are flat."""
+def _delta_type_of(t):
+    """Delta type JSON for an arrow type (fixture writer; recursive
+    over struct/list/map, primitive name mapping otherwise)."""
+    import pyarrow as pa
     prim = {"int32": "integer", "int64": "long", "float": "float",
             "double": "double", "string": "string", "large_string":
             "string", "bool": "boolean", "date32[day]": "date",
             "binary": "binary"}
+    if pa.types.is_struct(t):
+        return {"type": "struct",
+                "fields": [{"name": f.name,
+                            "type": _delta_type_of(f.type),
+                            "nullable": True, "metadata": {}}
+                           for f in t]}
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return {"type": "array",
+                "elementType": _delta_type_of(t.value_type),
+                "containsNull": True}
+    if pa.types.is_map(t):
+        return {"type": "map", "keyType": _delta_type_of(t.key_type),
+                "valueType": _delta_type_of(t.item_type),
+                "valueContainsNull": True}
+    return prim.get(str(t), str(t))
 
-    def field(f):
-        t = prim.get(str(f.type), str(f.type))
-        return {"name": f.name, "type": t, "nullable": True,
-                "metadata": {}}
 
+def _schema_string_of(arrow_schema) -> str:
+    """Minimal Delta schemaString (logical JSON struct) for the fixture
+    writer."""
     return json.dumps({"type": "struct",
-                       "fields": [field(f) for f in arrow_schema]})
+                       "fields": [{"name": f.name,
+                                   "type": _delta_type_of(f.type),
+                                   "nullable": True, "metadata": {}}
+                                  for f in arrow_schema]})
 
 
 def write_delta_fixture(table_dir: str, tables: list,
@@ -722,6 +817,9 @@ def write_delta_fixture(table_dir: str, tables: list,
                         file_names: list[str] | None = None,
                         checkpoint_at: int | None = None,
                         checkpoint_parts: int = 1,
+                        checkpoint_v2: bool = False,
+                        v2_sidecars: int = 0,
+                        v2_format: str = "parquet",
                         drop_json_upto: int | None = None,
                         dv_storage: str = "u",
                         dv_magic: bytes = DELTA_DV_MAGIC,
@@ -739,7 +837,11 @@ def write_delta_fixture(table_dir: str, tables: list,
     every table. ``dv_storage``: ``u`` (uuid-named .bin with a 2-char
     prefix dir), ``p`` (absolute path), or ``i`` (inline z85).
     ``checkpoint_at`` writes a classic checkpoint (split into
-    ``checkpoint_parts`` files when >1) + ``_last_checkpoint``;
+    ``checkpoint_parts`` files when >1) + ``_last_checkpoint``; with
+    ``checkpoint_v2=True`` it writes a uuid-named v2 checkpoint
+    instead (``v2_format`` 'parquet' | 'json' top file;
+    ``v2_sidecars`` > 0 moves the add actions into that many
+    ``_sidecars/`` parquet files);
     ``drop_json_upto`` then deletes JSON commits ≤ that version to
     prove replay really uses it. ``partition_values``: {table idx:
     {col: str|None}}. ``column_mapping`` ('name' | 'id') writes a
@@ -758,18 +860,63 @@ def write_delta_fixture(table_dir: str, tables: list,
     names = file_names or [f"part-{i:05d}.parquet"
                            for i in range(len(tables))]
     logical_schema = tables[0].schema
-    cm_fields = None
+    cm_schema_fields = None  # delta field JSONs w/ mapping metadata
+    cm_max_id = 0
     if column_mapping:
         phys = physical_names or [
             f"col-{i + 1}" for i in range(len(logical_schema))]
         fids = field_ids or list(range(1, len(logical_schema) + 1))
-        pfields = [
-            pa.field(p, f.type,
-                     metadata={b"PARQUET:field_id": str(i).encode()})
-            for p, i, f in zip(phys, fids, logical_schema)]
-        tables = [t.rename_columns(phys).cast(pa.schema(pfields))
+        used = list(fids)
+
+        def _alloc() -> int:
+            used.append(max(used) + 1)
+            return used[-1]
+
+        def _cm_type(t):
+            # physical arrow type (renamed struct fields + field ids
+            # at every level) and the matching delta type JSON
+            if pa.types.is_struct(t):
+                pairs = [_cm_field(c) for c in t]
+                return (pa.struct([p for p, _ in pairs]),
+                        {"type": "struct",
+                         "fields": [d for _, d in pairs]})
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                pt, dt = _cm_type(t.value_type)
+                mk = (pa.large_list if pa.types.is_large_list(t)
+                      else pa.list_)
+                return (mk(pa.field("element", pt)),
+                        {"type": "array", "elementType": dt,
+                         "containsNull": True})
+            if pa.types.is_map(t):
+                kt, kd = _cm_type(t.key_type)
+                vt, vd = _cm_type(t.item_type)
+                return (pa.map_(kt, vt),
+                        {"type": "map", "keyType": kd,
+                         "valueType": vd, "valueContainsNull": True})
+            return t, _delta_type_of(t)
+
+        def _cm_field(f, p=None, i=None):
+            i = _alloc() if i is None else i
+            p = p or f"col-{i}"
+            pt, dt = _cm_type(f.type)
+            return (pa.field(p, pt, metadata={
+                        b"PARQUET:field_id": str(i).encode()}),
+                    {"name": f.name, "type": dt, "nullable": True,
+                     "metadata": {
+                         "delta.columnMapping.id": i,
+                         "delta.columnMapping.physicalName": p}})
+
+        cm_pairs = [_cm_field(f, p, i)
+                    for f, p, i in zip(logical_schema, phys, fids)]
+        pschema = pa.schema([p for p, _ in cm_pairs])
+        cm_schema_fields = [d for _, d in cm_pairs]
+        cm_max_id = max(used)
+        # nested struct-field renames change no layout: zero-copy view
+        tables = [pa.Table.from_arrays(
+                      [t.column(j).combine_chunks().view(
+                           pschema.field(j).type)
+                       for j in range(len(pschema))], schema=pschema)
                   for t in tables]
-        cm_fields = list(zip(phys, fids))
     abs_paths = []
     for t, n in zip(tables, names):
         sink = _io.BytesIO()
@@ -788,17 +935,13 @@ def write_delta_fixture(table_dir: str, tables: list,
 
     schema_string = _schema_string_of(logical_schema)
     if column_mapping:
-        sch = json.loads(schema_string)
-        for f, (p, i) in zip(sch["fields"], cm_fields):
-            f["metadata"] = {"delta.columnMapping.id": i,
-                             "delta.columnMapping.physicalName": p}
-        schema_string = json.dumps(sch)
+        schema_string = json.dumps({"type": "struct",
+                                    "fields": cm_schema_fields})
         configuration = dict(configuration or {})
         configuration.setdefault("delta.columnMapping.mode",
                                  column_mapping)
-        configuration.setdefault(
-            "delta.columnMapping.maxColumnId",
-            str(max(i for _, i in cm_fields)))
+        configuration.setdefault("delta.columnMapping.maxColumnId",
+                                 str(cm_max_id))
     phys_part: dict[str, str] = {}
     if partition_columns:
         # real writers put partition columns in the LOGICAL schema even
@@ -806,7 +949,8 @@ def write_delta_fixture(table_dir: str, tables: list,
         # mapping they get physical names + ids too, and add-action
         # partitionValues are keyed by the PHYSICAL name
         sch = json.loads(schema_string)
-        next_id = len(sch["fields"]) + 1
+        next_id = (cm_max_id if column_mapping
+                   else len(sch["fields"])) + 1
         for j, c in enumerate(partition_columns):
             if c in {f["name"] for f in sch["fields"]}:
                 continue
@@ -909,20 +1053,21 @@ def write_delta_fixture(table_dir: str, tables: list,
             ("\n".join(json.dumps(a) for a in actions) + "\n").encode())
 
     if checkpoint_at is not None:
-        _write_checkpoint(base, all_versions, checkpoint_at,
-                          checkpoint_parts)
+        if checkpoint_v2:
+            _write_checkpoint_v2(base, all_versions, checkpoint_at,
+                                 v2_sidecars, v2_format)
+        else:
+            _write_checkpoint(base, all_versions, checkpoint_at,
+                              checkpoint_parts)
     if drop_json_upto is not None:
         for v in range(drop_json_upto + 1):
             fsutil.delete_quiet(f"{base}/_delta_log/{v:020d}.json")
     return table_dir
 
 
-def _write_checkpoint(base: str, all_versions: list[list[dict]],
-                      version: int, parts: int) -> None:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import io as _io
-
+def _ckpt_state(all_versions: list[list[dict]], version: int) -> tuple:
+    """(live add actions sorted by key, metaData row, protocol row) of
+    the state at ``version`` — what any checkpoint flavor must carry."""
     adds: dict[tuple, dict] = {}
     meta = proto = None
     for v in range(version + 1):
@@ -935,7 +1080,24 @@ def _write_checkpoint(base: str, all_versions: list[list[dict]],
                 meta = a["metaData"]
             elif "protocol" in a:
                 proto = a["protocol"]
+    add_rows = []
+    for (_, _), add in sorted(adds.items()):
+        add_rows.append({k: add.get(k)
+                         for k in ("path", "partitionValues", "size",
+                                   "modificationTime", "dataChange",
+                                   "deletionVector")})
+    meta_row = {k: meta[k] for k in ("id", "schemaString",
+                                     "partitionColumns",
+                                     "configuration", "createdTime")}
+    proto_row = {"minReaderVersion": proto["minReaderVersion"],
+                 "minWriterVersion": proto["minWriterVersion"],
+                 "readerFeatures": proto.get("readerFeatures"),
+                 "writerFeatures": proto.get("writerFeatures")}
+    return add_rows, meta_row, proto_row
 
+
+def _ckpt_types():
+    import pyarrow as pa
     dv_t = pa.struct([("storageType", pa.string()),
                       ("pathOrInlineDv", pa.string()),
                       ("offset", pa.int32()),
@@ -958,40 +1120,94 @@ def _write_checkpoint(base: str, all_versions: list[list[dict]],
                          ("minWriterVersion", pa.int32()),
                          ("readerFeatures", pa.list_(pa.string())),
                          ("writerFeatures", pa.list_(pa.string()))])
+    return add_t, meta_t, proto_t
+
+
+def _pq_bytes(rows: list[dict], schema) -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import io as _io
+    sink = _io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), sink)
+    return sink.getvalue()
+
+
+def _write_checkpoint(base: str, all_versions: list[list[dict]],
+                      version: int, parts: int) -> None:
+    import pyarrow as pa
+    add_rows, meta_row, proto_row = _ckpt_state(all_versions, version)
+    add_t, meta_t, proto_t = _ckpt_types()
     schema = pa.schema([("add", add_t), ("metaData", meta_t),
                         ("protocol", proto_t)])
-
-    rows = [{"add": None, "metaData":
-             {k: meta[k] for k in ("id", "schemaString",
-                                   "partitionColumns", "configuration",
-                                   "createdTime")},
-             "protocol": None},
-            {"add": None, "metaData": None, "protocol":
-             {"minReaderVersion": proto["minReaderVersion"],
-              "minWriterVersion": proto["minWriterVersion"],
-              "readerFeatures": proto.get("readerFeatures"),
-              "writerFeatures": proto.get("writerFeatures")}}]
-    for (_, _), add in sorted(adds.items()):
-        a = {k: add.get(k) for k in ("path", "partitionValues", "size",
-                                     "modificationTime", "dataChange",
-                                     "deletionVector")}
-        rows.append({"add": a, "metaData": None, "protocol": None})
-
+    rows = ([{"add": None, "metaData": meta_row, "protocol": None},
+             {"add": None, "metaData": None, "protocol": proto_row}]
+            + [{"add": a, "metaData": None, "protocol": None}
+               for a in add_rows])
     chunks = [rows[i::parts] for i in range(parts)] if parts > 1 \
         else [rows]
     log = f"{base}/_delta_log"
-    written = []
     for i, chunk in enumerate(chunks):
-        tab = pa.Table.from_pylist(chunk, schema=schema)
-        sink = _io.BytesIO()
-        pq.write_table(tab, sink)
         name = (f"{version:020d}.checkpoint.parquet" if parts == 1 else
                 f"{version:020d}.checkpoint.{i + 1:010d}."
                 f"{parts:010d}.parquet")
-        fsutil.put_bytes(f"{log}/{name}", sink.getvalue())
-        written.append(name)
+        fsutil.put_bytes(f"{log}/{name}", _pq_bytes(chunk, schema))
     last = {"version": version, "size": len(rows)}
     if parts > 1:
         last["parts"] = parts
     fsutil.put_bytes(f"{log}/_last_checkpoint",
                      json.dumps(last).encode())
+
+
+def _write_checkpoint_v2(base: str, all_versions: list[list[dict]],
+                         version: int, sidecars: int,
+                         fmt: str) -> None:
+    """Spec-shaped v2 (uuid-named) checkpoint: the top file is JSON
+    lines or parquet with a ``checkpointMetadata`` action; add actions
+    ride inline (``sidecars=0``) or split across parquet sidecar files
+    under ``_delta_log/_sidecars/``."""
+    import pyarrow as pa
+    add_rows, meta_row, proto_row = _ckpt_state(all_versions, version)
+    add_t, meta_t, proto_t = _ckpt_types()
+    cm_t = pa.struct([("version", pa.int64())])
+    sc_t = pa.struct([("path", pa.string()),
+                      ("sizeInBytes", pa.int64()),
+                      ("modificationTime", pa.int64())])
+    log = f"{base}/_delta_log"
+    u = uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f"v2ckpt-{version}")
+    payload: list[dict]
+    if sidecars:
+        fsutil.makedirs_any(f"{log}/_sidecars")
+        sc_schema = pa.schema([("add", add_t), ("remove", add_t)])
+        payload = []
+        for i in range(sidecars):
+            chunk = add_rows[i::sidecars]
+            su = uuid_mod.uuid5(uuid_mod.NAMESPACE_URL,
+                                f"v2sc-{version}-{i}")
+            name = f"{su}.parquet"
+            blob = _pq_bytes([{"add": a, "remove": None}
+                              for a in chunk], sc_schema)
+            fsutil.put_bytes(f"{log}/_sidecars/{name}", blob)
+            payload.append({"sidecar": {"path": name,
+                                        "sizeInBytes": len(blob),
+                                        "modificationTime": 0}})
+    else:
+        payload = [{"add": a} for a in add_rows]
+    top = ([{"checkpointMetadata": {"version": version}},
+            {"metaData": meta_row}, {"protocol": proto_row}]
+           + payload)
+    name = f"{version:020d}.checkpoint.{u}.{fmt}"
+    if fmt == "json":
+        fsutil.put_bytes(
+            f"{log}/{name}",
+            ("\n".join(json.dumps(a) for a in top) + "\n").encode())
+    else:
+        schema = pa.schema([("add", add_t), ("metaData", meta_t),
+                            ("protocol", proto_t),
+                            ("checkpointMetadata", cm_t),
+                            ("sidecar", sc_t)])
+        keys = ("add", "metaData", "protocol", "checkpointMetadata",
+                "sidecar")
+        rows = [{k: a.get(k) for k in keys} for a in top]
+        fsutil.put_bytes(f"{log}/{name}", _pq_bytes(rows, schema))
+    fsutil.put_bytes(f"{log}/_last_checkpoint",
+                     json.dumps({"version": version}).encode())

@@ -201,21 +201,83 @@ def test_checkpoint_state_equals_json_replay(tmp_path):
         list(dm.read_dv_positions(s2["row_deletes"][k2][0])) == [0]
 
 
-def test_v2_checkpoint_refused_only_when_required(tmp_path):
+_V2_COMMITS = [{"add": [0, 1]}, {"dv": {1: [0]}}, {"remove": [0]}]
+
+
+def _v2_state(scan):
+    return ([os.path.basename(f) for f in scan["data_files"]],
+            {os.path.basename(f): list(dm.read_dv_positions(ds[0]))
+             for f, ds in scan["row_deletes"].items()})
+
+
+@pytest.mark.parametrize("sidecars,fmt", [(0, "parquet"),
+                                          (2, "parquet"),
+                                          (0, "json"), (3, "json")])
+def test_v2_checkpoint_replay(tmp_path, sidecars, fmt):
+    """uuid-named v2 checkpoints (inline or sidecar-split, parquet or
+    JSON top file) replay to the same state as the pure JSON chain."""
+    t1, t2 = _tabs()
+    d1 = str(tmp_path / "json_only")
+    dm.write_delta_fixture(d1, [t1, t2], commits=_V2_COMMITS)
+    d2 = str(tmp_path / "v2")
+    dm.write_delta_fixture(d2, [t1, t2], commits=_V2_COMMITS,
+                           checkpoint_at=2, checkpoint_v2=True,
+                           v2_sidecars=sidecars, v2_format=fmt,
+                           drop_json_upto=2)
+    # the dropped JSON chain proves the v2 checkpoint is really read
+    assert glob.glob(os.path.join(
+        d2, "_delta_log", "[0-9]" * 20 + ".json")) == []
+    assert len(glob.glob(os.path.join(
+        d2, "_delta_log", "_sidecars", "*.parquet"))) == sidecars
+    assert _v2_state(dm.snapshot_scan(d2)) == _v2_state(
+        dm.snapshot_scan(d1))
+
+
+def test_v2_checkpoint_plus_json_tail(tmp_path):
+    """Commits after the v2 checkpoint still apply on top of it."""
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(
+        d, [t1, t2],
+        commits=[{"add": [0, 1]}, {"dv": {0: [2]}}, {"remove": [1]}],
+        checkpoint_at=1, checkpoint_v2=True, v2_sidecars=1,
+        drop_json_upto=1)
+    s = dm.snapshot_scan(d)
+    files, dvs = _v2_state(s)
+    assert files == ["part-00000.parquet"]
+    assert dvs == {"part-00000.parquet": [2]}
+
+
+def test_v2_checkpoint_version_mismatch_refuses(tmp_path):
     t1, _ = _tabs()
     d = str(tmp_path / "t")
-    dm.write_delta_fixture(d, [t1], commits=[{"add": [0]}, {}])
-    # a uuid-named v2 checkpoint at version 1
+    dm.write_delta_fixture(d, [t1], commits=[{"add": [0]}],
+                           checkpoint_at=0, checkpoint_v2=True,
+                           v2_format="json", drop_json_upto=0)
+    ck = glob.glob(os.path.join(d, "_delta_log",
+                                "*.checkpoint.*.json"))[0]
+    # rename the file to claim a different version than its
+    # checkpointMetadata records
+    bad = os.path.join(os.path.dirname(ck),
+                       f"{3:020d}" + os.path.basename(ck)[20:])
+    os.rename(ck, bad)
+    with pytest.raises(dm.DeltaMetaError, match="version"):
+        dm.snapshot_scan(d)
+
+
+def test_v2_checkpoint_classic_wins_same_version(tmp_path):
+    """Both flavors at one version: the classic one is read (no
+    sidecar fetches); prove it by corrupting the v2 file."""
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1, t2], commits=_V2_COMMITS,
+                           checkpoint_at=2, drop_json_upto=2)
     v2 = os.path.join(d, "_delta_log",
-                      f"{1:020d}.checkpoint."
+                      f"{2:020d}.checkpoint."
                       "0f0f0f0f-0000-0000-0000-000000000000.parquet")
     open(v2, "wb").write(b"not really parquet")
-    # full JSON chain exists -> replay ignores the v2 checkpoint
-    assert len(dm.snapshot_scan(d)["data_files"]) == 1
-    # drop the JSON chain -> the v2 checkpoint becomes required: refuse
-    os.remove(os.path.join(d, "_delta_log", f"{0:020d}.json"))
-    with pytest.raises(dm.DeltaMetaError, match="v2"):
-        dm.snapshot_scan(d)
+    files, dvs = _v2_state(dm.snapshot_scan(d))
+    assert files == ["part-00001.parquet"]
 
 
 # ---------------------------------------------------------------------
@@ -547,22 +609,96 @@ def test_column_mapping_unmapped_physical_column_fails(spark,
                              column_renames=s["column_renames"])
 
 
-def test_column_mapping_nested_refuses(tmp_path):
-    t1, _ = _tabs()
+def _nested_tab():
+    meta_t = pa.struct([pa.field("lang", pa.string()),
+                        pa.field("score", pa.float64())])
+    spans_t = pa.list_(pa.struct([pa.field("start", pa.int32()),
+                                  pa.field("len", pa.int32())]))
+    tags_t = pa.map_(pa.string(),
+                     pa.struct([pa.field("w", pa.int32())]))
+    return pa.table({
+        "doc_id": ["a", "b", "c"],
+        "meta": pa.array([{"lang": "en", "score": 0.5}, None,
+                          {"lang": "de", "score": None}], meta_t),
+        "spans": pa.array([[{"start": 0, "len": 2}], None,
+                           [{"start": 1, "len": 1},
+                            {"start": 4, "len": 2}]], spans_t),
+        "tags": pa.array([[("k", {"w": 1})], None, []], tags_t)})
+
+
+def test_column_mapping_nested_encode_end_to_end(spark, tmp_path):
+    """Struct fields rename at EVERY level (struct, list<struct>,
+    map<..,struct>): the data file carries col-N names throughout, the
+    encoded tree must serve the logical ones, DV masking included."""
+    t = _nested_tab()
     d = str(tmp_path / "t")
-    dm.write_delta_fixture(d, [t1], column_mapping="name")
-    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
-    lines = [json.loads(ln) for ln in open(log)]
-    for a in lines:
-        if "metaData" in a:
-            sch = json.loads(a["metaData"]["schemaString"])
-            sch["fields"][1]["type"] = {
-                "type": "array", "elementType": "integer",
-                "containsNull": True}
-            a["metaData"]["schemaString"] = json.dumps(sch)
-    open(log, "w").write("\n".join(json.dumps(a) for a in lines))
-    with pytest.raises(dm.DeltaMetaError, match="nested"):
-        dm.snapshot_scan(d)
+    dm.write_delta_fixture(d, [t], column_mapping="name",
+                           commits=[{"add": [0]}, {"dv": {0: [1]}}])
+    s = dm.snapshot_scan(d)
+    plans = {r["logical"]: r for r in s["column_renames"]}
+    assert "children" not in plans["doc_id"]
+    assert plans["meta"]["children"]["kind"] == "struct"
+    assert plans["spans"]["children"]["kind"] == "array"
+    assert plans["tags"]["children"]["kind"] == "map"
+    # the data file is physically renamed at every struct level
+    psch = pq.read_schema(s["data_files"][0])
+    assert psch.names == ["col-1", "col-2", "col-3", "col-4"]
+    assert all(f.name.startswith("col-")
+               for f in psch.field("col-2").type)
+    from embulk_input_parquet_hadoop_spark.plans import (pipeline,
+                                                         verify)
+    out = str(tmp_path / "enc")
+    totals = pipeline.encode_path(
+        spark, d, out, input_files=s["data_files"],
+        row_deletes=s["row_deletes"],
+        column_renames=s["column_renames"])
+    assert totals["n_rows"] == 2  # 3 rows - 1 DV-deleted
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out),
+        ["doc_id", "meta", "spans", "tags"],
+        "doc_id string, meta struct<lang:string,score:double>, "
+        "spans array<struct<start:int,len:int>>, "
+        "tags map<string,struct<w:int>>")
+    got = {r.doc_id: r.asDict(recursive=True)
+           for r in dec.collect()}
+    assert set(got) == {"a", "c"}
+    assert got["a"]["meta"] == {"lang": "en", "score": 0.5}
+    assert got["a"]["spans"] == [{"start": 0, "len": 2}]
+    assert got["a"]["tags"] == {"k": {"w": 1}}
+    assert got["c"]["meta"] == {"lang": "de", "score": None}
+    assert got["c"]["spans"] == [{"start": 1, "len": 1},
+                                 {"start": 4, "len": 2}]
+    assert got["c"]["tags"] == {}
+    vf = verify.verify_files(spark, out, row_deletes=s["row_deletes"],
+                             column_renames=s["column_renames"])
+    assert vf["ok"] and vf["rows_compared"] == 2
+
+
+def test_rename_batch_nested_id_resolution_and_refusal():
+    """Inner struct fields resolve by parquet field id when present
+    (stale physicalName in the plan still maps); an inner field the
+    plan doesn't cover refuses loudly."""
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    inner = pa.struct([
+        pa.field("renamed-x", pa.int32(),
+                 metadata={b"PARQUET:field_id": b"7"})])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([{"renamed-x": 5}], inner)],
+        schema=pa.schema([pa.field(
+            "col-1", inner, metadata={b"PARQUET:field_id": b"1"})]))
+    plan = [{"logical": "m", "physical": "col-1", "id": 1,
+             "children": {"kind": "struct", "fields": [
+                 {"logical": "x", "physical": "stale-name",
+                  "id": 7}]}}]
+    out = pipeline.rename_batch(batch, plan)
+    assert out.schema.names == ["m"]
+    assert out.column(0).type.field(0).name == "x"
+    assert out.to_pylist() == [{"m": {"x": 5}}]
+    bad = [{"logical": "m", "physical": "col-1", "id": 1,
+            "children": {"kind": "struct", "fields": [
+                {"logical": "x", "physical": "other", "id": 99}]}}]
+    with pytest.raises(ValueError, match="no entry"):
+        pipeline.rename_batch(batch, bad)
 
 
 def test_column_mapping_partition_values_physical_keys(tmp_path):
@@ -634,6 +770,12 @@ def test_replay_fuzz_vs_model(tmp_path):
         dm.write_delta_fixture(d2, tabs, commits=commits,
                                dv_storage="p", checkpoint_at=ck,
                                drop_json_upto=ck)
+        d3 = str(tmp_path / f"fzv{trial}")
+        dm.write_delta_fixture(
+            d3, tabs, commits=commits, dv_storage="p",
+            checkpoint_at=ck, drop_json_upto=ck, checkpoint_v2=True,
+            v2_sidecars=rng.randint(0, 2),
+            v2_format=rng.choice(["parquet", "json"]))
 
         def state(scan):
             out = {}
@@ -647,3 +789,4 @@ def test_replay_fuzz_vs_model(tmp_path):
         want = {i: (list(v) if v else None) for i, v in live.items()}
         assert state(dm.snapshot_scan(d)) == want, (trial, commits)
         assert state(dm.snapshot_scan(d2)) == want, (trial, ck, commits)
+        assert state(dm.snapshot_scan(d3)) == want, (trial, ck, commits)
