@@ -574,6 +574,64 @@ def q49_iceberg_snapshot_roundtrip(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q55_hudi_snapshot_roundtrip(spark, sf_dir):
+    """Apache Hudi COW timeline replay end to end, oracle-gated:
+    documents written as parquet file groups under a spec-shaped
+    ``.hoodie`` timeline (initial commit with a deliberately STALE
+    slice of group f-0, an upsert commit that rewrites f-0, and a
+    replacecommit that clusters groups f-1+f-2 into f-3 — the
+    pure-Python reader/writer in sources/hudi_meta.py), the snapshot's
+    latest file slices resolved FROM TABLE METADATA (no directory
+    walk, no runtime jar), encoded file-granularly from that frozen
+    list, decoded, and aggregated. Matching the plain-SQL oracle over
+    the raw documents proves the timeline -> latest-slice -> encode ->
+    decode chain selects exactly the live slices: reading the stale or
+    the replaced slices anywhere loses/duplicates rows and
+    hash-mismatches. File splitting is driver-side pyarrow — tiny
+    Spark write jobs cost seconds here (CLAUDE.md), metadata fixtures
+    should not."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from embulk_input_parquet_hadoop_spark.sources import hudi_meta
+    base = _scratch(
+        f"spark_graft_q55_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(f"{base}/src")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars", "source"])
+    import pyarrow as pa
+    ids = tbl.column("doc_id").to_numpy()
+    parts = [tbl.filter(pa.array(ids % 3 == i)) for i in range(3)]
+    stale = parts[0].filter(
+        pa.array(parts[0].column("doc_id").to_numpy() % 2 == 0))
+    clustered = pa.concat_tables([parts[1], parts[2]])
+    paths = {}
+    for name, t in [("p0", parts[0]), ("p1", parts[1]),
+                    ("p2", parts[2]), ("stale", stale),
+                    ("clustered", clustered)]:
+        paths[name] = f"{base}/src/{name}.parquet"
+        pq.write_table(t, paths[name])
+    hudi_meta.write_table_fixture(f"{base}/table", [
+        {"writes": {"": [("f-0", paths["stale"]),
+                         ("f-1", paths["p1"]),
+                         ("f-2", paths["p2"])]}},
+        {"writes": {"": [("f-0", paths["p0"])]}},
+        {"writes": {"": [("f-3", paths["clustered"])]},
+         "replaces": {"": ["f-1", "f-2"]}},
+    ])
+    flist = hudi_meta.snapshot_files(f"{base}/table")
+    pipeline.encode_path(spark, f"{base}/table", f"{base}/enc",
+                         input_files=flist, batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "n_chars", "source"],
+        "doc_id bigint, n_chars bigint, source string")
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def q46_columnar_multicol_agg(spark, sf_dir):
     """Row-aligned multi-column read from the per-column layout,
     oracle-gated: two columns decoded from separate Hive partitions and
@@ -983,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_sq8_error_profile": q31_sq8_error_profile,
         "q51_chunk_overlap": q51_chunk_overlap,
         "q52_pack_boundaries": q52_pack_boundaries,
+        "q55_hudi_snapshot_roundtrip": q55_hudi_snapshot_roundtrip,
     }.items()))
 
 
@@ -1807,6 +1866,16 @@ def oracle_sql() -> dict[str, str]:
             FROM hit GROUP BY source, q
         """,
         "q49_iceberg_snapshot_roundtrip": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM documents GROUP BY source
+        """,
+        # same oracle shape as q49: the Hudi snapshot's latest slices
+        # hold exactly the raw documents (the stale f-0 slice and the
+        # replaced f-1/f-2 groups are metadata-invisible)
+        "q55_hudi_snapshot_roundtrip": """
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars_sum,
                    md5(array_to_string(list_sort(list(doc_id)), ','))

@@ -1,0 +1,292 @@
+"""Apache Hudi copy-on-write source: timeline replay, file-group
+latest-slice selection, replacecommit clustering, time travel, and the
+encode integration (``sources/hudi_meta.py``).
+
+All fixtures are spec-shaped ``.hoodie`` timelines written by
+``write_table_fixture`` — Properties file + JSON commit metadata — no
+Hudi runtime anywhere. Mirrors the Delta/Iceberg coverage in
+``test_delta.py`` / ``test_sources.py``."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from embulk_input_parquet_hadoop_spark.sources import hudi_meta as hm
+
+
+def _mk_parquet(tmp_path, name: str, ids: list[int]):
+    p = str(tmp_path / name)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n": pa.array([i * 10 for i in ids],
+                                           pa.int64())}), p)
+    return p
+
+
+def _names(scan):
+    import posixpath
+    return sorted(posixpath.basename(f) for f in scan["files"])
+
+
+# ---------------------------------------------------------------------
+# snapshot replay
+# ---------------------------------------------------------------------
+
+def test_snapshot_latest_slice_per_group(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1, 2])
+    b = _mk_parquet(tmp_path, "b.parquet", [3, 4])
+    a2 = _mk_parquet(tmp_path, "a2.parquet", [1, 2, 9])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"p=0": [("f-a", a)], "p=1": [("f-b", b)]}},
+        {"writes": {"p=0": [("f-a", a2)]}},  # rewrites group f-a
+    ])
+    scan = hm.snapshot_scan(d)
+    # group f-a resolves to its SECOND slice, f-b keeps its first
+    assert _names(scan) == sorted([f"f-a_1-0-1_{ins[1]}.parquet",
+                                   f"f-b_1-0-1_{ins[0]}.parquet"])
+    assert scan["instant"] == ins[1]
+    parts = {f.rsplit("/", 2)[-2] for f in scan["files"]}
+    assert parts == {"p=0", "p=1"}
+    assert set(scan["partitions"].values()) == {"p=0", "p=1"}
+    # time travel to the first instant sees the original slice
+    old = hm.snapshot_scan(d, as_of=ins[0])
+    assert _names(old) == sorted([f"f-a_1-0-1_{ins[0]}.parquet",
+                                  f"f-b_1-0-1_{ins[0]}.parquet"])
+
+
+def test_replacecommit_clustering(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    b = _mk_parquet(tmp_path, "b.parquet", [2])
+    c = _mk_parquet(tmp_path, "c.parquet", [1, 2])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", a), ("f-b", b)]}},
+        # clustering: one new group replaces both originals
+        {"writes": {"": [("f-c", c)]},
+         "replaces": {"": ["f-a", "f-b"]}},
+    ])
+    scan = hm.snapshot_scan(d)
+    assert _names(scan) == [f"f-c_1-0-1_{ins[1]}.parquet"]
+    # root-partition files sit directly under the table dir
+    assert scan["files"][0].rsplit("/", 2)[-2] == "tbl"
+    # before the replace, both original groups are live
+    old = hm.snapshot_scan(d, as_of=ins[0])
+    assert _names(old) == sorted([f"f-a_1-0-1_{ins[0]}.parquet",
+                                  f"f-b_1-0-1_{ins[0]}.parquet"])
+
+
+def test_pending_instant_invisible(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    b = _mk_parquet(tmp_path, "b.parquet", [2])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", a)]}},
+        {"writes": {"": [("f-b", b)]}, "pending": True},  # crashed writer
+    ])
+    scan = hm.snapshot_scan(d)
+    # the pending commit's data file EXISTS on disk but is invisible
+    assert glob.glob(f"{d}/f-b_*.parquet")
+    assert _names(scan) == [f"f-a_1-0-1_{ins[0]}.parquet"]
+    assert scan["instant"] == ins[0]
+
+
+def test_empty_commit_metadata_is_noop(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [{"writes": {"": [("f-a", a)]}}])
+    # an empty completed commit file (some writers emit one for
+    # metadata-only operations) advances the instant, changes nothing
+    with open(f"{d}/.hoodie/{20240101000099:017d}.commit", "wb"):
+        pass
+    scan = hm.snapshot_scan(d)
+    assert _names(scan) == [f"f-a_1-0-1_{ins[0]}.parquet"]
+    assert scan["instant"] == f"{20240101000099:017d}"
+
+
+def test_noop_actions_ignored(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(
+        d, [{"writes": {"": [("f-a", a)]}}],
+        extra_timeline_files=[f"{20240101000050:017d}.clean",
+                              f"{20240101000051:017d}.rollback",
+                              f"{20240101000052:017d}.savepoint"])
+    assert _names(hm.snapshot_scan(d)) == [f"f-a_1-0-1_{ins[0]}.parquet"]
+
+
+def test_timeline_v1_layout(tmp_path):
+    """1.x: instants under .hoodie/timeline/ with completion-time
+    suffixed completed names."""
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    a2 = _mk_parquet(tmp_path, "a2.parquet", [1, 2])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", a)]}},
+        {"writes": {"": [("f-a", a2)]}},
+    ], timeline_v1=True)
+    scan = hm.snapshot_scan(d)
+    assert _names(scan) == [f"f-a_1-0-1_{ins[1]}.parquet"]
+    assert _names(hm.snapshot_scan(d, as_of=ins[0])) == \
+        [f"f-a_1-0-1_{ins[0]}.parquet"]
+
+
+# ---------------------------------------------------------------------
+# refusals
+# ---------------------------------------------------------------------
+
+def test_mor_table_type_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(d, [{"writes": {"": [("f-a", a)]}}],
+                           table_type="MERGE_ON_READ")
+    with pytest.raises(hm.HudiMetaError, match="MERGE_ON_READ"):
+        hm.snapshot_scan(d)
+
+
+def test_deltacommit_in_timeline_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(
+        d, [{"writes": {"": [("f-a", a)]}}],
+        extra_timeline_files=[f"{20240101000050:017d}.deltacommit"])
+    with pytest.raises(hm.HudiMetaError, match="deltacommit"):
+        hm.snapshot_scan(d)
+
+
+def test_restore_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(
+        d, [{"writes": {"": [("f-a", a)]}}],
+        extra_timeline_files=[f"{20240101000050:017d}.restore"])
+    with pytest.raises(hm.HudiMetaError, match="restore"):
+        hm.snapshot_scan(d)
+
+
+def test_unknown_action_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(
+        d, [{"writes": {"": [("f-a", a)]}}],
+        extra_timeline_files=[f"{20240101000050:017d}.mystery"])
+    with pytest.raises(hm.HudiMetaError, match="mystery"):
+        hm.snapshot_scan(d)
+
+
+def test_log_file_write_stat_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [{"writes": {"": [("f-a", a)]}}])
+    meta = {"partitionToWriteStats": {"": [
+        {"fileId": "f-a",
+         "path": f".f-a_1-0-1_{ins[0]}.log.1_0-1-0"}]}}
+    with open(f"{d}/.hoodie/{20240101000050:017d}.commit", "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(hm.HudiMetaError, match="non-parquet"):
+        hm.snapshot_scan(d)
+
+
+def test_replace_own_write_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", a)]}, "replaces": {"": ["f-a"]}}])
+    with pytest.raises(hm.HudiMetaError, match="also writes"):
+        hm.snapshot_scan(d)
+
+
+def test_non_json_commit_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(d, [{"writes": {"": [("f-a", a)]}}])
+    with open(f"{d}/.hoodie/{20240101000050:017d}.commit", "wb") as fh:
+        fh.write(b"Obj\x01\x02avro-serialized")  # 1.x Avro timeline
+    with pytest.raises(hm.HudiMetaError, match="not JSON"):
+        hm.snapshot_scan(d)
+
+
+def test_not_a_hudi_table(tmp_path):
+    with pytest.raises(hm.HudiMetaError, match="not a Hudi table"):
+        hm.snapshot_scan(str(tmp_path / "nope"))
+
+
+def test_missing_file_id_derived_from_filename(tmp_path):
+    """Write stats without fileId fall back to the filename prefix
+    (fileId never contains '_'), so group identity still resolves."""
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    a2 = _mk_parquet(tmp_path, "a2.parquet", [1, 2])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", a)]}},
+        {"writes": {"": [("f-a", a2)]}},
+    ])
+    for i in ins:  # strip fileId from both commit metadata files
+        p = f"{d}/.hoodie/{i}.commit"
+        meta = json.load(open(p))
+        for stats in meta["partitionToWriteStats"].values():
+            for st in stats:
+                st.pop("fileId")
+        json.dump(meta, open(p, "w"))
+    assert _names(hm.snapshot_scan(d)) == \
+        [f"f-a_1-0-1_{ins[1]}.parquet"]
+
+
+# ---------------------------------------------------------------------
+# object-store metadata reads + encode integration
+# ---------------------------------------------------------------------
+
+def test_mock_s3_table_plans_remotely(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1, 2])
+    a2 = _mk_parquet(tmp_path, "a2.parquet", [1, 2, 3])
+    d = f"mock-s3://bucket{tmp_path}/tbl"
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"p=0": [("f-a", a)]}},
+        {"writes": {"p=0": [("f-a", a2)]}},
+    ])
+    scan = hm.snapshot_scan(d)
+    assert _names(scan) == [f"f-a_1-0-1_{ins[1]}.parquet"]
+    assert scan["files"][0].startswith("mock-s3://bucket/")
+
+
+def test_hudi_encode_end_to_end(spark, tokens_path, tmp_path):
+    """COW table whose second commit rewrites a file group and whose
+    third clusters two groups into one: snapshot_files feeds
+    encode_path(input_files=), and the decoded tree holds exactly the
+    final slices' rows — a stale slice anywhere would double-count."""
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    files = sorted(glob.glob(f"{tokens_path}/*.parquet"))[:3]
+    stale = _mk_parquet(tmp_path, "stale.parquet", [999])
+    # clustering rewrites the same ROWS into a new file group
+    t12 = pa.concat_tables([pq.read_table(files[1]),
+                            pq.read_table(files[2])])
+    clustered = str(tmp_path / "clustered.parquet")
+    pq.write_table(t12, clustered)
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-0", stale), ("f-1", files[1]),
+                         ("f-x", files[2])]}},
+        {"writes": {"": [("f-0", files[0])]}},        # rewrites group f-0
+        {"writes": {"": [("f-2", clustered)]},
+         "replaces": {"": ["f-1", "f-x"]}},           # clusters f-1+f-x
+    ])
+    flist = hm.snapshot_files(d)
+    assert len(flist) == 2
+    out = str(tmp_path / "enc")
+    totals = pipeline.encode_path(spark, d, out, input_files=flist)
+    n_expected = sum(pq.read_metadata(f).num_rows for f in files)
+    assert totals["n_rows"] == n_expected
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    expect = sorted(x for f in files
+                    for x in pq.read_table(f).column("doc_id").to_pylist())
+    assert sorted(r.doc_id for r in dec.collect()) == expect
+    # time travel to the first instant sees all three original groups,
+    # including the stale f-0 slice the second commit later rewrote
+    old = hm.snapshot_scan(d, as_of=ins[0])
+    assert len(old["files"]) == 3
+    assert f"f-0_1-0-1_{ins[0]}.parquet" in _names(old)
