@@ -241,6 +241,30 @@ def snapshot_files(table_dir: str, as_of: str | None = None) -> list[str]:
     return snapshot_scan(table_dir, as_of)["files"]
 
 
+def filter_partitions(scan: dict, pf: dict) -> dict:
+    """Metadata-level partition filter over a :func:`snapshot_scan`
+    result: keep files whose HIVE-STYLE partition path (``k=v`` slash
+    segments, Hudi's ``hive_style_partitioning=true`` layout) matches
+    every ``pf`` key. A partition path that does not carry one of the
+    filter keys (non-hive layouts like ``2024/01/01``, or the root
+    partition) is undecidable and refuses rather than silently
+    including/excluding files — same discipline as the Iceberg reader's
+    unscopable equality deletes."""
+    def _match(ppath: str) -> bool:
+        segs = dict(seg.partition("=")[::2] for seg in ppath.split("/")
+                    if "=" in seg)
+        missing = [k for k in pf if k not in segs]
+        if missing:
+            raise HudiMetaError(
+                f"partition filter key(s) {missing} absent from "
+                f"partition path {ppath!r} — not a hive-style "
+                "partition layout; cannot filter at metadata level")
+        return all(segs[k] == str(v) for k, v in pf.items())
+
+    parts = {f: p for f, p in scan["partitions"].items() if _match(p)}
+    return {**scan, "files": sorted(parts), "partitions": parts}
+
+
 # ---------------------------------------------------------------------------
 # fixture writer (tests)
 

@@ -101,11 +101,21 @@ def main() -> int:
                         "tree (key=value directories); combine with "
                         "--inject-partitions to keep the partition "
                         "columns (as strings) in the encoded output")
+    p.add_argument("--hudi", action="store_true",
+                   help="treat --input as an Apache Hudi COPY_ON_WRITE "
+                        "table directory: replay the .hoodie timeline "
+                        "(pure-Python, no Hudi runtime) and encode the "
+                        "snapshot's latest file slices; merge-on-read "
+                        "tables refuse")
+    p.add_argument("--as-of", default=None, metavar="INSTANT",
+                   help="with --hudi: time-travel to the given timeline "
+                        "instant (inclusive)")
     p.add_argument("--partition", action="append", default=None,
                    metavar="FIELD=VALUE",
-                   help="with --iceberg/--delta: metadata-level "
+                   help="with --iceberg/--delta/--hudi: metadata-level "
                         "partition pruning; repeatable, fields AND "
-                        "together")
+                        "together (Hudi: hive-style partition paths "
+                        "only)")
     p.add_argument("--append", action="store_true",
                    help="incremental mode: subtract source files already "
                         "in the manifest lineage, encode only new ones "
@@ -224,6 +234,13 @@ def main() -> int:
                 const_columns, const_schema = \
                     delta_meta.partition_const_columns(scan)
                 verify_const_columns = const_columns
+    elif args.hudi:
+        from embulk_input_parquet_hadoop_spark.sources import hudi_meta
+        scan = hudi_meta.snapshot_scan(args.input, as_of=args.as_of)
+        if args.partition:
+            pf = dict(kv.split("=", 1) for kv in args.partition)
+            scan = hudi_meta.filter_partitions(scan, pf)
+        input_files = scan["files"]
     elif args.hive:
         from embulk_input_parquet_hadoop_spark.sources import table
         input_files, cc, cs = table.hive_partitioned_files(args.input)
@@ -231,13 +248,16 @@ def main() -> int:
             const_columns, const_schema = cc, cs
             verify_const_columns = cc
     elif args.partition:
-        raise SystemExit("--partition requires --iceberg or --delta")
+        raise SystemExit("--partition requires --iceberg, --delta or "
+                         "--hudi")
     elif args.since_snapshot is not None:
         raise SystemExit("--since-snapshot requires --iceberg")
     elif args.since_version is not None or args.at_version is not None:
         raise SystemExit("--since-version/--at-version require --delta")
-    if sum((args.iceberg, args.delta, args.hive)) > 1:
-        raise SystemExit("--iceberg/--delta/--hive are mutually "
+    if args.as_of is not None and not args.hudi:
+        raise SystemExit("--as-of requires --hudi")
+    if sum((args.iceberg, args.delta, args.hive, args.hudi)) > 1:
+        raise SystemExit("--iceberg/--delta/--hive/--hudi are mutually "
                          "exclusive")
     if args.inject_partitions and not (args.delta or args.hive):
         raise SystemExit("--inject-partitions requires --delta or "

@@ -236,6 +236,32 @@ def test_missing_file_id_derived_from_filename(tmp_path):
         [f"f-a_1-0-1_{ins[1]}.parquet"]
 
 
+def test_filter_partitions(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    b = _mk_parquet(tmp_path, "b.parquet", [2])
+    c = _mk_parquet(tmp_path, "c.parquet", [3])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(d, [{"writes": {
+        "dt=2024-01-01/src=web": [("f-a", a)],
+        "dt=2024-01-01/src=app": [("f-b", b)],
+        "dt=2024-01-02/src=web": [("f-c", c)]}}])
+    scan = hm.snapshot_scan(d)
+    assert len(scan["files"]) == 3
+    one = hm.filter_partitions(scan, {"dt": "2024-01-01", "src": "web"})
+    assert _names(one) == [f"f-a_1-0-1_{scan['instant']}.parquet"]
+    web = hm.filter_partitions(scan, {"src": "web"})
+    assert len(web["files"]) == 2
+    assert hm.filter_partitions(scan, {"src": "nope"})["files"] == []
+
+
+def test_filter_partitions_non_hive_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(d, [{"writes": {"2024/01/01": [("f-a", a)]}}])
+    with pytest.raises(hm.HudiMetaError, match="not a hive-style"):
+        hm.filter_partitions(hm.snapshot_scan(d), {"dt": "2024-01-01"})
+
+
 # ---------------------------------------------------------------------
 # object-store metadata reads + encode integration
 # ---------------------------------------------------------------------
