@@ -181,7 +181,8 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
     """Replay the COW timeline to the latest (or ``as_of``) snapshot.
 
     Returns ``{"files": [abs paths, sorted], "instant": str | None,
-    "partitions": {abs path: partition path}}``. Raises
+    "partitions": {abs path: partition path}, "groups":
+    {(partition, fileId): (slice instant, abs path)}}``. Raises
     :class:`HudiMetaError` for MOR tables and unsupported timelines.
     """
     props = table_properties(table_dir)
@@ -233,12 +234,57 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
     partitions = {f"{base}/{rel}": key[0]
                   for key, (_, rel) in state.items()}
     files = sorted(partitions)
-    return {"files": files, "instant": applied, "partitions": partitions}
+    groups = {key: (inst, f"{base}/{rel}")
+              for key, (inst, rel) in state.items()}
+    return {"files": files, "instant": applied, "partitions": partitions,
+            "groups": groups}
 
 
 def snapshot_files(table_dir: str, as_of: str | None = None) -> list[str]:
     """Data files of the snapshot, for ``encode_path(input_files=...)``."""
     return snapshot_scan(table_dir, as_of)["files"]
+
+
+def snapshot_scan_diff(table_dir: str, since_instant: str,
+                       as_of: str | None = None) -> dict:
+    """File groups ADDED strictly after ``since_instant`` (up to
+    ``as_of`` / latest) — the Hudi analogue of the Iceberg
+    ``--since-snapshot`` and Delta ``--since-version`` incremental
+    ingest, with the same refusal contract: a file group that was live
+    at ``since_instant`` and has since been REWRITTEN (upsert) or
+    REPLACED (clustering / insert_overwrite) refuses, because an
+    append-only encode tree cannot retract rows already committed from
+    the old slice. Brand-new file groups (inserts into new or existing
+    partitions) are the only diff an append can represent.
+
+    ``since_instant`` must be an actual completed instant (a typo'd
+    instant would otherwise silently produce a too-large diff).
+    Returns the added files in the same shape as :func:`snapshot_scan`
+    (so :func:`filter_partitions` composes), plus the replayed
+    ``instant``.
+    """
+    completed = {i for i, _, _ in completed_instants(table_dir)}
+    if since_instant not in completed:
+        raise HudiMetaError(
+            f"since_instant {since_instant!r} is not a completed "
+            f"timeline instant (completed: {sorted(completed)})")
+    old = snapshot_scan(table_dir, as_of=since_instant)
+    new = snapshot_scan(table_dir, as_of=as_of)
+    changed = sorted(
+        key for key, slice_ in old["groups"].items()
+        if new["groups"].get(key) != slice_)
+    if changed:
+        raise HudiMetaError(
+            f"file group(s) rewritten or replaced since "
+            f"{since_instant}: {changed[:3]}{'...' if len(changed) > 3 else ''}"
+            " — an append-only encode tree cannot retract committed "
+            "rows; re-encode from scratch or encode the full snapshot "
+            "into a new tree")
+    added = sorted(k for k in new["groups"] if k not in old["groups"])
+    groups = {k: new["groups"][k] for k in added}
+    partitions = {path: key[0] for key, (_, path) in groups.items()}
+    return {"files": sorted(partitions), "instant": new["instant"],
+            "partitions": partitions, "groups": groups}
 
 
 def filter_partitions(scan: dict, pf: dict) -> dict:

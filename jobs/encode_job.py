@@ -110,6 +110,11 @@ def main() -> int:
     p.add_argument("--as-of", default=None, metavar="INSTANT",
                    help="with --hudi: time-travel to the given timeline "
                         "instant (inclusive)")
+    p.add_argument("--since-instant", default=None, metavar="INSTANT",
+                   help="with --hudi: encode only file groups added "
+                        "after the given completed instant (vs --as-of "
+                        "or latest); rewrites/replacements of "
+                        "already-live groups refuse; implies --append")
     p.add_argument("--partition", action="append", default=None,
                    metavar="FIELD=VALUE",
                    help="with --iceberg/--delta/--hudi: metadata-level "
@@ -236,7 +241,15 @@ def main() -> int:
                 verify_const_columns = const_columns
     elif args.hudi:
         from embulk_input_parquet_hadoop_spark.sources import hudi_meta
-        scan = hudi_meta.snapshot_scan(args.input, as_of=args.as_of)
+        if args.since_instant is not None:
+            # same incremental contract as --iceberg --since-snapshot /
+            # --delta --since-version: only brand-new file groups, an
+            # empty diff flows through encode_path's append no-op
+            args.append = True
+            scan = hudi_meta.snapshot_scan_diff(
+                args.input, args.since_instant, as_of=args.as_of)
+        else:
+            scan = hudi_meta.snapshot_scan(args.input, as_of=args.as_of)
         if args.partition:
             pf = dict(kv.split("=", 1) for kv in args.partition)
             scan = hudi_meta.filter_partitions(scan, pf)
@@ -254,8 +267,9 @@ def main() -> int:
         raise SystemExit("--since-snapshot requires --iceberg")
     elif args.since_version is not None or args.at_version is not None:
         raise SystemExit("--since-version/--at-version require --delta")
-    if args.as_of is not None and not args.hudi:
-        raise SystemExit("--as-of requires --hudi")
+    if (args.as_of is not None or args.since_instant is not None) \
+            and not args.hudi:
+        raise SystemExit("--as-of/--since-instant require --hudi")
     if sum((args.iceberg, args.delta, args.hive, args.hudi)) > 1:
         raise SystemExit("--iceberg/--delta/--hive/--hudi are mutually "
                          "exclusive")

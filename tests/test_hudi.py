@@ -236,6 +236,87 @@ def test_missing_file_id_derived_from_filename(tmp_path):
         [f"f-a_1-0-1_{ins[1]}.parquet"]
 
 
+def test_snapshot_diff_added_groups(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    b = _mk_parquet(tmp_path, "b.parquet", [2])
+    c = _mk_parquet(tmp_path, "c.parquet", [3])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"p=0": [("f-a", a)]}},
+        {"writes": {"p=0": [("f-b", b)], "p=1": [("f-c", c)]}},
+    ])
+    diff = hm.snapshot_scan_diff(d, ins[0])
+    assert _names(diff) == sorted([f"f-b_1-0-1_{ins[1]}.parquet",
+                                   f"f-c_1-0-1_{ins[1]}.parquet"])
+    assert diff["instant"] == ins[1]
+    # steady state: nothing after the latest instant
+    assert hm.snapshot_scan_diff(d, ins[1])["files"] == []
+    # composes with the partition filter
+    only_p1 = hm.filter_partitions(diff, {"p": "1"})
+    assert _names(only_p1) == [f"f-c_1-0-1_{ins[1]}.parquet"]
+
+
+def test_snapshot_diff_refuses_rewrite_and_replace(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    a2 = _mk_parquet(tmp_path, "a2.parquet", [1, 2])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", a)]}},
+        {"writes": {"": [("f-a", a2)]}},  # upsert rewrites the group
+    ])
+    with pytest.raises(hm.HudiMetaError, match="rewritten or replaced"):
+        hm.snapshot_scan_diff(d, ins[0])
+    d2 = str(tmp_path / "tbl2")
+    ins2 = hm.write_table_fixture(d2, [
+        {"writes": {"": [("f-a", a)]}},
+        {"writes": {"": [("f-b", a2)]}, "replaces": {"": ["f-a"]}},
+    ])
+    with pytest.raises(hm.HudiMetaError, match="rewritten or replaced"):
+        hm.snapshot_scan_diff(d2, ins2[0])
+    # but the window BEFORE the rewrite is a clean (empty) diff
+    assert hm.snapshot_scan_diff(d, ins[0], as_of=ins[0])["files"] == []
+
+
+def test_snapshot_diff_bad_instant_refused(tmp_path):
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    d = str(tmp_path / "tbl")
+    hm.write_table_fixture(d, [{"writes": {"": [("f-a", a)]}}])
+    with pytest.raises(hm.HudiMetaError, match="not a completed"):
+        hm.snapshot_scan_diff(d, "99999999999999999")
+
+
+def test_hudi_incremental_encode(spark, tokens_path, tmp_path):
+    """Full snapshot encode at instant 0, then append the instant-1
+    diff: the tree ends up holding the union, with the first wave's
+    chunks untouched — the Iceberg --since-snapshot ingest shape on the
+    Hudi timeline."""
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    files = sorted(glob.glob(f"{tokens_path}/*.parquet"))[:2]
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-0", files[0])]}},
+        {"writes": {"": [("f-1", files[1])]}},
+    ])
+    out = str(tmp_path / "enc")
+    t0 = pipeline.encode_path(
+        spark, d, out, input_files=hm.snapshot_files(d, as_of=ins[0]))
+    diff = hm.snapshot_scan_diff(d, ins[0])
+    t1 = pipeline.encode_path(spark, d, out, input_files=diff["files"],
+                              append=True)
+    n_all = sum(pq.read_metadata(f).num_rows for f in files)
+    assert t0["n_rows"] + t1["n_rows"] == n_all
+    assert t1["waves_run"] == 1
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id string")
+    assert dec.count() == n_all
+    assert verify.verify_files(spark, out)["ok"]
+    # steady state appends nothing
+    t2 = pipeline.encode_path(
+        spark, d, out, input_files=hm.snapshot_scan_diff(d, ins[1])["files"],
+        append=True)
+    assert t2["waves_run"] == 0 and t2["n_rows"] == 0
+
+
 def test_filter_partitions(tmp_path):
     a = _mk_parquet(tmp_path, "a.parquet", [1])
     b = _mk_parquet(tmp_path, "b.parquet", [2])
