@@ -344,6 +344,71 @@ def test_filter_partitions_non_hive_refused(tmp_path):
 
 
 # ---------------------------------------------------------------------
+# timeline replay fuzz (model-based, mirrors test_delta replay fuzz)
+# ---------------------------------------------------------------------
+
+def test_timeline_fuzz_vs_model(tmp_path):
+    """Random insert/upsert/replace/pending commit sequences: the
+    scan's live file set must equal a trivial dict model — at the final
+    snapshot AND at every as_of prefix — on both timeline layouts."""
+    import random
+    rng = random.Random(20260820)
+    src = _mk_parquet(tmp_path, "src.parquet", [1])
+    parts = ["p=0", "p=1"]
+    for trial in range(12):
+        model: dict[tuple, int] = {}  # (part, fid) -> commit idx of slice
+        history: list[dict] = []      # model snapshot after each commit
+        commits: list[dict] = []
+        next_fid = 0
+        for _ in range(rng.randint(1, 8)):
+            pending = rng.random() < 0.15
+            op = rng.random()
+            present = sorted(model)
+            if op < 0.4 or not present:  # insert a brand-new group
+                part = rng.choice(parts)
+                fid = f"f-{next_fid}"
+                next_fid += 1
+                c = {"writes": {part: [(fid, src)]}, "pending": pending}
+                if not pending:
+                    model[(part, fid)] = len(commits)
+            elif op < 0.7:               # upsert an existing group
+                part, fid = rng.choice(present)
+                c = {"writes": {part: [(fid, src)]}, "pending": pending}
+                if not pending:
+                    model[(part, fid)] = len(commits)
+            else:                        # cluster: replace 1-2 groups
+                victims = rng.sample(present,
+                                     rng.randint(1, min(2, len(present))))
+                reps: dict[str, list[str]] = {}
+                for part, fid in victims:
+                    reps.setdefault(part, []).append(fid)
+                part = rng.choice(parts)
+                fid = f"f-{next_fid}"
+                next_fid += 1
+                c = {"writes": {part: [(fid, src)]}, "replaces": reps,
+                     "pending": pending}
+                if not pending:
+                    model[(part, fid)] = len(commits)
+                    for v in victims:
+                        model.pop(v, None)
+            commits.append(c)
+            history.append(dict(model))
+        d = str(tmp_path / f"fz{trial}")
+        ins = hm.write_table_fixture(d, commits,
+                                     timeline_v1=bool(trial % 2))
+
+        def expected(m, ins=ins):
+            return sorted(f"{k[1]}_1-0-1_{ins[i]}.parquet"
+                          for k, i in m.items())
+
+        assert _names(hm.snapshot_scan(d)) == expected(model), \
+            (trial, commits)
+        for step in range(len(commits)):
+            got = _names(hm.snapshot_scan(d, as_of=ins[step]))
+            assert got == expected(history[step]), (trial, step, commits)
+
+
+# ---------------------------------------------------------------------
 # object-store metadata reads + encode integration
 # ---------------------------------------------------------------------
 
