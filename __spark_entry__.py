@@ -632,6 +632,34 @@ def q55_hudi_snapshot_roundtrip(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q56_pii_scrub(spark, sf_dir):
+    """PII redaction (corpus hygiene), oracle-gated: deterministic
+    synthetic PII — an email, an IPv4 and an SSN derived from doc_id —
+    is injected into every document identically in BOTH engines,
+    scrubbed with the shared Java∩RE2 pattern set
+    (``textstats.PII_PATTERNS``), and compared via per-source match
+    counts plus an md5 over the scrubbed texts: one divergent
+    replacement anywhere flips the hash. The scrub itself is map-only
+    JVM regex — zero shuffles before the final keyed aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id", "source",
+        F.concat(F.col("text"),
+                 F.lit(" mail u"), F.col("doc_id").cast("string"),
+                 F.lit("@ex.com ip 10."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".0.1 ssn 123-45-6789")).alias("text"))
+    sc = textstats.scrub_pii(inj, "text")
+    return (sc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_email").alias("emails"),
+                 F.sum("n_ipv4").alias("ips"),
+                 F.sum("n_ssn").alias("ssns"),
+                 F.md5(F.concat_ws(",", F.array_sort(
+                     F.collect_list(F.md5(F.col("text"))))))
+                 .alias("scrub_md5")))
+
+
 def q46_columnar_multicol_agg(spark, sf_dir):
     """Row-aligned multi-column read from the per-column layout,
     oracle-gated: two columns decoded from separate Hive partitions and
@@ -1042,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_chunk_overlap": q51_chunk_overlap,
         "q52_pack_boundaries": q52_pack_boundaries,
         "q55_hudi_snapshot_roundtrip": q55_hudi_snapshot_roundtrip,
+        "q56_pii_scrub": q56_pii_scrub,
     }.items()))
 
 
@@ -1872,6 +1901,36 @@ def oracle_sql() -> dict[str, str]:
                        AS ids_md5
             FROM documents GROUP BY source
         """,
+        # patterns embedded from textstats.PII_PATTERNS via %-format so
+        # both engines run the SAME regex strings (Java∩RE2 subset)
+        "q56_pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id, source,
+                     text || ' mail u' || CAST(doc_id AS VARCHAR) ||
+                     '@ex.com ip 10.' || CAST(doc_id %% 256 AS VARCHAR)
+                     || '.0.1 ssn 123-45-6789' AS text
+              FROM documents
+            ), sc AS (
+              SELECT source,
+                     len(regexp_extract_all(text, '%(email)s'))
+                         AS n_email,
+                     len(regexp_extract_all(text, '%(ipv4)s'))
+                         AS n_ipv4,
+                     len(regexp_extract_all(text, '%(ssn)s')) AS n_ssn,
+                     md5(regexp_replace(regexp_replace(regexp_replace(
+                         text, '%(email)s', '<EMAIL>', 'g'),
+                         '%(ipv4)s', '<IP>', 'g'),
+                         '%(ssn)s', '<SSN>', 'g')) AS h
+              FROM inj
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_email) AS BIGINT) AS emails,
+                   CAST(sum(n_ipv4) AS BIGINT) AS ips,
+                   CAST(sum(n_ssn) AS BIGINT) AS ssns,
+                   md5(array_to_string(list_sort(list(h)), ','))
+                       AS scrub_md5
+            FROM sc GROUP BY source
+        """ % {k: rx for k, (rx, _) in textstats.PII_PATTERNS.items()},
         # same oracle shape as q49: the Hudi snapshot's latest slices
         # hold exactly the raw documents (the stale f-0 slice and the
         # replaced f-1/f-2 groups are metadata-invisible)

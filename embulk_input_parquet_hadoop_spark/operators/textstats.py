@@ -288,3 +288,55 @@ def word_commonness(df: DataFrame, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.expr("sum(ppm) DIV count(1)").alias("commonness_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+# Pattern set restricted to the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround, ASCII classes only) so a DuckDB oracle
+# reproduces counts AND replacements bit-for-bit.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None,
+              patterns: dict[str, tuple[str, str]] | None = None
+              ) -> DataFrame:
+    """Redact PII-shaped spans and count them — the standard corpus
+    hygiene pass before training. Adds one ``n_<kind>`` count column
+    per pattern (matched against the ORIGINAL text, so counts are
+    independent of replacement order) and rewrites ``out_col``
+    (default: ``text_col`` in place) with every pattern replaced by
+    its placeholder, applied sequentially in dict order.
+
+    Plan shape: map-only JVM regex (``regexp_count`` /
+    ``regexp_replace``), zero shuffles, whole-stage codegen — a pure
+    scan transform at any corpus size. Patterns must stay inside the
+    Java∩RE2 subset (see ``PII_PATTERNS``) or cross-engine oracles
+    diverge; count-column collisions raise rather than silently
+    overwriting user columns.
+
+    Reference analogue: none (the reference is a decode-side plugin);
+    this extends the training-pipeline operator family
+    (SURVEY.md §2 additions).
+    """
+    pats = patterns or PII_PATTERNS
+    clash = [f"n_{k}" for k in pats if f"n_{k}" in df.columns]
+    if clash:
+        raise ValueError(
+            f"scrub_pii count column(s) {clash} already exist on the "
+            "input — rename them or pass a custom patterns dict")
+    out = df
+    for kind, (rx, _) in pats.items():
+        out = out.withColumn(f"n_{kind}",
+                             F.regexp_count(F.col(text_col), F.lit(rx)))
+    scrubbed = F.col(text_col)
+    for _, (rx, tok) in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, rx, tok)
+    return out.withColumn(out_col or text_col, scrubbed)

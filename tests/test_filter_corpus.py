@@ -45,3 +45,37 @@ def test_plan_is_map_only(spark):
     plan = textstats.filter_corpus(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_scrub_pii_counts_and_replacements(spark):
+    df = spark.createDataFrame(
+        [(1, "write bob.smith+x@corp.example.org or 192.168.0.1 "
+             "ssn 123-45-6789 done"),
+         (2, "clean text, no pii at all"),
+         (3, "two mails a@b.io c@d.co one ip 10.0.0.255")],
+        "id int, text string")
+    out = {r.id: r for r in textstats.scrub_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_ssn) == (1, 1, 1)
+    assert out[1].text == "write <EMAIL> or <IP> ssn <SSN> done"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_ssn) == (0, 0, 0)
+    assert out[2].text == "clean text, no pii at all"
+    assert (out[3].n_email, out[3].n_ipv4) == (2, 1)
+    assert out[3].text == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    # out_col keeps the original text column intact
+    kept = textstats.scrub_pii(df, out_col="clean").collect()[0]
+    assert "<EMAIL>" not in kept.text and "@" in kept.text
+
+
+def test_scrub_pii_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a@b.io")], "id int, text string")
+    plan = textstats.scrub_pii(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_scrub_pii_count_column_collision_refused(spark):
+    import pytest
+    df = spark.createDataFrame([(1, "x", 5)],
+                               "id int, text string, n_email int")
+    with pytest.raises(ValueError, match="n_email"):
+        textstats.scrub_pii(df)
