@@ -660,6 +660,21 @@ def q56_pii_scrub(spark, sf_dir):
                  .alias("scrub_md5")))
 
 
+def q57_bpe_pair_counts(spark, sf_dir):
+    """One BPE tokenizer-induction counting round, oracle-gated: the
+    top-50 most frequent ADJACENT token-id pairs over the corpus
+    (deterministic cnt DESC, a, b tie-break so both engines pick the
+    identical set). Pair extraction is map-only slice+zip+explode JVM
+    built-ins; the count is one keyed shuffle with map-side combine
+    over the live-pair key space (≤ vocab², corpus-size independent);
+    only the counted aggregate sorts. The merge step
+    (`vocab.apply_bpe_merge`, greedy left-to-right) is unit-gated
+    against a pure-Python reference in tests/test_vocab.py."""
+    toks = _t(spark, sf_dir, "documents").select(
+        token_ids(F.col("text"), VOCAB).alias("tokens"))
+    return vocab.pair_counts(toks, top_k=50)
+
+
 def q46_columnar_multicol_agg(spark, sf_dir):
     """Row-aligned multi-column read from the per-column layout,
     oracle-gated: two columns decoded from separate Hive partitions and
@@ -1071,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_pack_boundaries": q52_pack_boundaries,
         "q55_hudi_snapshot_roundtrip": q55_hudi_snapshot_roundtrip,
         "q56_pii_scrub": q56_pii_scrub,
+        "q57_bpe_pair_counts": q57_bpe_pair_counts,
     }.items()))
 
 
@@ -1900,6 +1916,20 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list(doc_id)), ','))
                        AS ids_md5
             FROM documents GROUP BY source
+        """,
+        "q57_bpe_pair_counts": f"""
+            WITH t AS (
+              SELECT list_transform({WORDS},
+                  w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                       % 50257) AS tokens
+              FROM documents
+            ), pr AS (
+              SELECT t.tokens[s.i] AS a, t.tokens[s.i + 1] AS b
+              FROM t, LATERAL (SELECT unnest(generate_series(
+                       1, len(t.tokens) - 1)) AS i) s
+            )
+            SELECT a, b, count(*) AS cnt FROM pr GROUP BY a, b
+            ORDER BY cnt DESC, a, b LIMIT 50
         """,
         # patterns embedded from textstats.PII_PATTERNS via %-format so
         # both engines run the SAME regex strings (Java∩RE2 subset)

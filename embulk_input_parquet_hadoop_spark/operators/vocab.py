@@ -72,3 +72,85 @@ def remap_rare_tokens(df: DataFrame, min_count: int, unk_id: int = 0,
                      F.array_sort(F.collect_list(F.struct("pos", "tok2"))),
                      lambda x: x["tok2"]).alias(tokens_col),
                  F.sum("unk").alias("n_unk")))
+
+
+# ---------------------------------------------------------------------------
+# BPE-style tokenizer induction primitives
+
+def pair_counts(df: DataFrame, tokens_col: str = "tokens",
+                top_k: int | None = None) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting step of one BPE
+    merge round (the dominant cost of tokenizer training; the merge
+    loop is driver-side over the top pair, see ``apply_bpe_merge``).
+
+    Returns (a, b, cnt) as bigints; ``top_k`` keeps the k most frequent
+    pairs with a deterministic (cnt DESC, a, b) tie-break so reruns and
+    cross-engine oracles agree.
+
+    Scale shape: pair extraction is map-only (``slice`` + ``arrays_zip``
+    + ``explode`` — JVM built-ins, no Python); the count is ONE keyed
+    shuffle with map-side partial aggregation over a key space bounded
+    by the number of DISTINCT live pairs (≤ vocab², in practice far
+    smaller), independent of corpus size; top-k sorts only the counted
+    aggregate. Empty and single-token documents contribute no pairs.
+    """
+    c = F.col(tokens_col)
+    n1 = F.greatest(F.size(c) - 1, F.lit(0))
+    pairs = (df.select(F.explode(F.arrays_zip(
+                F.slice(c, 1, n1).alias("a"),
+                F.slice(c, 2, n1).alias("b"))).alias("p"))
+             .select(F.col("p.a").cast("long").alias("a"),
+                     F.col("p.b").cast("long").alias("b")))
+    cnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    if top_k is not None:
+        cnt = cnt.orderBy(F.desc("cnt"), "a", "b").limit(top_k)
+    return cnt
+
+
+def apply_bpe_merge(df: DataFrame, pair: tuple[int, int], new_id: int,
+                    tokens_col: str = "tokens") -> DataFrame:
+    """Rewrite every document replacing adjacent ``pair`` occurrences
+    with ``new_id``, greedy LEFT-TO-RIGHT with no re-scan of the just
+    -merged token — standard BPE apply semantics ([a,a,a] with pair
+    (a,a) -> [m,a], not [a,m]).
+
+    Map-only (an Arrow-batched pandas UDF: greedy overlap resolution is
+    inherently stateful within a run of overlapping matches, beyond the
+    JVM higher-order built-ins), zero shuffles, order inside every
+    document preserved. The per-row kernel is vectorized numpy: match
+    positions, then within each run of CONSECUTIVE positions keep the
+    even offsets — exactly the greedy left-to-right outcome — then one
+    ``np.delete`` + one scatter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a, b = int(pair[0]), int(pair[1])
+    nid = int(new_id)
+
+    def _merge(col):
+        out = []
+        for row in col:
+            t = np.asarray(row, dtype=np.int64)
+            if t.size < 2:
+                out.append(t)
+                continue
+            p = np.flatnonzero((t[:-1] == a) & (t[1:] == b))
+            if not p.size:
+                out.append(t)
+                continue
+            run_start = np.concatenate(([True], np.diff(p) != 1))
+            run_ids = np.cumsum(run_start) - 1
+            starts = np.flatnonzero(run_start)
+            keep = ((np.arange(p.size) - starts[run_ids]) % 2) == 0
+            p = p[keep]
+            merged = np.delete(t, p + 1)
+            merged[p - np.arange(p.size)] = nid
+            out.append(merged)
+        return pd.Series(out)
+
+    # the module's `from __future__ import annotations` would stringify
+    # inline hints beyond pyspark's resolver; set real objects instead
+    _merge.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    merge_udf = F.pandas_udf(_merge, "array<int>")
+    return df.withColumn(tokens_col, merge_udf(F.col(tokens_col)))

@@ -66,3 +66,83 @@ def test_null_token_elements_preserved(spark):
     out = vocab.remap_rare_tokens(df, min_count=2, unk_id=-1).collect()
     assert out[0].tokens == [5, None, 5, -1]
     assert out[0].n_unk == 1
+
+
+# ---------------------------------------------------------------------
+# BPE primitives
+# ---------------------------------------------------------------------
+
+def _ref_bpe_merge(t, a, b, nid):
+    out, i = [], 0
+    while i < len(t):
+        if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+            out.append(nid)
+            i += 2
+        else:
+            out.append(t[i])
+            i += 1
+    return out
+
+
+def test_pair_counts(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2, 1, 2, 3]), (2, [2, 1, 2]), (3, [7]), (4, [])],
+        "doc_id bigint, tokens array<int>")
+    got = {(r.a, r.b): r.cnt for r in vocab.pair_counts(df).collect()}
+    assert got == {(1, 2): 3, (2, 1): 2, (2, 3): 1}
+    # top_k with deterministic (cnt DESC, a, b) tie-break
+    top = [(r.a, r.b) for r in
+           vocab.pair_counts(df, top_k=2).collect()]
+    assert top == [(1, 2), (2, 1)]
+
+
+def test_apply_bpe_merge_greedy_semantics(spark):
+    cases = [
+        ([1, 1, 1], (1, 1), [9, 1]),        # greedy left-to-right
+        ([1, 1, 1, 1], (1, 1), [9, 9]),
+        ([1, 2, 1, 2], (1, 2), [9, 9]),
+        ([2, 1, 1, 2], (1, 1), [2, 9, 2]),
+        ([1, 2], (2, 1), [1, 2]),           # no match
+        ([], (1, 2), []),
+        ([1], (1, 1), [1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(cases)],
+        "doc_id bigint, tokens array<int>")
+    for i, (t, pair, want) in enumerate(cases):
+        out = vocab.apply_bpe_merge(
+            df.filter(F.col("doc_id") == i), pair, 9).collect()
+        assert out[0].tokens == want, (t, pair)
+
+
+def test_apply_bpe_merge_vs_reference_random(spark):
+    import random
+    rng = random.Random(20260820)
+    rows = [(i, [rng.randint(0, 3) for _ in range(rng.randint(0, 40))])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    for pair in [(0, 0), (0, 1), (2, 2), (3, 1)]:
+        got = {r.doc_id: r.tokens for r in
+               vocab.apply_bpe_merge(df, pair, 99).collect()}
+        for i, t in rows:
+            assert got[i] == _ref_bpe_merge(t, *pair, 99), (i, t, pair)
+
+
+def test_bpe_round_shrinks_top_pair(spark):
+    # one full BPE round: count -> merge the top pair -> the pair is
+    # gone, and token mass drops by exactly the number of APPLIED
+    # merges (≤ the raw count: greedy skips overlapping occurrences,
+    # e.g. (0,0) in [0,0,0] counts twice but merges once)
+    df = spark.createDataFrame(
+        [(i, [i % 2, (i + 1) % 3, i % 2, i % 2]) for i in range(50)],
+        "doc_id bigint, tokens array<int>")
+    top = vocab.pair_counts(df, top_k=1).collect()[0]
+    merged = vocab.apply_bpe_merge(df, (top.a, top.b), 100)
+    before = df.select(F.sum(F.size("tokens"))).collect()[0][0]
+    after = merged.select(F.sum(F.size("tokens"))).collect()[0][0]
+    n_applied = merged.select(F.sum(F.size(F.filter(
+        "tokens", lambda x: x == F.lit(100))))).collect()[0][0]
+    assert 0 < n_applied <= top.cnt
+    assert before - after == n_applied
+    left = {(r.a, r.b) for r in vocab.pair_counts(merged).collect()}
+    assert (top.a, top.b) not in left
