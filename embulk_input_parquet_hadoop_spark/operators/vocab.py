@@ -154,3 +154,40 @@ def apply_bpe_merge(df: DataFrame, pair: tuple[int, int], new_id: int,
     _merge.__annotations__ = {"col": pd.Series, "return": pd.Series}
     merge_udf = F.pandas_udf(_merge, "array<int>")
     return df.withColumn(tokens_col, merge_udf(F.col(tokens_col)))
+
+
+def bpe_learn(df: DataFrame, n_merges: int, first_id: int,
+              tokens_col: str = "tokens",
+              min_count: int = 2) -> tuple[list[tuple[int, int, int]],
+                                           DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus: each round counts
+    adjacent pairs (:func:`pair_counts`, one Spark job), picks the most
+    frequent (ties broken by smallest (a, b) — deterministic under any
+    partitioning), and rewrites the corpus (:func:`apply_bpe_merge`,
+    map-only). Returns ``([(a, b, new_id), ...], final_df)``; stops
+    early when no pair reaches ``min_count`` (merging singletons learns
+    noise). New ids are ``first_id, first_id+1, ...`` — pass a value
+    above the base vocabulary.
+
+    Scale shape: the driver loop moves ONE (a, b, cnt) row per round
+    over the channel; each round's corpus rewrite is map-only and is
+    ``localCheckpoint``-materialized so round k+1's count scans the
+    rewritten tokens instead of re-running a k-deep UDF chain (the same
+    loop discipline as ``dedup.connected_components``). Rounds are
+    inherently sequential — BPE merge k depends on k-1 — so the
+    parallelism lives inside each round, which is how production
+    tokenizer trainers distribute too.
+    """
+    merges: list[tuple[int, int, int]] = []
+    cur = df
+    for k in range(n_merges):
+        top = (pair_counts(cur, tokens_col)
+               .orderBy(F.desc("cnt"), "a", "b").limit(1).collect())
+        if not top or top[0].cnt < min_count:
+            break
+        a, b = int(top[0].a), int(top[0].b)
+        nid = first_id + k
+        merges.append((a, b, nid))
+        cur = apply_bpe_merge(cur, (a, b), nid,
+                              tokens_col).localCheckpoint()
+    return merges, cur

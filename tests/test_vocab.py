@@ -146,3 +146,45 @@ def test_bpe_round_shrinks_top_pair(spark):
     assert before - after == n_applied
     left = {(r.a, r.b) for r in vocab.pair_counts(merged).collect()}
     assert (top.a, top.b) not in left
+
+
+def test_bpe_learn_matches_reference_trainer(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.randint(0, 3) for _ in range(rng.randint(2, 30))])
+            for i in range(60)]
+
+    def ref_learn(docs, n_merges, first_id, min_count=2):
+        docs = [list(t) for t in docs]
+        merges = []
+        for k in range(n_merges):
+            cnt = {}
+            for t in docs:
+                for j in range(len(t) - 1):
+                    cnt[(t[j], t[j + 1])] = cnt.get((t[j], t[j + 1]), 0) + 1
+            if not cnt:
+                break
+            (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < min_count:
+                break
+            nid = first_id + k
+            merges.append((a, b, nid))
+            docs = [_ref_bpe_merge(t, a, b, nid) for t in docs]
+        return merges, docs
+
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    merges, out = vocab.bpe_learn(df, n_merges=4, first_id=100)
+    want_merges, want_docs = ref_learn([t for _, t in rows], 4, 100)
+    assert merges == want_merges
+    got = {r.doc_id: r.tokens for r in out.collect()}
+    for (i, _), want in zip(rows, want_docs):
+        assert got[i] == want, i
+
+
+def test_bpe_learn_stops_below_min_count(spark):
+    df = spark.createDataFrame([(1, [1, 2, 3, 4])],
+                               "doc_id bigint, tokens array<int>")
+    merges, out = vocab.bpe_learn(df, n_merges=5, first_id=100,
+                                  min_count=2)
+    assert merges == []  # every pair occurs once
+    assert out.collect()[0].tokens == [1, 2, 3, 4]
