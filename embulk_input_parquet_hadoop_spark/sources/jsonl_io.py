@@ -1,0 +1,216 @@
+"""JSONL corpus staging: distributed raw-text ingestion.
+
+Raw LLM training corpora arrive as JSON-lines (optionally gzipped);
+the encode pipeline's task contract is parquet — row groups, footers,
+absolute-row deletes, column renames are all parquet-shaped, and
+growing a second decode path inside that task would fork its
+bad-record semantics. Staging instead converts each JSONL file to
+parquet in ONE embarrassingly parallel pass — the same
+ship-paths/read-inside-the-Python-worker pattern as ``encode_path``
+(CLAUDE.md: the JVM->Python channel is slow; paths are cheap) — and
+the staged tree feeds ``encode_path`` unchanged (zone maps, manifest
+lineage, verify, every table-format feature).
+
+Idempotence: a staged file's name is ``md5(source path)``, so
+
+- a re-run skips sources whose staged parquet already exists
+  (non-empty), making staging crash-retryable, and
+- ``encode_path(append=True)``'s manifest lineage dedupes at the
+  encode layer on the same deterministic names — stage+encode+append
+  is end-to-end incremental over a growing JSONL drop directory.
+
+Writes publish atomically-at-visibility via ``fsutil.put_file`` (local
+spool -> temp+rename, or direct final-key PUT on object stores), so a
+half-written staged file is never visible as non-empty.
+
+Scale shape: one task per source file, zero shuffles, O(files) summary
+rows to the driver. Per-file schema inference can differ across files
+(a field absent from one file infers as missing) — pass ``schema_ddl``
+to pin types and column order, or encode with ``schema_mode="mixed"``.
+
+Reference analogue: the reference consumes existing Parquet only
+(`ParquetHadoopInputPlugin.java:85-119`); raw-corpus ingestion extends
+the pipeline the direction a training-data user needs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import SparkSession
+
+from ..plans import fsutil
+
+STAGE_SUMMARY_SCHEMA = ("source string, staged string, n_rows long, "
+                        "skipped boolean, error string")
+
+_EXTS = (".jsonl", ".json", ".ndjson", ".jsonl.gz", ".json.gz",
+         ".ndjson.gz")
+
+
+def _list_jsonl_files(root: str) -> list[str]:
+    """Recursive listing of JSONL files under ``root``, hidden entries
+    skipped (same convention as the parquet glob,
+    `ParquetHadoopInputPlugin.java:204-239`)."""
+    out: list[str] = []
+
+    def _walk(d: str):
+        for name in sorted(fsutil.listdir(d)):
+            if name.startswith((".", "_")):
+                continue
+            p = f"{d}/{name}"
+            if fsutil.isdir(p):
+                _walk(p)
+            elif name.endswith(_EXTS):
+                out.append(p)
+
+    _walk(root.rstrip("/"))
+    return out
+
+
+def staged_name(source_path: str) -> str:
+    """Deterministic staged file name: md5 of the (scheme-qualified)
+    source path. Same source -> same staged name across runs, which is
+    what makes both the skip check and append-mode encode lineage
+    idempotent."""
+    return hashlib.md5(source_path.encode()).hexdigest() + ".parquet"
+
+
+def _read_jsonl_table(path: str, arrow_schema):
+    import pyarrow as pa
+    import pyarrow.json as pa_json
+    raw = fsutil.read_bytes(path)
+    if path.endswith(".gz"):
+        raw = gzip.decompress(raw)
+    parse = None
+    if arrow_schema is not None:
+        parse = pa_json.ParseOptions(explicit_schema=arrow_schema,
+                                     unexpected_field_behavior="ignore")
+    # single-threaded: one task <-> one core (the same reason encode
+    # tasks read parquet with use_threads=False)
+    read = pa_json.ReadOptions(use_threads=False)
+    tbl = pa_json.read_json(io.BytesIO(raw), read_options=read,
+                            parse_options=parse)
+    if arrow_schema is not None:
+        # a file where some column never appears still gets the full
+        # schema (all-null column) so staged schemas are uniform
+        cols = [tbl.column(f.name) if f.name in tbl.schema.names
+                else pa.nulls(tbl.num_rows, f.type)
+                for f in arrow_schema]
+        tbl = pa.Table.from_arrays(cols, schema=arrow_schema)
+    return tbl
+
+
+def stage_jsonl(spark: SparkSession, inputs: str | list[str],
+                staging_dir: str, schema_ddl: str | None = None,
+                bad_file_threshold: float = 0.0,
+                compression: str = "zstd") -> dict:
+    """Convert JSONL files to a parquet staging tree, one Spark task
+    per file. ``inputs`` is a directory (recursively listed) or an
+    explicit file list. Returns ``{"files": [staged paths in source
+    order], "n_rows", "n_staged", "n_skipped", "errors"}`` — feed
+    ``files`` to ``encode_path(input_files=...)``.
+
+    ``schema_ddl`` (Spark DDL, e.g. ``"doc_id bigint, text string"``)
+    pins column types AND order; extra JSON fields are ignored, absent
+    fields become null columns. Without it every file infers its own
+    schema (encode with ``schema_mode="mixed"`` if they differ).
+
+    Files that fail to parse are reported in ``errors`` and tolerated
+    up to ``bad_file_threshold`` (fraction of inputs, same contract as
+    ``encode_path``); beyond it the job raises.
+    """
+    import pyarrow as pa
+
+    files = (inputs if isinstance(inputs, list)
+             else _list_jsonl_files(inputs))
+    if not files:
+        raise FileNotFoundError(f"no JSONL files under {inputs}")
+    arrow_schema = None
+    if schema_ddl is not None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        arrow_schema = to_arrow_schema(
+            spark.createDataFrame([], schema_ddl).schema)
+    schema_ser = arrow_schema.serialize().to_pybytes() \
+        if arrow_schema is not None else None
+    base = staging_dir.rstrip("/")
+    fsutil.makedirs_any(base)
+    local = fsutil.is_local(base)
+
+    def _stage(batches):
+        import pyarrow.parquet as pq
+        summary_arrow = pa.schema([
+            ("source", pa.string()), ("staged", pa.string()),
+            ("n_rows", pa.int64()), ("skipped", pa.bool_()),
+            ("error", pa.string())])
+        schema = (pa.ipc.read_schema(pa.py_buffer(schema_ser))
+                  if schema_ser is not None else None)
+        for b in batches:
+            for src in b.column("path").to_pylist():
+                staged = f"{base}/{staged_name(src)}"
+                try:
+                    if fsutil.exists(staged) and \
+                            fsutil.file_size(staged) > 0:
+                        yield pa.RecordBatch.from_pylist(
+                            [{"source": src, "staged": staged,
+                              "n_rows": 0, "skipped": True,
+                              "error": None}], schema=summary_arrow)
+                        continue
+                    tbl = _read_jsonl_table(src, schema)
+                    if local:
+                        tmp = f"{base}/.{uuid.uuid4().hex}.tmp"
+                        pq.write_table(tbl, tmp, compression=compression)
+                        os.replace(tmp, staged)
+                    else:
+                        spool_base = (os.environ
+                                      .get("SPARK_LOCAL_DIRS", "")
+                                      .split(",")[0].strip()
+                                      or tempfile.gettempdir())
+                        tmp = os.path.join(
+                            spool_base, f".stage-{uuid.uuid4().hex}")
+                        try:
+                            pq.write_table(tbl, tmp,
+                                           compression=compression)
+                            fsutil.put_file(staged, tmp)
+                        finally:
+                            if os.path.exists(tmp):
+                                os.remove(tmp)
+                    yield pa.RecordBatch.from_pylist(
+                        [{"source": src, "staged": staged,
+                          "n_rows": tbl.num_rows, "skipped": False,
+                          "error": None}], schema=summary_arrow)
+                except Exception as exc:  # noqa: BLE001
+                    yield pa.RecordBatch.from_pylist(
+                        [{"source": src, "staged": None, "n_rows": 0,
+                          "skipped": False,
+                          "error": f"{type(exc).__name__}: {exc}"}],
+                        schema=summary_arrow)
+
+    rdd = spark.sparkContext.parallelize([(f,) for f in files],
+                                         len(files))
+    paths = spark.createDataFrame(rdd, "path string")
+    summary = paths.mapInArrow(_stage, STAGE_SUMMARY_SCHEMA).toArrow()
+    rows = summary.to_pylist()
+    by_src = {r["source"]: r for r in rows}
+    errors = [(r["source"], r["error"]) for r in rows if r["error"]]
+    if len(errors) > len(files) * bad_file_threshold:
+        raise RuntimeError(
+            f"{len(errors)}/{len(files)} JSONL files failed to stage, "
+            f"exceeds bad_file_threshold={bad_file_threshold}: "
+            f"{errors[:3]}")
+    staged = [by_src[f]["staged"] for f in files
+              if by_src[f]["error"] is None]
+    return {"files": staged,
+            "n_rows": sum(r["n_rows"] for r in rows),
+            "n_staged": sum(1 for r in rows
+                            if not r["skipped"] and not r["error"]),
+            "n_skipped": sum(1 for r in rows if r["skipped"]),
+            "errors": errors}
+
+
+__all__ = ["stage_jsonl", "staged_name", "STAGE_SUMMARY_SCHEMA"]

@@ -115,6 +115,20 @@ def main() -> int:
                         "after the given completed instant (vs --as-of "
                         "or latest); rewrites/replacements of "
                         "already-live groups refuse; implies --append")
+    p.add_argument("--jsonl", action="store_true",
+                   help="treat --input as a JSONL corpus (dir of "
+                        ".jsonl/.ndjson[.gz] files): stage each file "
+                        "to parquet (one task per file, idempotent "
+                        "md5-named outputs) then encode the staged "
+                        "tree; combine with --append for incremental "
+                        "ingest over a growing drop directory")
+    p.add_argument("--staging", default=None, metavar="DIR",
+                   help="with --jsonl: parquet staging tree "
+                        "(default {output}/_staging — underscore "
+                        "prefix keeps it out of parquet globs)")
+    p.add_argument("--jsonl-schema", default=None, metavar="DDL",
+                   help="with --jsonl: Spark DDL pinning staged column "
+                        "types and order (else per-file inference)")
     p.add_argument("--partition", action="append", default=None,
                    metavar="FIELD=VALUE",
                    help="with --iceberg/--delta/--hudi: metadata-level "
@@ -254,6 +268,13 @@ def main() -> int:
             pf = dict(kv.split("=", 1) for kv in args.partition)
             scan = hudi_meta.filter_partitions(scan, pf)
         input_files = scan["files"]
+    elif args.jsonl:
+        from embulk_input_parquet_hadoop_spark.sources import jsonl_io
+        stg = args.staging or f"{args.output.rstrip('/')}/_staging"
+        staged = jsonl_io.stage_jsonl(
+            spark, args.input, stg, schema_ddl=args.jsonl_schema,
+            bad_file_threshold=args.bad_file_threshold)
+        input_files = staged["files"]
     elif args.hive:
         from embulk_input_parquet_hadoop_spark.sources import table
         input_files, cc, cs = table.hive_partitioned_files(args.input)
@@ -270,9 +291,12 @@ def main() -> int:
     if (args.as_of is not None or args.since_instant is not None) \
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")
-    if sum((args.iceberg, args.delta, args.hive, args.hudi)) > 1:
-        raise SystemExit("--iceberg/--delta/--hive/--hudi are mutually "
-                         "exclusive")
+    if (args.staging or args.jsonl_schema) and not args.jsonl:
+        raise SystemExit("--staging/--jsonl-schema require --jsonl")
+    if sum((args.iceberg, args.delta, args.hive, args.hudi,
+            args.jsonl)) > 1:
+        raise SystemExit("--iceberg/--delta/--hive/--hudi/--jsonl are "
+                         "mutually exclusive")
     if args.inject_partitions and not (args.delta or args.hive):
         raise SystemExit("--inject-partitions requires --delta or "
                          "--hive")

@@ -1,0 +1,129 @@
+"""JSONL staging source: distributed raw-corpus ingestion
+(``sources/jsonl_io.py``) — conversion, idempotence, schema pinning,
+bad-file tolerance, object-store staging, and the encode integration."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from embulk_input_parquet_hadoop_spark.sources import jsonl_io as jl
+
+
+def _write_jsonl(path, rows, gz=False):
+    data = "\n".join(json.dumps(r) for r in rows).encode() + b"\n"
+    with open(path, "wb") as fh:
+        fh.write(gzip.compress(data) if gz else data)
+    return str(path)
+
+
+ROWS = [[{"doc_id": 1, "text": "alpha beta", "n": 10},
+         {"doc_id": 2, "text": "gamma", "n": 5}],
+        [{"doc_id": 3, "text": "delta", "n": 7}],
+        [{"doc_id": 4, "text": "epsilon zeta", "n": 12}]]
+
+
+def _corpus(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    files = [_write_jsonl(d / "a.jsonl", ROWS[0]),
+             _write_jsonl(d / "b.jsonl.gz", ROWS[1], gz=True),
+             _write_jsonl(d / "sub_c.ndjson", ROWS[2])]
+    (d / ".hidden.jsonl").write_text("{}")   # must be skipped
+    (d / "notes.txt").write_text("ignore")
+    return str(d), files
+
+
+def test_stage_basic_and_idempotent(spark, tmp_path):
+    raw, _files = _corpus(tmp_path)
+    stg = str(tmp_path / "stg")
+    res = jl.stage_jsonl(spark, raw, stg)
+    assert res["n_staged"] == 3 and res["n_skipped"] == 0
+    assert res["n_rows"] == 4 and not res["errors"]
+    got = sorted(r for f in res["files"]
+                 for r in pq.read_table(f).column("doc_id").to_pylist())
+    assert got == [1, 2, 3, 4]
+    # second run: everything already staged, same file list back
+    res2 = jl.stage_jsonl(spark, raw, stg)
+    assert res2["n_skipped"] == 3 and res2["n_staged"] == 0
+    assert res2["files"] == res["files"]
+
+
+def test_stage_schema_ddl_pins_types_and_order(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    # file 1 has an extra field; file 2 is missing `n` entirely
+    _write_jsonl(d / "a.jsonl", [{"doc_id": 1, "text": "x", "n": 1,
+                                  "extra": "drop me"}])
+    _write_jsonl(d / "b.jsonl", [{"doc_id": 2, "text": "y"}])
+    res = jl.stage_jsonl(spark, str(d), str(tmp_path / "stg"),
+                         schema_ddl="doc_id bigint, text string, n int")
+    schemas = [pq.read_schema(f) for f in res["files"]]
+    assert all(s.names == ["doc_id", "text", "n"] for s in schemas)
+    assert all(str(s.field("n").type) == "int32" for s in schemas)
+    tabs = {r["doc_id"]: r for f in res["files"]
+            for r in pq.read_table(f).to_pylist()}
+    assert tabs[1]["n"] == 1 and "extra" not in tabs[1]
+    assert tabs[2]["n"] is None
+
+
+def test_stage_bad_file_threshold(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    _write_jsonl(d / "good.jsonl", [{"doc_id": 1}])
+    (d / "broken.jsonl").write_text('{"doc_id": 1}\nNOT JSON AT ALL{{\n')
+    with pytest.raises(RuntimeError, match="failed to stage"):
+        jl.stage_jsonl(spark, str(d), str(tmp_path / "s1"))
+    res = jl.stage_jsonl(spark, str(d), str(tmp_path / "s2"),
+                         bad_file_threshold=0.5)
+    assert len(res["errors"]) == 1 and "broken" in res["errors"][0][0]
+    assert len(res["files"]) == 1 and res["n_rows"] == 1
+
+
+def test_stage_empty_input_raises(spark, tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError):
+        jl.stage_jsonl(spark, str(d), str(tmp_path / "stg"))
+
+
+def test_stage_to_mock_s3(spark, tmp_path):
+    raw, _ = _corpus(tmp_path)
+    stg = f"mock-s3://bucket{tmp_path}/stg"
+    res = jl.stage_jsonl(spark, raw, stg)
+    assert res["n_staged"] == 3
+    assert all(f.startswith("mock-s3://") for f in res["files"])
+    from embulk_input_parquet_hadoop_spark.plans import fsutil
+    local = fsutil.mock_local_path(res["files"][0])
+    assert pq.read_metadata(local).num_rows == 2
+
+
+def test_stage_encode_append_end_to_end(spark, tmp_path):
+    """The growing-drop-directory shape: stage+encode, drop a new
+    JSONL in, stage again (old files skipped) and append — only the
+    new staged file encodes, and the decoded tree holds the union."""
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    raw, _ = _corpus(tmp_path)
+    stg = str(tmp_path / "stg")
+    out = str(tmp_path / "enc")
+    res = jl.stage_jsonl(spark, raw, stg,
+                         schema_ddl="doc_id bigint, text string, n int")
+    t0 = pipeline.encode_path(spark, stg, out, input_files=res["files"],
+                              append=True)
+    assert t0["n_rows"] == 4
+    _write_jsonl(os.path.join(raw, "d.jsonl"),
+                 [{"doc_id": 5, "text": "eta", "n": 3}])
+    res2 = jl.stage_jsonl(spark, raw, stg,
+                          schema_ddl="doc_id bigint, text string, n int")
+    assert res2["n_skipped"] == 3 and res2["n_staged"] == 1
+    t1 = pipeline.encode_path(spark, stg, out, input_files=res2["files"],
+                              append=True)
+    assert t1["n_rows"] == 1
+    assert t1["n_files_already_committed"] == 3
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id bigint")
+    assert sorted(r.doc_id for r in dec.collect()) == [1, 2, 3, 4, 5]
