@@ -49,13 +49,14 @@ from ..plans import fsutil
 STAGE_SUMMARY_SCHEMA = ("source string, staged string, n_rows long, "
                         "skipped boolean, error string")
 
-_EXTS = (".jsonl", ".json", ".ndjson", ".jsonl.gz", ".json.gz",
-         ".ndjson.gz")
+_EXTS = {"jsonl": (".jsonl", ".json", ".ndjson", ".jsonl.gz",
+                   ".json.gz", ".ndjson.gz"),
+         "csv": (".csv", ".tsv", ".csv.gz", ".tsv.gz")}
 
 
-def _list_jsonl_files(root: str) -> list[str]:
-    """Recursive listing of JSONL files under ``root``, hidden entries
-    skipped (same convention as the parquet glob,
+def _list_files(root: str, exts: tuple) -> list[str]:
+    """Recursive listing under ``root``, hidden entries skipped (same
+    convention as the parquet glob,
     `ParquetHadoopInputPlugin.java:204-239`)."""
     out: list[str] = []
 
@@ -66,7 +67,7 @@ def _list_jsonl_files(root: str) -> list[str]:
             p = f"{d}/{name}"
             if fsutil.isdir(p):
                 _walk(p)
-            elif name.endswith(_EXTS):
+            elif name.endswith(exts):
                 out.append(p)
 
     _walk(root.rstrip("/"))
@@ -106,6 +107,29 @@ def _read_jsonl_table(path: str, arrow_schema):
     return tbl
 
 
+def _read_csv_table(path: str, arrow_schema, delimiter: str | None):
+    import pyarrow.csv as pa_csv
+    raw = fsutil.read_bytes(path)
+    if path.endswith(".gz"):
+        raw = gzip.decompress(raw)
+    if delimiter is None:
+        delimiter = "\t" if ".tsv" in path else ","
+    convert = None
+    if arrow_schema is not None:
+        convert = pa_csv.ConvertOptions(
+            column_types={f.name: f.type for f in arrow_schema},
+            include_columns=[f.name for f in arrow_schema],
+            include_missing_columns=True)
+    tbl = pa_csv.read_csv(
+        io.BytesIO(raw),
+        read_options=pa_csv.ReadOptions(use_threads=False),
+        parse_options=pa_csv.ParseOptions(delimiter=delimiter),
+        convert_options=convert)
+    if arrow_schema is not None:
+        tbl = tbl.cast(arrow_schema)
+    return tbl
+
+
 def stage_jsonl(spark: SparkSession, inputs: str | list[str],
                 staging_dir: str, schema_ddl: str | None = None,
                 bad_file_threshold: float = 0.0,
@@ -125,10 +149,34 @@ def stage_jsonl(spark: SparkSession, inputs: str | list[str],
     up to ``bad_file_threshold`` (fraction of inputs, same contract as
     ``encode_path``); beyond it the job raises.
     """
+    return _stage_files(spark, inputs, staging_dir, "jsonl", schema_ddl,
+                        bad_file_threshold, compression, None)
+
+
+def stage_csv(spark: SparkSession, inputs: str | list[str],
+              staging_dir: str, schema_ddl: str | None = None,
+              bad_file_threshold: float = 0.0,
+              compression: str = "zstd",
+              delimiter: str | None = None) -> dict:
+    """CSV/TSV variant of :func:`stage_jsonl` — same idempotent
+    staged-tree contract over ``.csv``/``.tsv``[.gz] files (header row
+    required; ``delimiter`` defaults per extension: tab for ``.tsv``,
+    comma otherwise). With ``schema_ddl``, listed columns coerce to the
+    declared types, extra columns are dropped, and columns absent from
+    a file become nulls — the same uniform-schema guarantee as the
+    JSONL path."""
+    return _stage_files(spark, inputs, staging_dir, "csv", schema_ddl,
+                        bad_file_threshold, compression, delimiter)
+
+
+def _stage_files(spark: SparkSession, inputs: str | list[str],
+                 staging_dir: str, fmt: str, schema_ddl: str | None,
+                 bad_file_threshold: float, compression: str,
+                 delimiter: str | None) -> dict:
     import pyarrow as pa
 
     files = (inputs if isinstance(inputs, list)
-             else _list_jsonl_files(inputs))
+             else _list_files(inputs, _EXTS[fmt]))
     if not files:
         raise FileNotFoundError(f"no JSONL files under {inputs}")
     arrow_schema = None
@@ -161,7 +209,9 @@ def stage_jsonl(spark: SparkSession, inputs: str | list[str],
                               "n_rows": 0, "skipped": True,
                               "error": None}], schema=summary_arrow)
                         continue
-                    tbl = _read_jsonl_table(src, schema)
+                    tbl = (_read_jsonl_table(src, schema)
+                           if fmt == "jsonl"
+                           else _read_csv_table(src, schema, delimiter))
                     if local:
                         tmp = f"{base}/.{uuid.uuid4().hex}.tmp"
                         pq.write_table(tbl, tmp, compression=compression)
@@ -200,7 +250,8 @@ def stage_jsonl(spark: SparkSession, inputs: str | list[str],
     errors = [(r["source"], r["error"]) for r in rows if r["error"]]
     if len(errors) > len(files) * bad_file_threshold:
         raise RuntimeError(
-            f"{len(errors)}/{len(files)} JSONL files failed to stage, "
+            f"{len(errors)}/{len(files)} {fmt.upper()} files failed "
+            "to stage, "
             f"exceeds bad_file_threshold={bad_file_threshold}: "
             f"{errors[:3]}")
     staged = [by_src[f]["staged"] for f in files
@@ -213,4 +264,5 @@ def stage_jsonl(spark: SparkSession, inputs: str | list[str],
             "errors": errors}
 
 
-__all__ = ["stage_jsonl", "staged_name", "STAGE_SUMMARY_SCHEMA"]
+__all__ = ["stage_jsonl", "stage_csv", "staged_name",
+           "STAGE_SUMMARY_SCHEMA"]

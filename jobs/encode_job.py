@@ -122,13 +122,18 @@ def main() -> int:
                         "md5-named outputs) then encode the staged "
                         "tree; combine with --append for incremental "
                         "ingest over a growing drop directory")
+    p.add_argument("--csv", action="store_true",
+                   help="like --jsonl for .csv/.tsv[.gz] files "
+                        "(header row required; tab delimiter inferred "
+                        "for .tsv)")
     p.add_argument("--staging", default=None, metavar="DIR",
-                   help="with --jsonl: parquet staging tree "
+                   help="with --jsonl/--csv: parquet staging tree "
                         "(default {output}/_staging — underscore "
                         "prefix keeps it out of parquet globs)")
     p.add_argument("--jsonl-schema", default=None, metavar="DDL",
-                   help="with --jsonl: Spark DDL pinning staged column "
-                        "types and order (else per-file inference)")
+                   help="with --jsonl/--csv: Spark DDL pinning staged "
+                        "column types and order (else per-file "
+                        "inference)")
     p.add_argument("--partition", action="append", default=None,
                    metavar="FIELD=VALUE",
                    help="with --iceberg/--delta/--hudi: metadata-level "
@@ -268,10 +273,11 @@ def main() -> int:
             pf = dict(kv.split("=", 1) for kv in args.partition)
             scan = hudi_meta.filter_partitions(scan, pf)
         input_files = scan["files"]
-    elif args.jsonl:
+    elif args.jsonl or args.csv:
         from embulk_input_parquet_hadoop_spark.sources import jsonl_io
         stg = args.staging or f"{args.output.rstrip('/')}/_staging"
-        staged = jsonl_io.stage_jsonl(
+        stage = jsonl_io.stage_jsonl if args.jsonl else jsonl_io.stage_csv
+        staged = stage(
             spark, args.input, stg, schema_ddl=args.jsonl_schema,
             bad_file_threshold=args.bad_file_threshold)
         input_files = staged["files"]
@@ -291,12 +297,14 @@ def main() -> int:
     if (args.as_of is not None or args.since_instant is not None) \
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")
-    if (args.staging or args.jsonl_schema) and not args.jsonl:
-        raise SystemExit("--staging/--jsonl-schema require --jsonl")
+    if (args.staging or args.jsonl_schema) and not (args.jsonl
+                                                    or args.csv):
+        raise SystemExit("--staging/--jsonl-schema require "
+                         "--jsonl/--csv")
     if sum((args.iceberg, args.delta, args.hive, args.hudi,
-            args.jsonl)) > 1:
-        raise SystemExit("--iceberg/--delta/--hive/--hudi/--jsonl are "
-                         "mutually exclusive")
+            args.jsonl, args.csv)) > 1:
+        raise SystemExit("--iceberg/--delta/--hive/--hudi/--jsonl/--csv "
+                         "are mutually exclusive")
     if args.inject_partitions and not (args.delta or args.hive):
         raise SystemExit("--inject-partitions requires --delta or "
                          "--hive")

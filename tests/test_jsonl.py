@@ -127,3 +127,31 @@ def test_stage_encode_append_end_to_end(spark, tmp_path):
     dec = pipeline.decode_chunks(
         pipeline.read_chunks(spark, out), ["doc_id"], "doc_id bigint")
     assert sorted(r.doc_id for r in dec.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stage_csv_and_tsv(spark, tmp_path):
+    d = tmp_path / "rawcsv"
+    d.mkdir()
+    (d / "a.csv").write_text("doc_id,text,n\n1,alpha,10\n2,beta,5\n")
+    (d / "b.tsv").write_text("doc_id\ttext\tn\n3\tgamma\t7\n")
+    gz = gzip.compress(b"doc_id,text,n\n4,delta,12\n")
+    (d / "c.csv.gz").write_bytes(gz)
+    res = jl.stage_csv(spark, str(d), str(tmp_path / "stg"),
+                       schema_ddl="doc_id bigint, text string, n int")
+    assert res["n_staged"] == 3 and not res["errors"]
+    rows = sorted(r["doc_id"] for f in res["files"]
+                  for r in pq.read_table(f).to_pylist())
+    assert rows == [1, 2, 3, 4]
+    schemas = [pq.read_schema(f) for f in res["files"]]
+    assert all(s.names == ["doc_id", "text", "n"] for s in schemas)
+    assert all(str(s.field("n").type) == "int32" for s in schemas)
+
+
+def test_stage_csv_missing_and_extra_columns(spark, tmp_path):
+    d = tmp_path / "rawcsv"
+    d.mkdir()
+    (d / "a.csv").write_text("doc_id,text,extra\n1,alpha,zzz\n")
+    res = jl.stage_csv(spark, str(d), str(tmp_path / "stg"),
+                       schema_ddl="doc_id bigint, text string, n int")
+    row = pq.read_table(res["files"][0]).to_pylist()[0]
+    assert row == {"doc_id": 1, "text": "alpha", "n": None}
