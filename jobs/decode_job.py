@@ -51,6 +51,13 @@ def main() -> int:
                    metavar="COL:LO:HI",
                    help="zone-map-pruned int range filter, repeatable; "
                         "empty LO/HI means unbounded (e.g. n_tok:128:)")
+    p.add_argument("--format", choices=("parquet", "json"),
+                   default="parquet",
+                   help="output format: parquet, or json (JSON-lines, "
+                        "one object per row — the raw-corpus exchange "
+                        "shape; add --json-gzip to compress)")
+    p.add_argument("--json-gzip", action="store_true",
+                   help="with --format json: gzip-compress part files")
     p.add_argument("--overwrite", action="store_true",
                    help="replace an existing output directory")
     p.add_argument("--cores", type=int, default=None,
@@ -86,8 +93,17 @@ def main() -> int:
     df = pipeline.read_decoded(spark, args.input, columns, schema,
                                int_ranges=ranges)
     mode = "overwrite" if args.overwrite else "errorifexists"
-    df.write.mode(mode).parquet(args.output)
-    rows = spark.read.parquet(args.output).count()
+    if args.format == "json":
+        w = df.write.mode(mode)
+        if args.json_gzip:
+            w = w.option("compression", "gzip")
+        w.json(args.output)
+        rows = spark.read.json(args.output).count()
+    else:
+        if args.json_gzip:
+            raise SystemExit("--json-gzip requires --format json")
+        df.write.mode(mode).parquet(args.output)
+        rows = spark.read.parquet(args.output).count()
     print(json.dumps({"rows": rows,
                       "wall_s": round(time.perf_counter() - t0, 3),
                       "output": args.output}))

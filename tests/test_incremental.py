@@ -172,6 +172,35 @@ def test_decode_job_exports_parquet(spark, tmp_path, monkeypatch):
     assert got2 == want and want
 
 
+def test_decode_job_exports_jsonl(spark, tmp_path, monkeypatch):
+    """--format json exports the decoded tree as gzipped JSON-lines —
+    the raw-corpus exchange shape — and the reloaded export equals the
+    source (tokens arrays included)."""
+    import glob as _glob
+    import gzip as _gzip
+    import json as _json
+    import sys as _sys
+
+    from jobs import decode_job
+
+    d = tmp_path / "data"
+    generate(str(d), n_docs=120, seed=22, n_files=2)
+    enc = str(tmp_path / "enc")
+    pipeline.encode_path(spark, str(d), enc)
+    out = str(tmp_path / "export_jsonl")
+    monkeypatch.setattr(_sys, "argv", [
+        "decode_job.py", "--input", enc, "--output", out,
+        "--format", "json", "--json-gzip", "--cores", "8"])
+    assert decode_job.main() == 0
+    rows = []
+    for f in _glob.glob(f"{out}/*.json.gz"):
+        rows += [_json.loads(ln) for ln in _gzip.open(f, "rt")]
+    src = {r.doc_id: r for r in spark.read.parquet(str(d)).collect()}
+    assert len(rows) == len(src)
+    for r in rows:
+        assert r["tokens"] == src[r["doc_id"]].tokens
+
+
 def test_snapshot_diff_composes_with_partition_filter(spark, tmp_path):
     """added_data_files prunes the diff at the metadata level too: only
     new files whose partition record matches are returned."""
