@@ -79,3 +79,28 @@ def test_scrub_pii_count_column_collision_refused(spark):
                                "id int, text string, n_email int")
     with pytest.raises(ValueError, match="n_email"):
         textstats.scrub_pii(df)
+
+
+def test_scrub_pii_property_no_matches_survive(spark):
+    """Property over random text with injected PII: every pattern's
+    count equals the matches in the original, and NO pattern matches
+    the scrubbed output (the q56 core invariant, independent of the
+    oracle)."""
+    import random
+    import re
+    rng = random.Random(20260820)
+    words = ["alpha", "beta", "x9", "a.b", "u@", "@h.io", "1.2",
+             "123-45", "-6789", "10.0.0.1", "bob@corp.io", "", "dots..."]
+    rows = []
+    for i in range(120):
+        txt = " ".join(rng.choice(words)
+                       for _ in range(rng.randint(0, 12)))
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r for r in textstats.scrub_pii(df).collect()}
+    for i, txt in rows:
+        r = out[i]
+        for kind, (rx, tok) in textstats.PII_PATTERNS.items():
+            assert getattr(r, f"n_{kind}") == len(re.findall(rx, txt)), \
+                (txt, kind)
+            assert not re.search(rx, r.text), (txt, kind, r.text)

@@ -155,3 +155,17 @@ def test_stage_csv_missing_and_extra_columns(spark, tmp_path):
                        schema_ddl="doc_id bigint, text string, n int")
     row = pq.read_table(res["files"][0]).to_pylist()[0]
     assert row == {"doc_id": 1, "text": "alpha", "n": None}
+
+
+def test_stage_restages_empty_partial_file(spark, tmp_path):
+    """A zero-byte staged file (crashed writer on a rename-less store
+    would never leave one visible, but a copy tool might) is NOT
+    treated as done: the skip check requires non-empty."""
+    raw, files = _corpus(tmp_path)
+    stg = tmp_path / "stg"
+    stg.mkdir()
+    (stg / jl.staged_name(files[0])).touch()  # zero-byte leftover
+    res = jl.stage_jsonl(spark, raw, str(stg))
+    assert res["n_staged"] == 3 and res["n_skipped"] == 0
+    assert pq.read_metadata(str(stg / jl.staged_name(files[0]))) \
+        .num_rows == 2
