@@ -675,6 +675,35 @@ def q57_bpe_pair_counts(spark, sf_dir):
     return vocab.pair_counts(toks, top_k=50)
 
 
+def q58_token_budget_sample(spark, sf_dir):
+    """Token-budget corpus downsampling, oracle-gated: each source is
+    cut to the maximal md5-hash-ordered document prefix whose running
+    token total stays within its budget
+    (`mixture.token_budget_sample`). Budgets derive from the SAME md5
+    rule in both engines (5000 + md5_60("bud:"+source) % 20000 — no
+    shared literal list needed); the only driver materialization is
+    the distinct source list, a bounded dimension. Plan: one window
+    shuffle (the per-source ordered running sum), integer arithmetic
+    end to end."""
+    import hashlib as _hl
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    budgets = {
+        s: 5000 + int(_hl.md5(f"bud:{s}".encode()).hexdigest()[:15],
+                      16) % 20000
+        for s in srcs}
+    kept = mixture.token_budget_sample(docs, budgets, id_col="doc_id",
+                                       n_col="n_chars", seed=11)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("tok_sum"),
+                 F.max("cum_tokens").alias("max_cum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def q46_columnar_multicol_agg(spark, sf_dir):
     """Row-aligned multi-column read from the per-column layout,
     oracle-gated: two columns decoded from separate Hive partitions and
@@ -1087,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_hudi_snapshot_roundtrip": q55_hudi_snapshot_roundtrip,
         "q56_pii_scrub": q56_pii_scrub,
         "q57_bpe_pair_counts": q57_bpe_pair_counts,
+        "q58_token_budget_sample": q58_token_budget_sample,
     }.items()))
 
 
@@ -1916,6 +1946,29 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list(doc_id)), ','))
                        AS ids_md5
             FROM documents GROUP BY source
+        """,
+        "q58_token_budget_sample": """
+            WITH h AS (
+              SELECT doc_id, source, n_chars,
+                     CAST('0x' || substr(md5('mix:11:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         AS hk,
+                     5000 + CAST('0x' || substr(md5('bud:' || source),
+                          1, 15) AS BIGINT) % 20000 AS budget
+              FROM documents
+            ), c AS (
+              SELECT *, sum(n_chars) OVER (
+                     PARTITION BY source ORDER BY hk, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+              FROM h
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS tok_sum,
+                   CAST(max(cum) AS BIGINT) AS max_cum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM c WHERE cum <= budget GROUP BY source
         """,
         "q57_bpe_pair_counts": f"""
             WITH t AS (

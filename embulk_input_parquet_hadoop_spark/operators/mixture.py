@@ -160,3 +160,59 @@ def sample_exact_k(df: DataFrame, k: int, group_col: str = "source",
     return (pre.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(group_col, id_col, "rk"))
+
+
+def token_budget_sample(df: DataFrame, budgets: dict[str, int],
+                        id_col: str = "doc_id",
+                        n_col: str = "n_tok",
+                        group_col: str = "source",
+                        seed: int = 0) -> DataFrame:
+    """Downsample each source to a TOKEN budget: documents are taken in
+    md5(seed, id) hash order — an unbiased, partitioning-independent
+    shuffle that any engine reproduces — and a document is kept while
+    the running token total (INCLUDING it) stays ≤ the source's budget.
+    The standard corpus-construction primitive when mixtures are
+    specified in tokens rather than epochs (``mixture_sample``) or
+    fractions (``split_assign``).
+
+    Prefix semantics: keep the MAXIMAL hash-ordered prefix whose
+    running token total stays ≤ budget — the first overflowing
+    document ends the prefix (running sums only grow, so the kept set
+    is a clean prefix; no skip-and-refill second pass). Deterministic
+    and oracle-exact; all arithmetic is int64 token counts, no floats
+    anywhere. Sources absent from ``budgets`` are dropped (same
+    convention as ``mixture_sample``'s zero weight). Adds
+    ``cum_tokens`` (the kept row's running total).
+
+    Plan shape: ONE shuffle — the per-source ordered running sum (a
+    window partitioned by source); the budget map is a broadcast-sized
+    literal CASE. At 10^12 rows the window is a sort per source,
+    inherent to exact budgeting; if an approximate cut is acceptable,
+    threshold the hash directly at budget/total_tokens instead (zero
+    extra shuffles) — this operator is the exact path.
+    """
+    from pyspark.sql import Window
+    if not budgets:
+        raise ValueError("budgets is empty")
+    clash = [c for c in ("_tb_hk", "_tb_budget", "cum_tokens")
+             if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"column(s) {clash} already exist on the input — rename "
+            "them (cum_tokens is this operator's output)")
+    bad = {k: v for k, v in budgets.items() if int(v) < 0}
+    if bad:
+        raise ValueError(f"negative budgets: {bad}")
+    hk = _unit_hash(seed, F.col(id_col))
+    w = (Window.partitionBy(group_col)
+         .orderBy("_tb_hk", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bcol = F.create_map(*[x for k, v in sorted(budgets.items())
+                          for x in (F.lit(k), F.lit(int(v)))])
+    return (df.withColumn("_tb_hk", hk)
+            .withColumn("_tb_budget", bcol[F.col(group_col)])
+            .filter(F.col("_tb_budget").isNotNull())
+            .withColumn("cum_tokens",
+                        F.sum(F.col(n_col).cast("long")).over(w))
+            .filter(F.col("cum_tokens") <= F.col("_tb_budget"))
+            .drop("_tb_hk", "_tb_budget"))

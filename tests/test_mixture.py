@@ -179,3 +179,67 @@ def test_sample_exact_k_keeps_null_group(spark):
         by_src.setdefault(r.source, []).append(r.rk)
     assert sorted(by_src[None]) == [1, 2, 3]
     assert sorted(by_src["a"]) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------
+# token_budget_sample
+# ---------------------------------------------------------------------
+
+def _hk(seed, doc_id):
+    return int(hashlib.md5(f"mix:{seed}:{doc_id}".encode())
+               .hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def tok_docs(spark):
+    rows = [(i, ["wiki", "web", "code"][i % 3], (i * 37) % 90 + 10)
+            for i in range(240)]
+    return spark.createDataFrame(rows,
+                                 "doc_id long, source string, n_tok int")
+
+
+def test_token_budget_matches_local_prefix(spark, tok_docs):
+    rows = tok_docs.collect()
+    budgets = {"wiki": 300, "web": 150}
+    got = {r.doc_id: r.cum_tokens for r in mixture.token_budget_sample(
+        tok_docs, budgets, seed=3).collect()}
+    # local reference: per-source hash-ordered prefix under the budget
+    want = {}
+    for src, budget in budgets.items():
+        cum = 0
+        for r in sorted((r for r in rows if r.source == src),
+                        key=lambda r: (_hk(3, r.doc_id), r.doc_id)):
+            cum += r.n_tok
+            if cum > budget:
+                break
+            want[r.doc_id] = cum
+    assert got == want and want
+    # sources not in budgets ("code") are dropped entirely
+    kept_srcs = {r.source for r in mixture.token_budget_sample(
+        tok_docs, budgets, seed=3).collect()}
+    assert kept_srcs <= set(budgets)
+
+
+def test_token_budget_deterministic_across_partitionings(spark, tok_docs):
+    budgets = {"wiki": 250, "web": 999999}
+    a = sorted(r.doc_id for r in mixture.token_budget_sample(
+        tok_docs, budgets, seed=5).collect())
+    b = sorted(r.doc_id for r in mixture.token_budget_sample(
+        tok_docs.repartition(7, "doc_id"), budgets,
+        seed=5).collect())
+    assert a == b
+    # an over-large budget keeps the whole source
+    n_web = tok_docs.filter("source = 'web'").count()
+    assert sum(1 for r in mixture.token_budget_sample(
+        tok_docs, budgets, seed=5).collect()
+        if r.source == "web") == n_web
+
+
+def test_token_budget_guards(spark, tok_docs):
+    with pytest.raises(ValueError, match="empty"):
+        mixture.token_budget_sample(tok_docs, {})
+    with pytest.raises(ValueError, match="negative"):
+        mixture.token_budget_sample(tok_docs, {"wiki": -1})
+    with pytest.raises(ValueError, match="cum_tokens"):
+        mixture.token_budget_sample(
+            tok_docs.withColumn("cum_tokens", F.lit(1)), {"wiki": 10})
