@@ -209,9 +209,20 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     bcol = F.create_map(*[x for k, v in sorted(budgets.items())
                           for x in (F.lit(k), F.lit(int(v)))])
+    # a NULL count would ride along free (window sums skip nulls) and a
+    # negative one would break the prefix invariant (running sums must
+    # be monotone) — fail the job at the row instead of mis-sampling
+    n_ok = F.assert_true(
+        F.col(n_col).isNotNull() & (F.col(n_col) >= 0),
+        F.concat(F.lit(f"token_budget_sample: {n_col} must be non-null"
+                       f" and >= 0, got "),
+                 # concat with a NULL operand is NULL and would erase
+                 # the whole message for the null-count case
+                 F.coalesce(F.col(n_col).cast("string"),
+                            F.lit("NULL"))))
     return (df.withColumn("_tb_hk", hk)
             .withColumn("_tb_budget", bcol[F.col(group_col)])
-            .filter(F.col("_tb_budget").isNotNull())
+            .filter(F.col("_tb_budget").isNotNull() & n_ok.isNull())
             .withColumn("cum_tokens",
                         F.sum(F.col(n_col).cast("long")).over(w))
             .filter(F.col("cum_tokens") <= F.col("_tb_budget"))

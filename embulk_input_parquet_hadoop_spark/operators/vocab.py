@@ -152,7 +152,15 @@ def apply_bpe_merge(df: DataFrame, pair: tuple[int, int], new_id: int,
     # the module's `from __future__ import annotations` would stringify
     # inline hints beyond pyspark's resolver; set real objects instead
     _merge.__annotations__ = {"col": pd.Series, "return": pd.Series}
-    merge_udf = F.pandas_udf(_merge, "array<int>")
+    # mirror the input element type: hardcoding array<int> would
+    # silently narrow an array<bigint> column (and overflow ids >= 2^31)
+    from pyspark.sql.types import ArrayType
+    dt = df.schema[tokens_col].dataType
+    if not isinstance(dt, ArrayType):
+        raise TypeError(f"{tokens_col} is {dt.simpleString()}, expected "
+                        "an array column")
+    merge_udf = F.pandas_udf(
+        _merge, f"array<{dt.elementType.simpleString()}>")
     return df.withColumn(tokens_col, merge_udf(F.col(tokens_col)))
 
 

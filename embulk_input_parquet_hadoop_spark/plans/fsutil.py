@@ -85,6 +85,16 @@ def spark_path(path: str) -> str:
     return mock_local_path(path) if _scheme(path) == MOCK_SCHEME else path
 
 
+def is_hidden(relpath: str) -> bool:
+    """Any path component starting with '.' or '_' — the reference
+    filters these everywhere (``HiddenFileFilter.INSTANCE``,
+    ``ParquetHadoopInputPlugin.java:208,:230``): a ``_temporary``
+    straggler or a dot-file must never be read as data. Checking every
+    component also skips files *under* hidden directories. The single
+    home of this rule — pipeline and the staging listers delegate."""
+    return any(part and part[0] in "._" for part in relpath.split("/"))
+
+
 def listdir(path: str) -> list[str]:
     """Base names of entries directly under ``path``; [] if absent."""
     if is_local(path):

@@ -1541,12 +1541,11 @@ def encode_path(spark: SparkSession, input_path: str, out_dir: str,
 
 
 def _is_hidden(path: str) -> bool:
-    """Any path component starting with '.' or '_' — the reference filters
-    these everywhere (``HiddenFileFilter.INSTANCE``,
-    ``ParquetHadoopInputPlugin.java:208,:230``): a ``_temporary`` straggler
-    or a dot-file in the tree must never be encoded. Checking every
-    component also skips files *under* hidden directories."""
-    return any(part and part[0] in "._" for part in path.split("/"))
+    """Delegates to ``fsutil.is_hidden`` — the single home of the
+    reference's hidden-entry rule (``HiddenFileFilter.INSTANCE``,
+    ``ParquetHadoopInputPlugin.java:208,:230``)."""
+    from . import fsutil
+    return fsutil.is_hidden(path)
 
 
 def _list_parquet_files(input_path: str) -> list[str]:

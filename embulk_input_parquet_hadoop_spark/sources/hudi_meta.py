@@ -149,6 +149,28 @@ def _read_commit_meta(path: str) -> dict:
             f"(Hudi 1.x Avro-serialized timeline?): {e}") from e
 
 
+def _within_as_of(instant: str, as_of: str) -> bool:
+    """Hudi ``as.of.instant`` semantics: inclusive, and a SHORTER
+    user-supplied timestamp acts as a prefix — ``as_of="20240101"``
+    must include every instant on that day, which a plain string
+    compare would exclude (``"20240101000000000" > "20240101"``)."""
+    return instant <= as_of or instant.startswith(as_of)
+
+
+def all_completed_instants(table_dir: str) -> set[str]:
+    """Every completed instant string, INCLUDING no-op actions
+    (clean/rollback/savepoint) — the valid watermark values for
+    :func:`snapshot_scan_diff` (a clean's file set equals the previous
+    apply-instant's, so it is a perfectly decidable as_of point)."""
+    tl = _timeline_dir(table_dir)
+    out = set()
+    for name in fsutil.listdir(tl):
+        parsed = _parse_instant_name(name)
+        if parsed is not None and parsed[2]:
+            out.add(parsed[0])
+    return out
+
+
 def completed_instants(table_dir: str) -> list[tuple[str, str, str]]:
     """Sorted ``(instant, action, timeline file path)`` for every
     COMPLETED instant, refusing the timeline shapes the snapshot replay
@@ -197,7 +219,7 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
     state: dict[tuple[str, str], tuple[str, str]] = {}
     applied: str | None = None
     for instant, action, fname in completed_instants(table_dir):
-        if as_of is not None and instant > as_of:
+        if as_of is not None and not _within_as_of(instant, as_of):
             continue
         meta = _read_commit_meta(fname)
         written: set[tuple[str, str]] = set()
@@ -263,7 +285,7 @@ def snapshot_scan_diff(table_dir: str, since_instant: str,
     (so :func:`filter_partitions` composes), plus the replayed
     ``instant``.
     """
-    completed = {i for i, _, _ in completed_instants(table_dir)}
+    completed = all_completed_instants(table_dir)
     if since_instant not in completed:
         raise HudiMetaError(
             f"since_instant {since_instant!r} is not a completed "

@@ -62,7 +62,7 @@ def _list_files(root: str, exts: tuple) -> list[str]:
 
     def _walk(d: str):
         for name in sorted(fsutil.listdir(d)):
-            if name.startswith((".", "_")):
+            if fsutil.is_hidden(name):
                 continue
             p = f"{d}/{name}"
             if fsutil.isdir(p):
@@ -178,7 +178,7 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
     files = (inputs if isinstance(inputs, list)
              else _list_files(inputs, _EXTS[fmt]))
     if not files:
-        raise FileNotFoundError(f"no JSONL files under {inputs}")
+        raise FileNotFoundError(f"no {fmt.upper()} files under {inputs}")
     arrow_schema = None
     if schema_ddl is not None:
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -202,8 +202,25 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
             for src in b.column("path").to_pylist():
                 staged = f"{base}/{staged_name(src)}"
                 try:
+                    src_size = fsutil.file_size(src)
                     if fsutil.exists(staged) and \
                             fsutil.file_size(staged) > 0:
+                        meta = (fsutil.parquet_file(staged)
+                                .schema_arrow.metadata or {})
+                        rec = meta.get(b"spark_graft_src_size")
+                        if rec is not None and int(rec) != src_size:
+                            # a mutated source under an idempotent
+                            # staged name would silently lose rows (a
+                            # skip) or duplicate them (a re-stage after
+                            # the old bytes were already encoded) —
+                            # refuse loudly instead
+                            raise RuntimeError(
+                                f"source changed since staged "
+                                f"({int(rec)} -> {src_size} bytes): "
+                                "the drop-directory contract is "
+                                f"immutable files; remove {staged} AND "
+                                "re-encode into a fresh tree to pick "
+                                "up the new content")
                         yield pa.RecordBatch.from_pylist(
                             [{"source": src, "staged": staged,
                               "n_rows": 0, "skipped": True,
@@ -212,6 +229,11 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
                     tbl = (_read_jsonl_table(src, schema)
                            if fmt == "jsonl"
                            else _read_csv_table(src, schema, delimiter))
+                    # record the source identity the skip check needs
+                    tbl = tbl.replace_schema_metadata(
+                        {**(tbl.schema.metadata or {}),
+                         b"spark_graft_src_size":
+                             str(src_size).encode()})
                     if local:
                         tmp = f"{base}/.{uuid.uuid4().hex}.tmp"
                         pq.write_table(tbl, tmp, compression=compression)

@@ -98,7 +98,9 @@ def main() -> int:
         if args.json_gzip:
             w = w.option("compression", "gzip")
         w.json(args.output)
-        rows = spark.read.json(args.output).count()
+        # explicit schema: skips a full inference pass AND survives an
+        # empty export (inference over zero rows raises)
+        rows = spark.read.schema(df.schema).json(args.output).count()
     else:
         if args.json_gzip:
             raise SystemExit("--json-gzip requires --format json")

@@ -360,7 +360,23 @@ def main() -> int:
                 "MOR delete-masked encode — every deleted row would count "
                 "as unmatched; use --verify-files, which replays the "
                 "delete masking")
-        totals["verify"] = verify.verify_path(spark, args.input, args.output)
+        if args.iceberg or args.delta or args.hudi:
+            # reading the whole table DIR as parquet would also pick up
+            # historical snapshots / stale slices / replaced file groups
+            # and false-fail a correct encode
+            raise SystemExit(
+                "--verify reads --input as one parquet tree, but a table-"
+                "format directory also holds non-current data files "
+                "(old snapshots, rewritten/replaced slices); use "
+                "--verify-files, which verifies against the exact "
+                "snapshot file list recorded in the manifest")
+        src = args.input
+        if args.jsonl or args.csv:
+            # the raw corpus is not parquet; the staged tree IS what was
+            # encoded (and under --append both sides accumulate the same
+            # md5-named files)
+            src = stg
+        totals["verify"] = verify.verify_path(spark, src, args.output)
     print(json.dumps(totals))
     spark.stop()
     ok = "verify" not in totals or totals["verify"]["ok"]

@@ -462,3 +462,47 @@ def test_hudi_encode_end_to_end(spark, tokens_path, tmp_path):
     old = hm.snapshot_scan(d, as_of=ins[0])
     assert len(old["files"]) == 3
     assert f"f-0_1-0-1_{ins[0]}.parquet" in _names(old)
+
+
+def test_as_of_prefix_semantics(tmp_path):
+    """Hudi as.of.instant: a SHORTER user timestamp is a prefix and
+    must include every instant it prefixes (plain string compare would
+    exclude the whole day)."""
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    a2 = _mk_parquet(tmp_path, "a2.parquet", [1, 2])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", a)]}},
+        {"writes": {"": [("f-a", a2)]}},
+    ])
+    day_prefix = ins[1][:8]  # prefixes BOTH instants
+    scan = hm.snapshot_scan(d, as_of=day_prefix)
+    assert _names(scan) == [f"f-a_1-0-1_{ins[1]}.parquet"]
+    # exact-instant as_of still works (inclusive)
+    assert _names(hm.snapshot_scan(d, as_of=ins[0])) == \
+        [f"f-a_1-0-1_{ins[0]}.parquet"]
+
+
+def test_snapshot_diff_accepts_noop_instant_watermark(tmp_path):
+    """A completed clean/rollback/savepoint is a real instant and a
+    valid incremental watermark (its file set equals the previous
+    apply-instant's)."""
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    b = _mk_parquet(tmp_path, "b.parquet", [2])
+    d = str(tmp_path / "tbl")
+    clean = f"{20240101000000:017d}5"
+    ins = hm.write_table_fixture(
+        d, [{"writes": {"": [("f-a", a)]}}],
+        extra_timeline_files=[f"{clean}.clean"])
+    # a later commit after the clean
+    import json as _json
+    inst2 = f"{20240101000000:017d}9"
+    meta = {"partitionToWriteStats": {"": [
+        {"fileId": "f-b", "path": f"f-b_1-0-1_{inst2}.parquet"}]}}
+    import shutil
+    shutil.copy(b, f"{d}/f-b_1-0-1_{inst2}.parquet")
+    with open(f"{d}/.hoodie/{inst2}.commit", "w") as fh:
+        _json.dump(meta, fh)
+    diff = hm.snapshot_scan_diff(d, clean)  # clean as the watermark
+    assert _names(diff) == [f"f-b_1-0-1_{inst2}.parquet"]
+    assert ins  # fixture instants unused beyond setup

@@ -169,3 +169,16 @@ def test_stage_restages_empty_partial_file(spark, tmp_path):
     assert res["n_staged"] == 3 and res["n_skipped"] == 0
     assert pq.read_metadata(str(stg / jl.staged_name(files[0]))) \
         .num_rows == 2
+
+
+def test_stage_refuses_changed_source(spark, tmp_path):
+    """A source file mutated after staging refuses loudly: the skip
+    would silently lose the new rows, a silent re-stage would duplicate
+    the old ones in an already-encoded tree."""
+    raw, files = _corpus(tmp_path)
+    stg = str(tmp_path / "stg")
+    jl.stage_jsonl(spark, raw, stg)
+    _write_jsonl(files[0], ROWS[0] + [{"doc_id": 99,
+                                       "text": "appended", "n": 1}])
+    with pytest.raises(RuntimeError, match="source changed since staged"):
+        jl.stage_jsonl(spark, raw, stg)

@@ -243,3 +243,18 @@ def test_token_budget_guards(spark, tok_docs):
     with pytest.raises(ValueError, match="cum_tokens"):
         mixture.token_budget_sample(
             tok_docs.withColumn("cum_tokens", F.lit(1)), {"wiki": 10})
+
+
+def test_token_budget_rejects_null_and_negative_counts(spark):
+    from pyspark.sql.utils import PythonException
+    import py4j
+    bad = spark.createDataFrame(
+        [(1, "wiki", 5), (2, "wiki", None)],
+        "doc_id long, source string, n_tok int")
+    with pytest.raises(Exception, match="non-null"):
+        mixture.token_budget_sample(bad, {"wiki": 100}).collect()
+    neg = spark.createDataFrame(
+        [(1, "wiki", 5), (2, "wiki", -3)],
+        "doc_id long, source string, n_tok int")
+    with pytest.raises(Exception, match="non-null"):
+        mixture.token_budget_sample(neg, {"wiki": 100}).collect()

@@ -188,3 +188,17 @@ def test_bpe_learn_stops_below_min_count(spark):
                                   min_count=2)
     assert merges == []  # every pair occurs once
     assert out.collect()[0].tokens == [1, 2, 3, 4]
+
+
+def test_apply_bpe_merge_preserves_element_type(spark):
+    big = 3_000_000_000  # > 2^31: silently narrowed by array<int>
+    df = spark.createDataFrame([(1, [big, big, 7])],
+                               "doc_id bigint, tokens array<bigint>")
+    out = vocab.apply_bpe_merge(df, (big, big), big + 1)
+    assert out.schema["tokens"].dataType.simpleString() == \
+        "array<bigint>"
+    assert out.collect()[0].tokens == [big + 1, 7]
+    with pytest.raises(TypeError, match="expected an array"):
+        vocab.apply_bpe_merge(
+            spark.createDataFrame([(1, "x")], "id int, tokens string"),
+            (1, 2), 3)
