@@ -704,6 +704,87 @@ def q58_token_budget_sample(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q59_hudi_mor_roundtrip(spark, sf_dir):
+    """Apache Hudi MERGE_ON_READ end to end, oracle-gated: documents
+    split into two base file groups under a spec-shaped MOR timeline,
+    then a deltacommit writes real ``#HUDI#`` log files against BOTH
+    slices — upserts that bump n_chars (doc_id%10==0 -> +1000 on the
+    even group, %10==5 -> +500 on the odd group), deletes (doc_id%14==0
+    even, %42==21 odd; the delete block lands AFTER the upsert block,
+    so a key hit by both stays dead), and 40 net-new inserted docs
+    (source 'mor_insert'). The slices are merged distributedly (one
+    task per slice, ``hudi_log.stage_mor_slices``), staged parquet
+    feeds the standard encode, and the decoded aggregate must match a
+    plain-SQL oracle that applies the same upsert/delete/insert model
+    to the raw documents — a stale base row, a resurrected delete, a
+    lost upsert or a leaked orphan block anywhere hash-mismatches.
+    Log/merge plumbing: sources/hudi_log.py (block format from
+    HoodieLogFormatWriter.java, documented there)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from embulk_input_parquet_hadoop_spark.sources import (hudi_log,
+                                                           hudi_meta)
+    base = _scratch(
+        f"spark_graft_q59_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(f"{base}/src")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars", "source"])
+    ids = tbl.column("doc_id").to_numpy()
+    tbl = tbl.add_column(
+        0, "_hoodie_record_key", pa.array(ids.astype("U"), pa.string()))
+    schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "doc_id", "type": "long"},
+        {"name": "n_chars", "type": "long"},
+        {"name": "source", "type": "string"}]}
+
+    def _recs(mask, bump):
+        sub = tbl.filter(pa.array(mask))
+        return [{"_hoodie_record_key": k, "doc_id": d,
+                 "n_chars": n + bump, "source": s}
+                for k, d, n, s in zip(
+                    sub.column("_hoodie_record_key").to_pylist(),
+                    sub.column("doc_id").to_pylist(),
+                    sub.column("n_chars").to_pylist(),
+                    sub.column("source").to_pylist())]
+
+    paths = {}
+    for name, mask in [("even", ids % 2 == 0), ("odd", ids % 2 == 1)]:
+        paths[name] = f"{base}/src/{name}.parquet"
+        pq.write_table(tbl.filter(pa.array(mask)), paths[name])
+    inserts = [{"_hoodie_record_key": str(10**12 + i),
+                "doc_id": 10**12 + i, "n_chars": 137 * i,
+                "source": "mor_insert"} for i in range(1, 41)]
+    hudi_meta.write_table_fixture(f"{base}/table", [
+        {"writes": {"": [("f-0", paths["even"]),
+                         ("f-1", paths["odd"])]}},
+        {"logs": {"": [
+            ("f-0", 0, 1, [
+                ("data", schema, _recs(ids % 10 == 0, 1000)),
+                ("delete", [str(i) for i in ids[ids % 14 == 0].tolist()]),
+                ("data", schema, inserts)]),
+            ("f-1", 0, 1, [
+                ("data", schema, _recs(ids % 10 == 5, 500)),
+                ("delete", [str(i)
+                            for i in ids[ids % 42 == 21].tolist()])]),
+        ]}},
+    ], table_type="MERGE_ON_READ")
+    scan = hudi_meta.snapshot_scan(f"{base}/table")
+    assert scan["needs_merge"]
+    staged = hudi_log.stage_mor_slices(spark, scan, f"{base}/staging")
+    pipeline.encode_path(spark, f"{base}/table", f"{base}/enc",
+                         input_files=staged["files"], batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "n_chars", "source"],
+        "doc_id bigint, n_chars bigint, source string")
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def q46_columnar_multicol_agg(spark, sf_dir):
     """Row-aligned multi-column read from the per-column layout,
     oracle-gated: two columns decoded from separate Hive partitions and
@@ -1117,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pii_scrub": q56_pii_scrub,
         "q57_bpe_pair_counts": q57_bpe_pair_counts,
         "q58_token_budget_sample": q58_token_budget_sample,
+        "q59_hudi_mor_roundtrip": q59_hudi_mor_roundtrip,
     }.items()))
 
 
@@ -2017,6 +2099,32 @@ def oracle_sql() -> dict[str, str]:
         # same oracle shape as q49: the Hudi snapshot's latest slices
         # hold exactly the raw documents (the stale f-0 slice and the
         # replaced f-1/f-2 groups are metadata-invisible)
+        # the MOR snapshot == raw documents with the deterministic
+        # upsert/delete model applied plus the inserted docs; the
+        # upsert/delete predicates are slice-local on the Spark side
+        # (%10==0 and %14==0 are even -> f-0's log; %10==5 and %42==21
+        # are odd -> f-1's log) but globally equivalent here
+        "q59_hudi_mor_roundtrip": """
+            WITH eff AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+                          WHEN doc_id % 10 = 5 THEN n_chars + 500
+                          ELSE n_chars END AS n_chars,
+                     source
+              FROM documents
+              WHERE doc_id % 14 <> 0 AND doc_id % 42 <> 21
+              UNION ALL
+              SELECT 1000000000000 + i AS doc_id,
+                     CAST(137 * i AS BIGINT) AS n_chars,
+                     'mor_insert' AS source
+              FROM range(1, 41) t(i)
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM eff GROUP BY source
+        """,
         "q55_hudi_snapshot_roundtrip": """
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars_sum,

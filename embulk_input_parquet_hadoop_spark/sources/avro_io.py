@@ -130,19 +130,34 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
     if isinstance(schema, str):
         schema = named.get(schema, schema)
     if isinstance(schema, list):
-        # writer supports only the ["null", X] unions Iceberg metadata
-        # uses; branch choice by None-ness alone would silently mis-code
-        # a general union, so refuse anything else loudly
         nulls = [i for i, b in enumerate(schema) if b == "null"]
-        if len(schema) != 2 or len(nulls) != 1:
-            raise ValueError(f"unsupported union for encode: {schema!r}")
-        if v is None:
+        if v is None and nulls:
             _write_long(out, nulls[0])
             return
-        i = 1 - nulls[0]
-        _write_long(out, i)
-        _encode(schema[i], v, out, named)
-        return
+        if len(schema) == 2 and len(nulls) == 1:
+            # the ["null", X] unions Iceberg metadata uses
+            i = 1 - nulls[0]
+            _write_long(out, i)
+            _encode(schema[i], v, out, named)
+            return
+        # wider primitive-only unions (Hudi's delete-record orderingVal):
+        # pick the branch by python type; anything schema-shaped enough
+        # to be ambiguous stays refused
+        want = ("boolean" if isinstance(v, bool)
+                else "long" if isinstance(v, int)
+                else "double" if isinstance(v, float)
+                else "string" if isinstance(v, str)
+                else "bytes" if isinstance(v, (bytes, bytearray))
+                else None)
+        fallback = {"long": "int", "double": "float"}.get(want)
+        for cand in (want, fallback):
+            if cand is not None and cand in schema:
+                i = schema.index(cand)
+                _write_long(out, i)
+                _encode(cand, v, out, named)
+                return
+        raise ValueError(f"unsupported union for encode: {schema!r} "
+                         f"value {type(v).__name__}")
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
@@ -203,6 +218,30 @@ def _encode(schema, v, out: bytearray, named: dict) -> None:
         out.extend(vb)
         return
     raise ValueError(f"unsupported avro type {schema!r}")
+
+
+# --- bare datums (no container) ----------------------------------------------
+# Hudi log blocks carry schema-less Avro BINARY DATUMS (the writer
+# schema travels out of band: data blocks in the block header's SCHEMA
+# entry, delete blocks as the fixed public HoodieDeleteRecordList
+# schema) — expose the schema-driven codec for them.
+
+def decode_datum(schema, data: bytes):
+    """Decode one Avro binary datum of ``schema`` from ``data``."""
+    return _decode(schema, io.BytesIO(data), {})
+
+
+def decode_datums(schema, blobs: list) -> list:
+    """Decode many datums of one schema (named-type cache shared)."""
+    named: dict = {}
+    return [_decode(schema, io.BytesIO(b), named) for b in blobs]
+
+
+def encode_datum(schema, value) -> bytes:
+    """Encode one value as an Avro binary datum of ``schema``."""
+    out = bytearray()
+    _encode(schema, value, out, {})
+    return bytes(out)
 
 
 # --- container file ----------------------------------------------------------

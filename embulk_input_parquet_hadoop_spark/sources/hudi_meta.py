@@ -31,17 +31,32 @@ Formats implemented (all public, from the Hudi table spec / docs):
   replacecommit ≤ the target. ``as_of`` gives time travel by instant
   prefix (inclusive), the Hudi ``as.of.instant`` semantics.
 
+MERGE_ON_READ tables are supported natively: ``deltacommit`` instants
+join the replay, write stats may reference ``.log`` files, and the
+snapshot becomes FILE SLICES — latest base file per group plus the log
+chain written against it (log names carry their base instant; logs
+against an older base were folded in by the compaction that wrote the
+newer base). Slices with logs are materialized by
+``hudi_log.stage_mor_slices`` (one Spark task per slice) before
+encoding; see ``hudi_log.py`` for the log block format and merge
+semantics.
+
 Refused loudly rather than silently wrong:
 
-- MERGE_ON_READ tables (``hoodie.table.type``), any completed
-  ``.deltacommit`` / ``.compaction`` instant, or a write stat whose
-  path is not ``.parquet`` (a log file): reading base files alone
-  would resurrect un-compacted updates/deletes.
+- COPY_ON_WRITE timelines containing ``deltacommit`` instants or log
+  write stats — malformed either way.
+- MOR tables whose merge is NOT commit-time-ordered overwrite-latest
+  (a precombine field, ``hoodie.record.merge.mode`` other than
+  COMMIT_TIME_ORDERING, custom payload classes) or that skip meta
+  fields (``hoodie.populate.meta.fields=false``): replaying those
+  without the Hudi runtime risks resurrecting overwritten rows.
 - ``.restore`` instants: a restore rewinds the timeline in ways this
   replay does not model.
-- Non-JSON commit metadata (Hudi 1.x writes Avro-serialized commit
-  metadata for completed instants): refused with the version hint
-  rather than mis-parsed.
+- Commit metadata that is neither JSON nor an Avro container: refused
+  rather than mis-parsed. Hudi 1.x Avro-serialized commit metadata
+  (``HoodieCommitMetadata`` container files, ``Obj\\x01`` magic) is
+  decoded natively via ``avro_io`` — the Avro field names equal the
+  JSON keys, so both serializations feed one replay.
 - Unknown completed actions. ``clean`` / ``rollback`` / ``savepoint``
   are known no-ops for snapshot scans (clean deletes only
   NON-latest slices; rollback targets pending instants) and are
@@ -73,16 +88,23 @@ class HudiMetaError(ValueError):
 
 # completed actions that contribute file-set changes
 _APPLY_ACTIONS = ("commit", "replacecommit")
+# MOR tables add deltacommit (completed compactions commit as "commit")
+_APPLY_ACTIONS_MOR = ("commit", "replacecommit", "deltacommit")
 # completed actions that never change the latest file slice
 _NOOP_ACTIONS = ("clean", "rollback", "savepoint", "indexing",
                  "schemacommit")
 # completed actions that mean the snapshot cannot be reconstructed here
 _REFUSE_ACTIONS = {
-    "deltacommit": "merge-on-read deltacommit in the timeline",
-    "compaction": "merge-on-read compaction in the timeline",
+    "deltacommit": "merge-on-read deltacommit in a COPY_ON_WRITE "
+                   "timeline",
+    "compaction": "a COMPLETED compaction instant (compactions "
+                  "complete as 'commit'; this timeline is malformed)",
     "logcompaction": "merge-on-read log compaction in the timeline",
     "restore": "a restore instant rewinds the timeline",
 }
+# payload classes whose merge == overwrite-latest under commit-time
+# ordering (the semantics hudi_log.merge_slice implements)
+_OK_PAYLOADS = {"OverwriteWithLatestAvroPayload", "HoodieAvroPayload"}
 
 
 def _hoodie_dir(table_dir: str) -> str:
@@ -141,12 +163,35 @@ def _read_commit_meta(path: str) -> dict:
     raw = fsutil.read_bytes(path)
     if not raw.strip():
         return {}
+    if raw[:4] == b"Obj\x01":
+        # Hudi 1.x serializes completed commit metadata as an Avro
+        # container file (org.apache.hudi.avro.model
+        # HoodieCommitMetadata / HoodieReplaceCommitMetadata). The
+        # container embeds its writer schema and the Avro field names
+        # equal the JSON keys, so the decoded record IS the JSON shape
+        # (nullable-union Nones fall through the same .get()/or-{}
+        # guards as absent JSON keys).
+        import zlib
+
+        from . import avro_io
+        try:
+            _, recs = avro_io.read_avro_bytes(raw, name=path)
+        except (ValueError, EOFError, KeyError, IndexError,
+                zlib.error) as e:
+            raise HudiMetaError(
+                f"commit metadata at {path} is an Avro container this "
+                f"reader cannot decode: {e}") from e
+        if len(recs) != 1:
+            raise HudiMetaError(
+                f"commit metadata at {path} holds {len(recs)} Avro "
+                "records (expected exactly one HoodieCommitMetadata)")
+        return recs[0]
     try:
         return json.loads(raw)
     except ValueError as e:
         raise HudiMetaError(
-            f"commit metadata at {path} is not JSON "
-            f"(Hudi 1.x Avro-serialized timeline?): {e}") from e
+            f"commit metadata at {path} is neither JSON nor an Avro "
+            f"container: {e}") from e
 
 
 def _within_as_of(instant: str, as_of: str) -> bool:
@@ -171,11 +216,14 @@ def all_completed_instants(table_dir: str) -> set[str]:
     return out
 
 
-def completed_instants(table_dir: str) -> list[tuple[str, str, str]]:
+def completed_instants(table_dir: str,
+                       mor: bool = False) -> list[tuple[str, str, str]]:
     """Sorted ``(instant, action, timeline file path)`` for every
     COMPLETED instant, refusing the timeline shapes the snapshot replay
-    cannot model."""
+    cannot model. ``mor=True`` additionally accepts ``deltacommit``
+    (the MERGE_ON_READ write action)."""
     tl = _timeline_dir(table_dir)
+    apply_actions = _APPLY_ACTIONS_MOR if mor else _APPLY_ACTIONS
     out: list[tuple[str, str, str]] = []
     for name in fsutil.listdir(tl):
         parsed = _parse_instant_name(name)
@@ -184,41 +232,91 @@ def completed_instants(table_dir: str) -> list[tuple[str, str, str]]:
         instant, action, completed = parsed
         if not completed:
             continue
+        if action in apply_actions:
+            out.append((instant, action, f"{tl}/{name}"))
+            continue
         if action in _REFUSE_ACTIONS:
             raise HudiMetaError(
                 f"unsupported Hudi timeline: {_REFUSE_ACTIONS[action]} "
                 f"({name}) — encode via the Hudi Spark reader instead")
         if action in _NOOP_ACTIONS:
             continue
-        if action not in _APPLY_ACTIONS:
-            raise HudiMetaError(
-                f"unknown completed timeline action {action!r} ({name}) "
-                "— refusing rather than guessing its file-set effect")
-        out.append((instant, action, f"{tl}/{name}"))
+        raise HudiMetaError(
+            f"unknown completed timeline action {action!r} ({name}) "
+            "— refusing rather than guessing its file-set effect")
     out.sort()
     return out
 
 
-def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
-    """Replay the COW timeline to the latest (or ``as_of``) snapshot.
+def _check_mor_props(props: dict) -> None:
+    """Refuse MOR tables whose merge semantics differ from the
+    commit-time-ordered overwrite-latest merge ``hudi_log`` implements
+    — modeling event-time (``preCombine``) ordering without the Hudi
+    runtime risks silently resurrecting overwritten rows."""
+    pre = props.get("hoodie.table.precombine.field", "").strip()
+    if pre:
+        raise HudiMetaError(
+            f"hoodie.table.precombine.field={pre!r}: event-time merge "
+            "ordering is not modeled (a log record with an older "
+            "ordering value must LOSE to an earlier one, which "
+            "commit-time replay cannot decide) — compact the table or "
+            "encode via the Hudi Spark reader")
+    mode = props.get("hoodie.record.merge.mode", "").strip().upper()
+    if mode and mode != "COMMIT_TIME_ORDERING":
+        raise HudiMetaError(
+            f"hoodie.record.merge.mode={mode}: only "
+            "COMMIT_TIME_ORDERING is modeled")
+    for key in ("hoodie.compaction.payload.class",
+                "hoodie.table.payload.class",
+                "hoodie.datasource.write.payload.class"):
+        cls = props.get(key, "").strip()
+        if cls and cls.rsplit(".", 1)[-1] not in _OK_PAYLOADS:
+            raise HudiMetaError(
+                f"{key}={cls}: custom merge payloads are not modeled")
+    if props.get("hoodie.populate.meta.fields", "true").strip() \
+            .lower() == "false":
+        raise HudiMetaError(
+            "hoodie.populate.meta.fields=false: merge needs the "
+            "_hoodie_record_key meta column in every base/log record")
 
-    Returns ``{"files": [abs paths, sorted], "instant": str | None,
-    "partitions": {abs path: partition path}, "groups":
-    {(partition, fileId): (slice instant, abs path)}}``. Raises
-    :class:`HudiMetaError` for MOR tables and unsupported timelines.
+
+def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
+    """Replay the timeline to the latest (or ``as_of``) snapshot.
+
+    Returns ``{"files": [abs base-file paths, sorted], "instant":
+    str | None, "partitions": {abs path: partition path}, "groups":
+    {(partition, fileId): (slice instant, abs base path | None,
+    (log paths...))}, "slices": {(partition, fileId): {"base",
+    "base_instant", "logs", "partition"}}, "needs_merge": bool,
+    "valid_instants": set}``.
+
+    COPY_ON_WRITE slices are single base files (``files`` is the
+    encode input). MERGE_ON_READ slices may carry a log chain —
+    ``needs_merge`` is then True and the snapshot must be materialized
+    through ``hudi_log.stage_mor_slices`` (``files`` alone would
+    resurrect un-merged rows; :func:`snapshot_files` refuses).
+    ``valid_instants`` are the replayed apply instants — the block
+    visibility filter for the log scan. Raises :class:`HudiMetaError`
+    for unsupported timelines and merge configurations.
     """
     props = table_properties(table_dir)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE").upper()
-    if ttype != "COPY_ON_WRITE":
+    mor = ttype == "MERGE_ON_READ"
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
         raise HudiMetaError(
-            f"hoodie.table.type={ttype}: base files alone would "
-            "resurrect un-compacted merge-on-read rows; encode via the "
-            "Hudi Spark reader instead")
+            f"hoodie.table.type={ttype}: unknown table type")
+    if mor:
+        from . import hudi_log  # noqa: F401  (parse_log_name below)
+        _check_mor_props(props)
     base = table_dir.rstrip("/")
-    # (partition, fileId) -> (instant, relpath): the latest file slice
+    # (partition, fileId) -> (instant, relpath): the latest base file
     state: dict[tuple[str, str], tuple[str, str]] = {}
+    # (partition, fileId) -> [(baseInstant, logVersion, writeToken,
+    #                          relpath)]: every log write seen
+    logstate: dict[tuple[str, str], list] = {}
     applied: str | None = None
-    for instant, action, fname in completed_instants(table_dir):
+    valid: set[str] = set()
+    for instant, action, fname in completed_instants(table_dir, mor=mor):
         if as_of is not None and not _within_as_of(instant, as_of):
             continue
         meta = _read_commit_meta(fname)
@@ -228,10 +326,22 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
                 rel, fid = st.get("path"), st.get("fileId")
                 if not rel:
                     continue
+                if ".log." in posixpath.basename(rel):
+                    if not mor:
+                        raise HudiMetaError(
+                            f"log file {rel!r} written at {instant} in "
+                            "a COPY_ON_WRITE timeline — refusing")
+                    from . import hudi_log
+                    lfid, linst, ver, tok = hudi_log.parse_log_name(rel)
+                    key = (part, fid or lfid)
+                    written.add(key)
+                    logstate.setdefault(key, []).append(
+                        (linst, ver, tok, rel))
+                    continue
                 if not rel.endswith(".parquet"):
                     raise HudiMetaError(
-                        f"non-parquet base file {rel!r} written at "
-                        f"{instant} (merge-on-read log file?) — refusing")
+                        f"unsupported base file {rel!r} written at "
+                        f"{instant} (hfile/orc base?) — refusing")
                 if not fid:
                     # filenames are {fileId}_{writeToken}_{instant}.parquet;
                     # fileId never contains '_'
@@ -252,19 +362,61 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
                             f"group it also writes ({part}/{fid}) — "
                             "malformed metadata")
                     state.pop(key, None)
+                    logstate.pop(key, None)
         applied = instant
-    partitions = {f"{base}/{rel}": key[0]
-                  for key, (_, rel) in state.items()}
+        valid.add(instant)
+    # assemble file slices: latest base file + the log chain written
+    # AGAINST that base (log names carry their base instant; logs
+    # against an older base were folded in by the compaction that wrote
+    # the newer base and are dropped, Hudi's file-slice rule)
+    slices: dict[tuple[str, str], dict] = {}
+    for key in set(state) | set(logstate):
+        b = state.get(key)
+        ls = sorted(logstate.get(key, []))
+        if b is not None:
+            binst, brel = b
+            newer = sorted({li for (li, _, _, _) in ls if li > binst})
+            if newer:
+                raise HudiMetaError(
+                    f"file group {key} has log files against base "
+                    f"instant(s) {newer} newer than its latest base "
+                    f"file ({binst}) — malformed metadata")
+            chain = [rel for (li, _, _, rel) in ls if li == binst]
+            slices[key] = {"base": f"{base}/{brel}", "base_instant": binst,
+                           "logs": [f"{base}/{rel}" for rel in chain],
+                           "partition": key[0]}
+        else:
+            insts = sorted({li for (li, _, _, _) in ls})
+            if len(insts) != 1:
+                raise HudiMetaError(
+                    f"log-only file group {key} spans base instants "
+                    f"{insts} with no base file — malformed metadata")
+            slices[key] = {"base": None, "base_instant": insts[0],
+                           "logs": [f"{base}/{rel}"
+                                    for (_, _, _, rel) in ls],
+                           "partition": key[0]}
+    partitions = {s["base"]: s["partition"] for s in slices.values()
+                  if s["base"]}
     files = sorted(partitions)
-    groups = {key: (inst, f"{base}/{rel}")
-              for key, (inst, rel) in state.items()}
+    groups = {key: (s["base_instant"], s["base"], tuple(s["logs"]))
+              for key, s in slices.items()}
     return {"files": files, "instant": applied, "partitions": partitions,
-            "groups": groups}
+            "groups": groups, "slices": slices,
+            "needs_merge": any(s["logs"] for s in slices.values()),
+            "valid_instants": valid}
 
 
 def snapshot_files(table_dir: str, as_of: str | None = None) -> list[str]:
-    """Data files of the snapshot, for ``encode_path(input_files=...)``."""
-    return snapshot_scan(table_dir, as_of)["files"]
+    """Data files of the snapshot, for ``encode_path(input_files=...)``.
+    Refuses when any slice carries a log chain — base files alone would
+    resurrect un-merged MOR rows; use ``hudi_log.stage_mor_slices``."""
+    scan = snapshot_scan(table_dir, as_of)
+    if scan["needs_merge"]:
+        raise HudiMetaError(
+            "snapshot has merge-on-read log files; encode via "
+            "hudi_log.stage_mor_slices(spark, scan, staging_dir) "
+            "(CLI: encode_job --hudi stages automatically)")
+    return scan["files"]
 
 
 def snapshot_scan_diff(table_dir: str, since_instant: str,
@@ -304,9 +456,14 @@ def snapshot_scan_diff(table_dir: str, since_instant: str,
             "into a new tree")
     added = sorted(k for k in new["groups"] if k not in old["groups"])
     groups = {k: new["groups"][k] for k in added}
-    partitions = {path: key[0] for key, (_, path) in groups.items()}
+    slices = {k: new["slices"][k] for k in added}
+    partitions = {s["base"]: s["partition"] for s in slices.values()
+                  if s["base"]}
     return {"files": sorted(partitions), "instant": new["instant"],
-            "partitions": partitions, "groups": groups}
+            "partitions": partitions, "groups": groups,
+            "slices": slices,
+            "needs_merge": any(s["logs"] for s in slices.values()),
+            "valid_instants": new["valid_instants"]}
 
 
 def filter_partitions(scan: dict, pf: dict) -> dict:
@@ -330,16 +487,96 @@ def filter_partitions(scan: dict, pf: dict) -> dict:
         return all(segs[k] == str(v) for k, v in pf.items())
 
     parts = {f: p for f, p in scan["partitions"].items() if _match(p)}
-    return {**scan, "files": sorted(parts), "partitions": parts}
+    out = {**scan, "files": sorted(parts), "partitions": parts}
+    if "slices" in scan:
+        slices = {k: s for k, s in scan["slices"].items()
+                  if _match(s["partition"])}
+        out["slices"] = slices
+        out["groups"] = {k: scan["groups"][k] for k in slices
+                         if k in scan.get("groups", {})}
+        out["needs_merge"] = any(s["logs"] for s in slices.values())
+    return out
 
 
 # ---------------------------------------------------------------------------
 # fixture writer (tests)
 
+# spec-shaped subset of the public HoodieCommitMetadata.avsc /
+# HoodieReplaceCommitMetadata.avsc (hudi-common/src/main/avro/) for the
+# avro_meta fixture mode — field names ARE the JSON keys, which is the
+# whole reason _read_commit_meta can hand the decoded record straight
+# to the replay
+def _commit_meta_avro_schema(replace: bool) -> dict:
+    stat = {"type": "record", "name": "HoodieWriteStat",
+            "namespace": "org.apache.hudi.avro.model",
+            "fields": [
+                {"name": "fileId", "type": ["null", "string"],
+                 "default": None},
+                {"name": "path", "type": ["null", "string"],
+                 "default": None},
+                {"name": "prevCommit", "type": ["null", "string"],
+                 "default": None},
+                {"name": "partitionPath", "type": ["null", "string"],
+                 "default": None},
+            ]}
+    fields = [
+        {"name": "partitionToWriteStats",
+         "type": ["null", {"type": "map", "values":
+                           {"type": "array", "items": stat}}],
+         "default": None},
+        {"name": "compacted", "type": ["null", "boolean"],
+         "default": None},
+        {"name": "operationType", "type": ["null", "string"],
+         "default": None},
+    ]
+    if replace:
+        fields.append(
+            {"name": "partitionToReplaceFileIds",
+             "type": ["null", {"type": "map", "values":
+                               {"type": "array", "items": "string"}}],
+             "default": None})
+    return {"type": "record",
+            "name": ("HoodieReplaceCommitMetadata" if replace
+                     else "HoodieCommitMetadata"),
+            "namespace": "org.apache.hudi.avro.model", "fields": fields}
+
+
+def _commit_meta_avro_bytes(meta: dict) -> bytes:
+    import os as _os
+    import tempfile as _tf
+
+    from . import avro_io
+    schema = _commit_meta_avro_schema(
+        "partitionToReplaceFileIds" in meta)
+    stat_fields = ("fileId", "path", "prevCommit", "partitionPath")
+    rec = {
+        "partitionToWriteStats": {
+            part: [{f: st.get(f) for f in stat_fields} for st in stats]
+            for part, stats in meta["partitionToWriteStats"].items()},
+        "compacted": meta.get("compacted", False),
+        "operationType": meta.get("operationType"),
+    }
+    if "partitionToReplaceFileIds" in meta:
+        rec["partitionToReplaceFileIds"] = \
+            meta["partitionToReplaceFileIds"]
+    # avro_io.write_avro targets a local path; round-trip through a
+    # temp file so the timeline bytes still go out via fsutil.put_bytes
+    fd, tmp = _tf.mkstemp(suffix=".avro")
+    _os.close(fd)
+    try:
+        avro_io.write_avro(tmp, schema, [rec])
+        with open(tmp, "rb") as fh:
+            return fh.read()
+    finally:
+        _os.remove(tmp)
+
+
 def write_table_fixture(table_dir: str, commits: list[dict],
                         table_type: str = "COPY_ON_WRITE",
                         timeline_v1: bool = False,
-                        extra_timeline_files: list[str] | None = None
+                        extra_timeline_files: list[str] | None = None,
+                        extra_props: list[str] | None = None,
+                        avro_meta: bool = False
                         ) -> list[str]:
     """Spec-shaped Hudi COW table over existing Parquet files.
 
@@ -360,8 +597,22 @@ def write_table_fixture(table_dir: str, commits: list[dict],
     ``timeline_v1`` writes instants under ``.hoodie/timeline/`` with
     1.x completion-time-suffixed completed names.
     ``extra_timeline_files`` drops extra (empty) instant files in for
-    refusal tests. Returns the instant strings in order.
+    refusal tests. ``extra_props`` appends raw ``hoodie.properties``
+    lines (precombine/payload refusal tests).
+
+    MERGE_ON_READ additions (``table_type="MERGE_ON_READ"``): a commit
+    may carry ``"logs": {partition: [(fileId, base_idx, logVersion,
+    blocks)]}`` — writes ``.{fileId}_{baseInstant}.log.{logVersion}_0-1-0``
+    where ``baseInstant`` is the generated instant of commit index
+    ``base_idx`` (``None`` = this commit's own instant: a log-only
+    group). Each block spec is one of ``("data", avro_schema,
+    records)``, ``("pdata", arrow_table)``, ``("delete", keys)``,
+    ``("rollback", target_idx)``, ``("orphan_data", instant_str,
+    avro_schema, records)`` (a block stamped with a never-completed
+    instant), or ``("raw", bytes)``. A commit with logs defaults to
+    action ``deltacommit``. Returns the instant strings in order.
     """
+    from . import hudi_log
     base = table_dir.rstrip("/")
     hd = f"{base}/.hoodie"
     tl = f"{hd}/timeline" if timeline_v1 else hd
@@ -374,14 +625,18 @@ def write_table_fixture(table_dir: str, commits: list[dict],
         else "hoodie.table.version=8",
         "hoodie.timeline.layout.version=1",
         "hoodie.datasource.write.hive.style.partitioning=true",
+        *(extra_props or []),
     ]) + "\n"
     fsutil.put_bytes(f"{hd}/hoodie.properties", props.encode())
+    all_instants = [f"{20240101000000 + i:017d}"
+                    for i in range(len(commits))]
     instants: list[str] = []
     for i, c in enumerate(commits):
-        instant = f"{20240101000000 + i:017d}"
+        instant = all_instants[i]
         instants.append(instant)
         action = c.get("action") or (
-            "replacecommit" if c.get("replaces") else "commit")
+            "replacecommit" if c.get("replaces")
+            else "deltacommit" if c.get("logs") else "commit")
         p2ws: dict[str, list[dict]] = {}
         for part, entries in (c.get("writes") or {}).items():
             stats = []
@@ -393,6 +648,38 @@ def write_table_fixture(table_dir: str, commits: list[dict],
                               "prevCommit": "null",
                               "partitionPath": part})
             p2ws[part] = stats
+        for part, entries in (c.get("logs") or {}).items():
+            stats = p2ws.setdefault(part, [])
+            for fid, base_idx, logver, blocks in entries:
+                base_instant = (instant if base_idx is None
+                                else all_instants[base_idx])
+                rel = (f"{part}/" if part else "") + \
+                    f".{fid}_{base_instant}.log.{logver}_0-1-0"
+                payload = []
+                for spec in blocks:
+                    kind = spec[0]
+                    if kind == "data":
+                        payload.append(hudi_log.avro_data_block_bytes(
+                            instant, spec[1], spec[2]))
+                    elif kind == "pdata":
+                        payload.append(hudi_log.parquet_data_block_bytes(
+                            instant, spec[1]))
+                    elif kind == "delete":
+                        payload.append(hudi_log.delete_block_bytes(
+                            instant, spec[1]))
+                    elif kind == "rollback":
+                        payload.append(hudi_log.rollback_block_bytes(
+                            instant, all_instants[spec[1]]))
+                    elif kind == "orphan_data":
+                        payload.append(hudi_log.avro_data_block_bytes(
+                            spec[1], spec[2], spec[3]))
+                    elif kind == "raw":
+                        payload.append(spec[1])
+                    else:
+                        raise ValueError(f"unknown block spec {kind!r}")
+                hudi_log.write_log_file(f"{base}/{rel}", payload)
+                stats.append({"fileId": fid, "path": rel,
+                              "partitionPath": part})
         meta: dict = {"partitionToWriteStats": p2ws,
                       "compacted": False,
                       "operationType": c.get("operation", "upsert")}
@@ -406,7 +693,8 @@ def write_table_fixture(table_dir: str, commits: list[dict],
             done = (f"{instant}_{20240101100000 + i:017d}.{action}"
                     if timeline_v1 else f"{instant}.{action}")
             fsutil.put_bytes(f"{tl}/{done}",
-                             json.dumps(meta, indent=2).encode())
+                             _commit_meta_avro_bytes(meta) if avro_meta
+                             else json.dumps(meta, indent=2).encode())
     for name in extra_timeline_files or []:
         fsutil.put_bytes(f"{tl}/{name}", b"")
     return instants

@@ -102,11 +102,12 @@ def main() -> int:
                         "--inject-partitions to keep the partition "
                         "columns (as strings) in the encoded output")
     p.add_argument("--hudi", action="store_true",
-                   help="treat --input as an Apache Hudi COPY_ON_WRITE "
-                        "table directory: replay the .hoodie timeline "
-                        "(pure-Python, no Hudi runtime) and encode the "
-                        "snapshot's latest file slices; merge-on-read "
-                        "tables refuse")
+                   help="treat --input as an Apache Hudi table "
+                        "directory (COPY_ON_WRITE or MERGE_ON_READ): "
+                        "replay the .hoodie timeline (pure-Python, no "
+                        "Hudi runtime) and encode the snapshot's latest "
+                        "file slices; MOR log chains are merged into "
+                        "the --staging tree first (one task per slice)")
     p.add_argument("--as-of", default=None, metavar="INSTANT",
                    help="with --hudi: time-travel to the given timeline "
                         "instant (inclusive)")
@@ -127,7 +128,8 @@ def main() -> int:
                         "(header row required; tab delimiter inferred "
                         "for .tsv)")
     p.add_argument("--staging", default=None, metavar="DIR",
-                   help="with --jsonl/--csv: parquet staging tree "
+                   help="with --jsonl/--csv/--hudi (merge-on-read): "
+                        "parquet staging tree "
                         "(default {output}/_staging — underscore "
                         "prefix keeps it out of parquet globs)")
     p.add_argument("--jsonl-schema", default=None, metavar="DDL",
@@ -272,7 +274,18 @@ def main() -> int:
         if args.partition:
             pf = dict(kv.split("=", 1) for kv in args.partition)
             scan = hudi_meta.filter_partitions(scan, pf)
-        input_files = scan["files"]
+        if scan.get("needs_merge"):
+            # MERGE_ON_READ: materialize log-bearing file slices into
+            # the staging tree (one task per slice, idempotent md5
+            # names — same protocol as --jsonl), then encode staged +
+            # passthrough base files
+            from embulk_input_parquet_hadoop_spark.sources import \
+                hudi_log
+            stg = args.staging or f"{args.output.rstrip('/')}/_staging"
+            staged = hudi_log.stage_mor_slices(spark, scan, stg)
+            input_files = staged["files"]
+        else:
+            input_files = scan["files"]
     elif args.jsonl or args.csv:
         from embulk_input_parquet_hadoop_spark.sources import jsonl_io
         stg = args.staging or f"{args.output.rstrip('/')}/_staging"
@@ -297,10 +310,10 @@ def main() -> int:
     if (args.as_of is not None or args.since_instant is not None) \
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")
-    if (args.staging or args.jsonl_schema) and not (args.jsonl
-                                                    or args.csv):
-        raise SystemExit("--staging/--jsonl-schema require "
-                         "--jsonl/--csv")
+    if args.staging and not (args.jsonl or args.csv or args.hudi):
+        raise SystemExit("--staging requires --jsonl/--csv/--hudi")
+    if args.jsonl_schema and not (args.jsonl or args.csv):
+        raise SystemExit("--jsonl-schema requires --jsonl/--csv")
     if sum((args.iceberg, args.delta, args.hive, args.hudi,
             args.jsonl, args.csv)) > 1:
         raise SystemExit("--iceberg/--delta/--hive/--hudi/--jsonl/--csv "

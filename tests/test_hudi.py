@@ -139,12 +139,14 @@ def test_timeline_v1_layout(tmp_path):
 # refusals
 # ---------------------------------------------------------------------
 
-def test_mor_table_type_refused(tmp_path):
+def test_unknown_table_type_refused(tmp_path):
+    """COW and MOR are modeled (MOR coverage in test_hudi_mor.py);
+    anything else refuses."""
     a = _mk_parquet(tmp_path, "a.parquet", [1])
     d = str(tmp_path / "tbl")
     hm.write_table_fixture(d, [{"writes": {"": [("f-a", a)]}}],
-                           table_type="MERGE_ON_READ")
-    with pytest.raises(hm.HudiMetaError, match="MERGE_ON_READ"):
+                           table_type="FANCY_NEW_TYPE")
+    with pytest.raises(hm.HudiMetaError, match="unknown table type"):
         hm.snapshot_scan(d)
 
 
@@ -187,7 +189,7 @@ def test_log_file_write_stat_refused(tmp_path):
          "path": f".f-a_1-0-1_{ins[0]}.log.1_0-1-0"}]}}
     with open(f"{d}/.hoodie/{20240101000050:017d}.commit", "w") as fh:
         json.dump(meta, fh)
-    with pytest.raises(hm.HudiMetaError, match="non-parquet"):
+    with pytest.raises(hm.HudiMetaError, match="COPY_ON_WRITE"):
         hm.snapshot_scan(d)
 
 
@@ -200,14 +202,49 @@ def test_replace_own_write_refused(tmp_path):
         hm.snapshot_scan(d)
 
 
-def test_non_json_commit_refused(tmp_path):
+def test_unparseable_commit_meta_refused(tmp_path):
     a = _mk_parquet(tmp_path, "a.parquet", [1])
     d = str(tmp_path / "tbl")
     hm.write_table_fixture(d, [{"writes": {"": [("f-a", a)]}}])
-    with open(f"{d}/.hoodie/{20240101000050:017d}.commit", "wb") as fh:
-        fh.write(b"Obj\x01\x02avro-serialized")  # 1.x Avro timeline
-    with pytest.raises(hm.HudiMetaError, match="not JSON"):
+    p = f"{d}/.hoodie/{20240101000050:017d}.commit"
+    with open(p, "wb") as fh:
+        fh.write(b"\x89not-json-not-avro")
+    with pytest.raises(hm.HudiMetaError, match="neither JSON nor"):
         hm.snapshot_scan(d)
+    with open(p, "wb") as fh:
+        fh.write(b"Obj\x01\x02truncated-container")  # bad avro body
+    with pytest.raises(hm.HudiMetaError, match="cannot decode"):
+        hm.snapshot_scan(d)
+
+
+def test_avro_commit_metadata_timeline(tmp_path):
+    """Hudi 1.x Avro-serialized commit metadata: the same replay result
+    as the JSON serialization, including replacecommit clustering and
+    the 1.x timeline/ layout, decoded by the pure-Python avro_io reader
+    (no Hudi runtime)."""
+    a = _mk_parquet(tmp_path, "a.parquet", [1])
+    b = _mk_parquet(tmp_path, "b.parquet", [2])
+    c = _mk_parquet(tmp_path, "c.parquet", [1, 2])
+    commits = [
+        {"writes": {"p=0": [("f-a", a)], "p=1": [("f-b", b)]}},
+        {"writes": {"p=0": [("f-c", c)]},
+         "replaces": {"p=0": ["f-a"]}},
+    ]
+    trees = {}
+    for mode in ("json", "avro", "avro_v1"):
+        d = str(tmp_path / f"tbl_{mode}")
+        hm.write_table_fixture(d, commits,
+                               avro_meta=mode.startswith("avro"),
+                               timeline_v1=mode.endswith("v1"))
+        trees[mode] = (_names(hm.snapshot_scan(d)),
+                       _names(hm.snapshot_scan(
+                           d, as_of=f"{20240101000000:017d}")))
+    assert trees["json"] == trees["avro"] == trees["avro_v1"]
+    assert len(trees["json"][0]) == 2  # f-c replaced f-a; f-b lives
+    # the completed instant file really is an Avro container
+    import glob as _g
+    done = _g.glob(f"{tmp_path}/tbl_avro/.hoodie/*.commit")[0]
+    assert open(done, "rb").read(4) == b"Obj\x01"
 
 
 def test_not_a_hudi_table(tmp_path):
