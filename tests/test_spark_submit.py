@@ -79,6 +79,94 @@ def test_encode_job_via_spark_submit(tmp_path, spark):
 
 @pytest.mark.skipif(not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
                     reason="spark-submit not on PATH")
+def test_encode_job_hudi_mor_via_spark_submit(tmp_path):
+    """encode_job --hudi on a MERGE_ON_READ table in a fresh JVM: the
+    job plans the snapshot from .hoodie metadata, stages the
+    log-bearing slice into --staging (one task per slice), encodes the
+    merged rows and verifies — the full MOR CLI chain with zero Hudi
+    runtime. No Spark fixture needed: the base file and log blocks are
+    driver-side pyarrow/bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.sources import hudi_meta
+
+    zpath = tmp_path / "engine.zip"
+    pkg = os.path.join(REPO, "embulk_input_parquet_hadoop_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    def row(i, n):
+        return {"_hoodie_record_key": f"k{i}", "doc_id": f"d{i}",
+                "tokens": list(range(n)), "n_tok": n,
+                "source": f"s{i % 3}"}
+
+    base_rows = [row(i, i % 50 + 1) for i in range(100)]
+    schema = pa.schema([("_hoodie_record_key", pa.string()),
+                        ("doc_id", pa.string()),
+                        ("tokens", pa.list_(pa.int32())),
+                        ("n_tok", pa.int32()), ("source", pa.string())])
+    base_pq = str(tmp_path / "base.parquet")
+    pq.write_table(pa.Table.from_pylist(base_rows, schema=schema),
+                   base_pq)
+    avro_schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "doc_id", "type": "string"},
+        {"name": "tokens", "type": {"type": "array", "items": "int"}},
+        {"name": "n_tok", "type": "int"},
+        {"name": "source", "type": "string"}]}
+    upserts = [row(i, 3) for i in range(100) if i % 10 == 5]
+    deletes = [f"k{i}" for i in range(100) if i % 10 == 0]
+    inserts = [row(100 + i, 4) for i in range(5)]
+    tbl = str(tmp_path / "tbl")
+    hudi_meta.write_table_fixture(tbl, [
+        {"writes": {"": [("f-a", base_pq)]}},
+        {"logs": {"": [("f-a", 0, 1, [
+            ("data", avro_schema, upserts),
+            ("delete", deletes),
+            ("data", avro_schema, inserts)])]}},
+    ], table_type="MERGE_ON_READ")
+    live = {r["_hoodie_record_key"]: r for r in base_rows}
+    for r in upserts:
+        live[r["_hoodie_record_key"]] = r
+    for k in deletes:
+        live.pop(k)
+    for r in inserts:
+        live[r["_hoodie_record_key"]] = r
+
+    out = str(tmp_path / "encoded")
+    stg = str(tmp_path / "staging")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zpath),
+         os.path.join(REPO, "jobs", "encode_job.py"),
+         "--input", tbl, "--output", out,
+         "--hudi", "--staging", stg, "--verify-files"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["verify"]["ok"] is True, res
+    assert res["n_rows"] == len(live), res
+    assert res["n_tokens"] == sum(r["n_tok"] for r in live.values()), res
+    staged = [f for f in os.listdir(stg) if f.endswith(".parquet")]
+    assert len(staged) == 1, staged
+
+
+@pytest.mark.skipif(not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+                    reason="spark-submit not on PATH")
 def test_encode_job_iceberg_entropy_via_spark_submit(tmp_path, spark):
     """The full north-rule deployment in one run: spark-submit
     --py-files, input resolved from ICEBERG TABLE METADATA (--iceberg,
