@@ -376,14 +376,30 @@ def merge_slice(base_path: str | None, log_paths: list[str],
                   if isinstance(first_block_schema, pa.Schema)
                   else _arrow_schema_from_avro(first_block_schema))
 
-    rows: list[dict] = []
     if base is not None:
-        keys = base.column(_RECORD_KEY_FIELD).to_pylist()
-        live = [i for i, k in enumerate(keys)
-                if k not in deleted and k not in upserts]
-        surviving = base.take(pa.array(live, pa.int64()))
-        replaced = [upserts.pop(k) for k in keys if k in upserts]
-        rows = replaced
+        import pyarrow.compute as pc
+
+        # vectorized: never materialize the base's key column as a
+        # Python list — per-task memory stays O(log chain), not
+        # O(base rows), which is what keeps a 1 GB base + small log
+        # tail slice cheap at 100 TB table scale
+        keycol = base.column(_RECORD_KEY_FIELD)
+        affected = sorted(set(deleted) | set(upserts))
+        if affected:
+            aset = pa.array(affected, pa.string())
+            surviving = base.filter(
+                pc.invert(pc.is_in(keycol, value_set=aset)))
+        else:
+            surviving = base
+        if upserts:
+            # replaced records in base key order (bounded: only the
+            # upserted keys actually present come back to Python)
+            ukeys = pa.array(sorted(upserts), pa.string())
+            base_order = keycol.filter(
+                pc.is_in(keycol, value_set=ukeys)).to_pylist()
+            rows = [upserts.pop(k) for k in base_order]
+        else:
+            rows = []
         new_rows = list(upserts.values())
         extra = pa.Table.from_pylist(rows + new_rows, schema=schema) \
             if (rows or new_rows) else None
