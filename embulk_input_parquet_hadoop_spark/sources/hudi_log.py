@@ -414,10 +414,15 @@ def merge_slice(base_path: str | None, log_paths: list[str],
 
 def staged_slice_name(slice_: dict) -> str:
     """Deterministic staged name: md5 over the slice identity (base
-    path + ordered log paths) — same slice -> same name across runs,
-    so staging is crash-retryable and append-mode encode lineage
-    dedupes, exactly like ``jsonl_io.staged_name``."""
-    ident = json.dumps([slice_.get("base"), slice_["logs"]])
+    path + ordered log paths + the commit instants that wrote log
+    blocks) — same slice -> same name across runs, so staging is
+    crash-retryable and append-mode encode lineage dedupes, exactly
+    like ``jsonl_io.staged_name``. The instants matter: Hudi appends
+    blocks to an EXISTING log file across deltacommits, so the path
+    set alone would collide a slice with its appended-to successor
+    and skip-if-exists would silently serve stale rows."""
+    ident = json.dumps([slice_.get("base"), slice_["logs"],
+                        list(slice_.get("log_instants", ()))])
     return hashlib.md5(ident.encode()).hexdigest() + ".parquet"
 
 
@@ -565,7 +570,14 @@ def rollback_block_bytes(instant: str, target_instant: str) -> bytes:
 
 
 def write_log_file(path: str, block_bytes_list: list[bytes]) -> None:
-    fsutil.put_bytes(path, b"".join(block_bytes_list))
+    """Write (or APPEND to) a log file — a second fixture commit that
+    targets an existing log file models Hudi's real writer, which
+    appends blocks to the latest log file rather than always rolling
+    a new version."""
+    prefix = b""
+    if fsutil.exists(path) and fsutil.file_size(path) > 0:
+        prefix = fsutil.read_bytes(path)
+    fsutil.put_bytes(path, prefix + b"".join(block_bytes_list))
 
 
 __all__ = [

@@ -286,9 +286,13 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
     Returns ``{"files": [abs base-file paths, sorted], "instant":
     str | None, "partitions": {abs path: partition path}, "groups":
     {(partition, fileId): (slice instant, abs base path | None,
-    (log paths...))}, "slices": {(partition, fileId): {"base",
-    "base_instant", "logs", "partition"}}, "needs_merge": bool,
-    "valid_instants": set}``.
+    (log paths...), (log-writing commit instants...))}, "slices":
+    {(partition, fileId): {"base", "base_instant", "logs",
+    "log_instants", "partition"}}, "needs_merge": bool,
+    "valid_instants": set}``. The log-writing instants are part of a
+    slice's identity because Hudi appends blocks to an existing log
+    file across deltacommits — two snapshots can share the exact same
+    path set yet hold different rows.
 
     COPY_ON_WRITE slices are single base files (``files`` is the
     encode input). MERGE_ON_READ slices may carry a log chain —
@@ -335,8 +339,12 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
                     lfid, linst, ver, tok = hudi_log.parse_log_name(rel)
                     key = (part, fid or lfid)
                     written.add(key)
+                    # keep the WRITING commit instant too: Hudi
+                    # appends blocks to an existing log file across
+                    # deltacommits, so the path set alone cannot
+                    # identify a slice's contents
                     logstate.setdefault(key, []).append(
-                        (linst, ver, tok, rel))
+                        (linst, ver, tok, rel, instant))
                     continue
                 if not rel.endswith(".parquet"):
                     raise HudiMetaError(
@@ -375,30 +383,40 @@ def snapshot_scan(table_dir: str, as_of: str | None = None) -> dict:
         ls = sorted(logstate.get(key, []))
         if b is not None:
             binst, brel = b
-            newer = sorted({li for (li, _, _, _) in ls if li > binst})
+            newer = sorted({e[0] for e in ls if e[0] > binst})
             if newer:
                 raise HudiMetaError(
                     f"file group {key} has log files against base "
                     f"instant(s) {newer} newer than its latest base "
                     f"file ({binst}) — malformed metadata")
-            chain = [rel for (li, _, _, rel) in ls if li == binst]
-            slices[key] = {"base": f"{base}/{brel}", "base_instant": binst,
-                           "logs": [f"{base}/{rel}" for rel in chain],
-                           "partition": key[0]}
+            chain_entries = [e for e in ls if e[0] == binst]
         else:
-            insts = sorted({li for (li, _, _, _) in ls})
+            insts = sorted({e[0] for e in ls})
             if len(insts) != 1:
                 raise HudiMetaError(
                     f"log-only file group {key} spans base instants "
                     f"{insts} with no base file — malformed metadata")
-            slices[key] = {"base": None, "base_instant": insts[0],
-                           "logs": [f"{base}/{rel}"
-                                    for (_, _, _, rel) in ls],
-                           "partition": key[0]}
+            binst, brel = insts[0], None
+            chain_entries = ls
+        # ordered UNIQUE log paths: one file appears once per commit
+        # that appended blocks to it; the writing instants join the
+        # slice identity so appended-to slices are never mistaken for
+        # unchanged ones (diff refusal + staged-name invalidation)
+        chain: list[str] = []
+        for e in chain_entries:
+            if e[3] not in chain:
+                chain.append(e[3])
+        slices[key] = {
+            "base": f"{base}/{brel}" if brel else None,
+            "base_instant": binst,
+            "logs": [f"{base}/{rel}" for rel in chain],
+            "log_instants": tuple(sorted({e[4] for e in chain_entries})),
+            "partition": key[0]}
     partitions = {s["base"]: s["partition"] for s in slices.values()
                   if s["base"]}
     files = sorted(partitions)
-    groups = {key: (s["base_instant"], s["base"], tuple(s["logs"]))
+    groups = {key: (s["base_instant"], s["base"], tuple(s["logs"]),
+                    s["log_instants"])
               for key, s in slices.items()}
     return {"files": files, "instant": applied, "partitions": partitions,
             "groups": groups, "slices": slices,

@@ -326,6 +326,45 @@ def test_mor_log_only_group_and_newer_log_refusal(tmp_path):
         hm.snapshot_scan(d2)
 
 
+def test_appended_log_file_changes_slice_identity(tmp_path):
+    """Hudi appends blocks to an EXISTING log file across deltacommits:
+    the slice's path set is unchanged, so (a) the writing instants must
+    join the slice identity (diff refuses, staged name changes), and
+    (b) time travel must hide the appended blocks via the
+    valid-instants filter even though they sit in the same file."""
+    b0 = _mk_base(tmp_path, "b0.parquet", [_rec("a", 1, 1)])
+    d = str(tmp_path / "tbl")
+    ins = hm.write_table_fixture(d, [
+        {"writes": {"": [("f-a", b0)]}},
+        {"logs": {"": [("f-a", 0, 1, [
+            ("data", SCHEMA, [_rec("n", 2, 2)])])]}},
+        {"logs": {"": [("f-a", 0, 1, [      # SAME log file, appended
+            ("data", SCHEMA, [_rec("m", 3, 3)])])]}},
+    ], table_type="MERGE_ON_READ")
+    full = hm.snapshot_scan(d)
+    mid = hm.snapshot_scan(d, as_of=ins[1])
+    (key,) = full["slices"]
+    fsl, msl = full["slices"][key], mid["slices"][key]
+    # one deduped log path, but distinct identities and staged names
+    assert fsl["logs"] == msl["logs"] and len(fsl["logs"]) == 1
+    assert fsl["log_instants"] == (ins[1], ins[2])
+    assert msl["log_instants"] == (ins[1],)
+    assert full["groups"] != mid["groups"]
+    assert hl.staged_slice_name(fsl) != hl.staged_slice_name(msl)
+    # incremental diff since the first deltacommit refuses: the slice
+    # CHANGED (appended), it was not added
+    with pytest.raises(hm.HudiMetaError, match="rewritten or replaced"):
+        hm.snapshot_scan_diff(d, ins[1])
+    # merge at full sees both appended blocks; at mid the second
+    # commit's blocks are invisible despite living in the same file
+    got_full = _by_key(hl.merge_slice(
+        fsl["base"], fsl["logs"], full["valid_instants"]))
+    assert set(got_full) == {"a", "n", "m"}
+    got_mid = _by_key(hl.merge_slice(
+        msl["base"], msl["logs"], mid["valid_instants"]))
+    assert set(got_mid) == {"a", "n"}
+
+
 def test_mor_partition_filter_updates_slices(tmp_path):
     b0 = _mk_base(tmp_path, "b0.parquet", [_rec("a", 1, 1)])
     b1 = _mk_base(tmp_path, "b1.parquet", [_rec("b", 2, 2)])
