@@ -1,6 +1,7 @@
-"""JSONL corpus staging: distributed raw-text ingestion.
+"""JSONL/CSV/Avro corpus staging: distributed raw-corpus ingestion.
 
-Raw LLM training corpora arrive as JSON-lines (optionally gzipped);
+Raw LLM training corpora arrive as JSON-lines (optionally gzipped),
+CSV/TSV, or Avro container files;
 the encode pipeline's task contract is parquet — row groups, footers,
 absolute-row deletes, column renames are all parquet-shaped, and
 growing a second decode path inside that task would fork its
@@ -51,7 +52,8 @@ STAGE_SUMMARY_SCHEMA = ("source string, staged string, n_rows long, "
 
 _EXTS = {"jsonl": (".jsonl", ".json", ".ndjson", ".jsonl.gz",
                    ".json.gz", ".ndjson.gz"),
-         "csv": (".csv", ".tsv", ".csv.gz", ".tsv.gz")}
+         "csv": (".csv", ".tsv", ".csv.gz", ".tsv.gz"),
+         "avro": (".avro",)}
 
 
 def _list_files(root: str, exts: tuple) -> list[str]:
@@ -153,6 +155,92 @@ def stage_jsonl(spark: SparkSession, inputs: str | list[str],
                         bad_file_threshold, compression, None)
 
 
+def _avro_to_arrow(avro_type, named: dict):
+    """Arrow type for an Avro schema node. Covers what corpus files
+    use: primitives, ``["null", X]`` unions, arrays, maps, nested
+    records (-> struct), enum (-> string), fixed (-> binary). General
+    multi-branch unions and recursive types refuse (per-file error,
+    tolerated up to ``bad_file_threshold``)."""
+    import pyarrow as pa
+    if isinstance(avro_type, list):
+        non_null = [t for t in avro_type if t != "null"]
+        if len(non_null) != 1:
+            raise ValueError(
+                f"unsupported avro union for staging: {avro_type!r}")
+        return _avro_to_arrow(non_null[0], named)
+    if isinstance(avro_type, dict):
+        t = avro_type["type"]
+        if t == "record":
+            name = avro_type.get("name")
+            if name in named:
+                raise ValueError(
+                    f"recursive avro record {name!r} is not stageable")
+            named[name] = True
+            try:
+                return pa.struct(
+                    [(f["name"], _avro_to_arrow(f["type"], named))
+                     for f in avro_type["fields"]])
+            finally:
+                named.pop(name, None)
+        if t == "array":
+            return pa.list_(_avro_to_arrow(avro_type["items"], named))
+        if t == "map":
+            return pa.map_(pa.string(),
+                           _avro_to_arrow(avro_type["values"], named))
+        if t == "enum":
+            return pa.string()
+        if t == "fixed":
+            return pa.binary()
+        return _avro_to_arrow(t, named)
+    prim = {"boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(),
+            "string": pa.string(), "bytes": pa.binary(),
+            "null": pa.null()}
+    if avro_type not in prim:
+        raise ValueError(f"unsupported avro type {avro_type!r}")
+    return prim[avro_type]
+
+
+def _read_avro_table(path: str, arrow_schema):
+    """One Avro container file -> Arrow table via the pure-Python
+    ``avro_io`` reader (record-at-a-time decode: a staging-pass cost,
+    documented in the module docstring; the embedded writer schema
+    drives the Arrow schema unless ``arrow_schema`` pins one)."""
+    import pyarrow as pa
+
+    from . import avro_io
+    raw = fsutil.read_bytes(path)
+    if path.endswith(".gz"):
+        raw = gzip.decompress(raw)
+    avro_schema, records = avro_io.read_avro_bytes(raw, name=path)
+    if arrow_schema is None:
+        if avro_schema.get("type") != "record":
+            raise ValueError(
+                f"avro top-level schema is not a record: {path}")
+        arrow_schema = pa.schema(
+            [(f["name"], _avro_to_arrow(f["type"], {}))
+             for f in avro_schema["fields"]])
+    # explicit schema: extra avro fields drop, absent ones become null
+    return pa.Table.from_pylist(records, schema=arrow_schema)
+
+
+def stage_avro(spark: SparkSession, inputs: str | list[str],
+               staging_dir: str, schema_ddl: str | None = None,
+               bad_file_threshold: float = 0.0,
+               compression: str = "zstd") -> dict:
+    """Avro-container variant of :func:`stage_jsonl` — same idempotent
+    staged-tree contract over ``.avro`` files, decoded by the repo's
+    pure-Python Avro reader (no avro package, no jar;
+    null/deflate/snappy codecs). Each file's embedded writer schema maps to Arrow
+    (primitives, null-unions, arrays, maps, nested records, enum,
+    fixed); ``schema_ddl`` pins types/order across files exactly like
+    the JSONL path. Decode is record-at-a-time Python — a documented
+    staging-pass cost (one pass, embarrassingly parallel), not an
+    encode-path cost."""
+    return _stage_files(spark, inputs, staging_dir, "avro", schema_ddl,
+                        bad_file_threshold, compression, None)
+
+
 def stage_csv(spark: SparkSession, inputs: str | list[str],
               staging_dir: str, schema_ddl: str | None = None,
               bad_file_threshold: float = 0.0,
@@ -228,6 +316,8 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
                         continue
                     tbl = (_read_jsonl_table(src, schema)
                            if fmt == "jsonl"
+                           else _read_avro_table(src, schema)
+                           if fmt == "avro"
                            else _read_csv_table(src, schema, delimiter))
                     # record the source identity the skip check needs
                     tbl = tbl.replace_schema_metadata(
@@ -286,5 +376,5 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
             "errors": errors}
 
 
-__all__ = ["stage_jsonl", "stage_csv", "staged_name",
+__all__ = ["stage_jsonl", "stage_csv", "stage_avro", "staged_name",
            "STAGE_SUMMARY_SCHEMA"]

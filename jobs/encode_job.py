@@ -127,14 +127,19 @@ def main() -> int:
                    help="like --jsonl for .csv/.tsv[.gz] files "
                         "(header row required; tab delimiter inferred "
                         "for .tsv)")
+    p.add_argument("--avro", action="store_true",
+                   help="like --jsonl for .avro container files "
+                        "(pure-Python reader, no avro package/jar; "
+                        "null/deflate/snappy codecs; each file's "
+                        "embedded writer schema maps to Arrow)")
     p.add_argument("--staging", default=None, metavar="DIR",
-                   help="with --jsonl/--csv/--hudi (merge-on-read): "
-                        "parquet staging tree "
+                   help="with --jsonl/--csv/--avro/--hudi "
+                        "(merge-on-read): parquet staging tree "
                         "(default {output}/_staging — underscore "
                         "prefix keeps it out of parquet globs)")
     p.add_argument("--jsonl-schema", default=None, metavar="DDL",
-                   help="with --jsonl/--csv: Spark DDL pinning staged "
-                        "column types and order (else per-file "
+                   help="with --jsonl/--csv/--avro: Spark DDL pinning "
+                        "staged column types and order (else per-file "
                         "inference)")
     p.add_argument("--partition", action="append", default=None,
                    metavar="FIELD=VALUE",
@@ -286,10 +291,12 @@ def main() -> int:
             input_files = staged["files"]
         else:
             input_files = scan["files"]
-    elif args.jsonl or args.csv:
+    elif args.jsonl or args.csv or args.avro:
         from embulk_input_parquet_hadoop_spark.sources import jsonl_io
         stg = args.staging or f"{args.output.rstrip('/')}/_staging"
-        stage = jsonl_io.stage_jsonl if args.jsonl else jsonl_io.stage_csv
+        stage = (jsonl_io.stage_jsonl if args.jsonl
+                 else jsonl_io.stage_avro if args.avro
+                 else jsonl_io.stage_csv)
         staged = stage(
             spark, args.input, stg, schema_ddl=args.jsonl_schema,
             bad_file_threshold=args.bad_file_threshold)
@@ -310,14 +317,16 @@ def main() -> int:
     if (args.as_of is not None or args.since_instant is not None) \
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")
-    if args.staging and not (args.jsonl or args.csv or args.hudi):
-        raise SystemExit("--staging requires --jsonl/--csv/--hudi")
-    if args.jsonl_schema and not (args.jsonl or args.csv):
-        raise SystemExit("--jsonl-schema requires --jsonl/--csv")
+    if args.staging and not (args.jsonl or args.csv or args.avro
+                             or args.hudi):
+        raise SystemExit("--staging requires --jsonl/--csv/--avro/"
+                         "--hudi")
+    if args.jsonl_schema and not (args.jsonl or args.csv or args.avro):
+        raise SystemExit("--jsonl-schema requires --jsonl/--csv/--avro")
     if sum((args.iceberg, args.delta, args.hive, args.hudi,
-            args.jsonl, args.csv)) > 1:
-        raise SystemExit("--iceberg/--delta/--hive/--hudi/--jsonl/--csv "
-                         "are mutually exclusive")
+            args.jsonl, args.csv, args.avro)) > 1:
+        raise SystemExit("--iceberg/--delta/--hive/--hudi/--jsonl/"
+                         "--csv/--avro are mutually exclusive")
     if args.inject_partitions and not (args.delta or args.hive):
         raise SystemExit("--inject-partitions requires --delta or "
                          "--hive")

@@ -182,3 +182,120 @@ def test_stage_refuses_changed_source(spark, tmp_path):
                                        "text": "appended", "n": 1}])
     with pytest.raises(RuntimeError, match="source changed since staged"):
         jl.stage_jsonl(spark, raw, stg)
+
+
+# ---------------------------------------------------------------------
+# Avro container staging (same protocol, pure-Python avro_io decode)
+# ---------------------------------------------------------------------
+
+AVRO_SCHEMA = {
+    "type": "record", "name": "doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "n", "type": ["null", "long"], "default": None},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "meta", "type": {"type": "map", "values": "long"}},
+        {"name": "pos", "type": {"type": "record", "name": "pos",
+                                 "fields": [
+                                     {"name": "x", "type": "int"},
+                                     {"name": "y", "type": "int"}]}},
+    ]}
+
+
+def _avro_rows(ids):
+    return [{"doc_id": i, "text": f"t{i}",
+             "n": None if i % 2 else i * 10,
+             "tags": [f"a{i}", "b"], "meta": {"k": i},
+             "pos": {"x": i, "y": -i}} for i in ids]
+
+
+def _avro_corpus(tmp_path):
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+    d = tmp_path / "araw"
+    d.mkdir()
+    files = []
+    for name, ids, codec in [("a.avro", [1, 2], "deflate"),
+                             ("b.avro", [3], "null"),
+                             ("c.avro", [4, 5], "deflate")]:
+        p = str(d / name)
+        avro_io.write_avro(p, AVRO_SCHEMA, _avro_rows(ids), codec=codec)
+        files.append(p)
+    (d / ".hidden.avro").write_bytes(b"junk")  # skipped by listing
+    (d / "notes.txt").write_text("ignore")
+    return str(d), files
+
+
+def test_stage_avro_basic_and_idempotent(spark, tmp_path):
+    raw, _files = _avro_corpus(tmp_path)
+    stg = str(tmp_path / "stg")
+    res = jl.stage_avro(spark, raw, stg)
+    assert res["n_staged"] == 3 and res["n_rows"] == 5
+    assert not res["errors"]
+    tbls = [pq.read_table(f) for f in res["files"]]
+    got = sorted(r for t in tbls
+                 for r in t.column("doc_id").to_pylist())
+    assert got == [1, 2, 3, 4, 5]
+    # nested avro types land as real arrow types from the writer schema
+    sch = tbls[0].schema
+    import pyarrow as pa
+    assert sch.field("tags").type == pa.list_(pa.string())
+    assert sch.field("meta").type == pa.map_(pa.string(), pa.int64())
+    assert sch.field("pos").type == pa.struct([("x", pa.int32()),
+                                               ("y", pa.int32())])
+    assert sch.field("n").type == pa.int64()
+    one = {r["doc_id"]: r for t in tbls for r in t.to_pylist()}
+    assert one[2]["pos"] == {"x": 2, "y": -2}
+    assert one[1]["n"] is None and one[2]["n"] == 20
+    assert dict(one[3]["meta"]) == {"k": 3}
+    # idempotent second run
+    res2 = jl.stage_avro(spark, raw, stg)
+    assert res2["n_skipped"] == 3 and res2["n_staged"] == 0
+    assert res2["files"] == res["files"]
+
+
+def test_stage_avro_schema_ddl_pins_columns(spark, tmp_path):
+    raw, _files = _avro_corpus(tmp_path)
+    stg = str(tmp_path / "stg")
+    res = jl.stage_avro(spark, raw, stg,
+                        schema_ddl="doc_id bigint, text string, "
+                                   "missing string")
+    assert not res["errors"]
+    t = pq.read_table(res["files"][0])
+    assert t.schema.names == ["doc_id", "text", "missing"]
+    assert t.column("missing").null_count == t.num_rows
+
+
+def test_stage_avro_unsupported_union_tolerated(spark, tmp_path):
+    """A general (non-null) union has no single Arrow type: that file
+    errors, the rest stage, and the threshold contract applies."""
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+    raw, _files = _avro_corpus(tmp_path)
+    bad_schema = {"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["string", "long"]}]}
+    avro_io.write_avro(str(tmp_path / "araw" / "bad.avro"),
+                       bad_schema, [{"v": 1}])
+    stg = str(tmp_path / "stg")
+    with pytest.raises(RuntimeError, match="failed"):
+        jl.stage_avro(spark, raw, stg)
+    res = jl.stage_avro(spark, raw, stg, bad_file_threshold=0.5)
+    assert len(res["errors"]) == 1
+    assert "union" in res["errors"][0][1]
+    # the failing run already staged the good files; the retry skips
+    # them (idempotence) and returns the same usable file list
+    assert res["n_skipped"] == 3 and len(res["files"]) == 3
+
+
+def test_stage_avro_encode_end_to_end(spark, tmp_path):
+    from embulk_input_parquet_hadoop_spark.plans import pipeline, verify
+    raw, _files = _avro_corpus(tmp_path)
+    stg = str(tmp_path / "stg")
+    res = jl.stage_avro(spark, raw, stg,
+                        schema_ddl="doc_id bigint, text string")
+    out = str(tmp_path / "enc")
+    totals = pipeline.encode_path(spark, raw, out,
+                                  input_files=res["files"])
+    assert totals["n_rows"] == 5
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id bigint")
+    assert sorted(r.doc_id for r in dec.collect()) == [1, 2, 3, 4, 5]
+    assert verify.verify_files(spark, out)["ok"]
