@@ -704,6 +704,67 @@ def q58_token_budget_sample(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q60_avro_ingest_roundtrip(spark, sf_dir):
+    """Avro-container corpus ingestion end to end, oracle-gated:
+    documents re-serialized driver-side as three Avro container files
+    (the repo's own pure-Python writer, deflate + null codecs, a
+    nullable field and an array field exercising the schema mapping),
+    staged to parquet distributedly (`jsonl_io.stage_avro`, one task
+    per file, idempotent md5 names), encoded, decoded, and aggregated.
+    Matching the plain-SQL oracle over the raw documents proves the
+    Avro decode -> Arrow mapping -> staging -> encode chain loses and
+    invents nothing: a mis-decoded zig-zag long, a dropped null, or a
+    missed record anywhere hash-mismatches. The array column rides
+    through staging and is aggregated by element count (sum of
+    per-word lengths = n_chars-ish proxy computed identically in
+    SQL)."""
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.sources import (avro_io,
+                                                           jsonl_io)
+    base = _scratch(
+        f"spark_graft_q60_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(f"{base}/raw")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars", "source", "text"])
+    rows = tbl.to_pylist()
+    schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "n_chars", "type": ["null", "long"], "default": None},
+        {"name": "source", "type": "string"},
+        {"name": "words", "type": {"type": "array", "items": "string"}},
+    ]}
+    for part in range(3):
+        recs = [{"doc_id": r["doc_id"],
+                 # exercise the nullable branch deterministically
+                 "n_chars": None if r["doc_id"] % 7 == 0
+                 else r["n_chars"],
+                 "source": r["source"],
+                 # the repo's WORDS convention: split on single space,
+                 # drop empties (functions/hashes.words)
+                 "words": [w for w in r["text"].split(" ") if w]}
+                for r in rows if r["doc_id"] % 3 == part]
+        avro_io.write_avro(f"{base}/raw/p{part}.avro", schema, recs,
+                           codec="deflate" if part else "null")
+    staged = jsonl_io.stage_avro(spark, f"{base}/raw",
+                                 f"{base}/staging")
+    assert not staged["errors"], staged["errors"]
+    pipeline.encode_path(spark, f"{base}/raw", f"{base}/enc",
+                         input_files=staged["files"], batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "n_chars", "source", "words"],
+        "doc_id bigint, n_chars bigint, source string, "
+        "words array<string>")
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.count("n_chars").alias("chars_nonnull"),
+                 F.sum(F.size("words")).alias("words_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def q59_hudi_mor_roundtrip(spark, sf_dir):
     """Apache Hudi MERGE_ON_READ end to end, oracle-gated: documents
     split into two base file groups under a spec-shaped MOR timeline,
@@ -1199,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_bpe_pair_counts": q57_bpe_pair_counts,
         "q58_token_budget_sample": q58_token_budget_sample,
         "q59_hudi_mor_roundtrip": q59_hudi_mor_roundtrip,
+        "q60_avro_ingest_roundtrip": q60_avro_ingest_roundtrip,
     }.items()))
 
 
@@ -2099,6 +2161,27 @@ def oracle_sql() -> dict[str, str]:
         # same oracle shape as q49: the Hudi snapshot's latest slices
         # hold exactly the raw documents (the stale f-0 slice and the
         # replaced f-1/f-2 groups are metadata-invisible)
+        # the staged Avro corpus == raw documents with the
+        # deterministic null-injection applied; words is the WORDS
+        # split carried through Avro -> Arrow -> encode as a real
+        # array column
+        "q60_avro_ingest_roundtrip": f"""
+            WITH eff AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE n_chars END AS n_chars,
+                     source,
+                     len({WORDS}) AS n_words
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   count(n_chars) AS chars_nonnull,
+                   CAST(sum(n_words) AS BIGINT) AS words_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM eff GROUP BY source
+        """,
         # the MOR snapshot == raw documents with the deterministic
         # upsert/delete model applied plus the inserted docs; the
         # upsert/delete predicates are slice-local on the Spark side
