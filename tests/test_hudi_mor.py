@@ -425,6 +425,102 @@ def test_cow_log_stat_and_deltacommit_still_refused(tmp_path):
 
 
 # ---------------------------------------------------------------------
+# MOR replay + merge fuzz (model-based, mirrors the COW timeline fuzz)
+# ---------------------------------------------------------------------
+
+def test_mor_fuzz_vs_model(tmp_path):
+    """Random sequences of base writes, log upserts/deletes (new log
+    files AND appends to existing ones), compactions and pending
+    deltacommits: the driver-side merge of every snapshot — final and
+    at every as_of prefix — must equal a trivial dict model. Pending
+    commits' blocks sit in REAL visible files (appended) or orphan
+    files and must stay invisible either way."""
+    import random
+    rng = random.Random(20260820)
+    keypool = [f"k{i}" for i in range(8)]
+
+    def mk_base(path: str, model: dict) -> str:
+        rows = [_rec(k, d, v) for k, (d, v) in sorted(model.items())]
+        pq.write_table(pa.table({
+            "_hoodie_record_key": pa.array(
+                [r["_hoodie_record_key"] for r in rows], pa.string()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "val": pa.array([r["val"] for r in rows], pa.int64()),
+        }), path)
+        return path
+
+    for trial in range(10):
+        model: dict[str, tuple] = {}   # key -> (doc_id, val)
+        history: list[dict] = []
+        commits: list[dict] = []
+        base_idx = 0          # commit idx of the current base file
+        next_logver = 1
+        val = 0
+        # commit 0: initial base write
+        init = {k: (i, 0) for i, k in enumerate(
+            rng.sample(keypool, rng.randint(1, 5)))}
+        commits.append({"writes": {"": [("f-a", mk_base(
+            str(tmp_path / f"fz{trial}_b0.parquet"), init))]}})
+        model = dict(init)
+        history.append(dict(model))
+        for _ in range(rng.randint(1, 7)):
+            op = rng.random()
+            pending = rng.random() < 0.2
+            val += 1
+            if op < 0.35:          # upsert log block
+                ks = rng.sample(keypool, rng.randint(1, 3))
+                recs = [_rec(k, ord(k[1]) - 48, val) for k in ks]
+                append = rng.random() < 0.5 and next_logver > 1
+                ver = (next_logver - 1) if append else next_logver
+                if not append:
+                    next_logver += 1
+                commits.append({"logs": {"": [("f-a", base_idx, ver, [
+                    ("data", SCHEMA, recs)])]}, "pending": pending})
+                if not pending:
+                    for k in ks:
+                        model[k] = (ord(k[1]) - 48, val)
+            elif op < 0.55:        # delete log block
+                ks = rng.sample(keypool, rng.randint(1, 3))
+                append = rng.random() < 0.5 and next_logver > 1
+                ver = (next_logver - 1) if append else next_logver
+                if not append:
+                    next_logver += 1
+                commits.append({"logs": {"": [("f-a", base_idx, ver, [
+                    ("delete", ks)])]}, "pending": pending})
+                if not pending:
+                    for k in ks:
+                        model.pop(k, None)
+            else:                  # compaction: new base from model
+                p = str(tmp_path /
+                        f"fz{trial}_b{len(commits)}.parquet")
+                commits.append({"writes": {"": [("f-a", mk_base(
+                    p, model))]}, "action": "commit",
+                    "pending": pending})
+                if not pending:
+                    base_idx = len(commits) - 1
+                    next_logver = 1
+            history.append(dict(model))
+        d = str(tmp_path / f"fz{trial}")
+        ins = hm.write_table_fixture(d, commits,
+                                     table_type="MERGE_ON_READ")
+
+        def merged_at(as_of=None):
+            scan = hm.snapshot_scan(d, as_of=as_of)
+            if not scan["slices"]:
+                return {}
+            (sl,) = scan["slices"].values()
+            tbl = hl.merge_slice(sl["base"], sl["logs"],
+                                 scan["valid_instants"])
+            return {r["_hoodie_record_key"]: (r["doc_id"], r["val"])
+                    for r in tbl.to_pylist()}
+
+        assert merged_at() == model, (trial, commits)
+        for step in range(len(commits)):
+            assert merged_at(ins[step]) == history[step], \
+                (trial, step, commits)
+
+
+# ---------------------------------------------------------------------
 # staged encode integration (Spark)
 # ---------------------------------------------------------------------
 
