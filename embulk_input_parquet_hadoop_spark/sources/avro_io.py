@@ -311,6 +311,27 @@ def read_avro_bytes(data: bytes, name: str = "<bytes>") -> tuple[dict,
     return schema, records
 
 
+def avro_record_count(data: bytes, name: str = "<bytes>") -> int:
+    """Record count of a container from its block headers alone — no
+    payload decompression or datum decode (each block prefix carries
+    its record count), so counting a file costs its block count, not
+    its size. The readback gate for ``decode_job --format avro``."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != _MAGIC:
+        raise ValueError(f"not an avro container file: {name}")
+    _decode({"type": "map", "values": "bytes"}, buf, {})
+    sync = buf.read(16)
+    total = 0
+    while buf.tell() < len(data):
+        n = _read_long(buf)
+        size = _read_long(buf)
+        buf.seek(size, 1)
+        if buf.read(16) != sync:
+            raise ValueError(f"sync marker mismatch in {name}")
+        total += n
+    return total
+
+
 def write_avro(path: str, schema: dict, records: list,
                codec: str = "deflate") -> None:
     """Write records as a single-block Avro container file."""

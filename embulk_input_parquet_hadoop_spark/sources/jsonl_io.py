@@ -241,6 +241,101 @@ def stage_avro(spark: SparkSession, inputs: str | list[str],
                         bad_file_threshold, compression, None)
 
 
+def _arrow_field_to_avro(field, names: list) -> list:
+    """Avro schema node for an Arrow field — the export inverse of
+    :func:`_avro_to_arrow`. Every node is wrapped ``["null", X]``
+    (lossless for non-null data, and Spark nullability is advisory);
+    nested record names are generated unique. Maps and exotic types
+    refuse loudly."""
+    import pyarrow.types as pt
+    t = field.type
+    if pt.is_boolean(t):
+        core = "boolean"
+    elif pt.is_integer(t) and t.bit_width <= 32:
+        core = "int"
+    elif pt.is_integer(t):
+        core = "long"
+    elif pt.is_float32(t):
+        core = "float"
+    elif pt.is_float64(t):
+        core = "double"
+    elif pt.is_string(t) or pt.is_large_string(t):
+        core = "string"
+    elif pt.is_binary(t) or pt.is_large_binary(t) \
+            or pt.is_fixed_size_binary(t):
+        core = "bytes"
+    elif pt.is_list(t) or pt.is_large_list(t):
+        core = {"type": "array",
+                "items": _arrow_field_to_avro(t.value_field, names)}
+    elif pt.is_struct(t):
+        name = f"r{len(names)}"
+        names.append(name)
+        core = {"type": "record", "name": name,
+                "fields": [{"name": f.name,
+                            "type": _arrow_field_to_avro(f, names),
+                            "default": None} for f in t]}
+    else:
+        raise ValueError(
+            f"column {field.name!r}: arrow type {t} has no Avro "
+            "export mapping (maps/temporal/decimal: export parquet "
+            "instead)")
+    return ["null", core]
+
+
+def export_avro(df, output_dir: str, codec: str = "deflate") -> dict:
+    """Export a DataFrame as Avro container files — one per non-empty
+    partition, written by the repo's pure-Python Avro writer (no avro
+    package or jar) and published atomically-at-visibility on any
+    fsutil scheme. The schema maps Arrow -> Avro with every field
+    nullable (lossless); per-partition record counts come back as
+    O(partitions) summary rows. The consumer-facing inverse of
+    :func:`stage_avro` (``decode_job --format avro``)."""
+    import json as _json
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    names: list = []
+    arrow_schema = to_arrow_schema(df.schema)
+    avro_schema = {"type": "record", "name": "row", "fields": [
+        {"name": f.name, "type": _arrow_field_to_avro(f, names),
+         "default": None} for f in arrow_schema]}
+    schema_json = _json.dumps(avro_schema)
+    base = output_dir.rstrip("/")
+    fsutil.makedirs_any(base)
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        from . import avro_io
+        summary = pa.schema([("file", pa.string()),
+                             ("n_rows", pa.int64())])
+        rows: list[dict] = []
+        for b in batches:
+            rows.extend(b.to_pylist())
+        if not rows:
+            return
+        pid = TaskContext.get().partitionId()
+        dest = f"{base}/part-{pid:05d}.avro"
+        spool = (os.environ.get("SPARK_LOCAL_DIRS", "")
+                 .split(",")[0].strip() or tempfile.gettempdir())
+        tmp = os.path.join(spool, f".avro-{uuid.uuid4().hex}")
+        try:
+            avro_io.write_avro(tmp, _json.loads(schema_json), rows,
+                               codec=codec)
+            fsutil.put_file(dest, tmp)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        yield pa.RecordBatch.from_pylist(
+            [{"file": dest, "n_rows": len(rows)}], schema=summary)
+
+    res = df.mapInArrow(_write, "file string, n_rows long") \
+        .toArrow().to_pylist()
+    return {"files": sorted(r["file"] for r in res),
+            "n_rows": sum(r["n_rows"] for r in res)}
+
+
 def stage_csv(spark: SparkSession, inputs: str | list[str],
               staging_dir: str, schema_ddl: str | None = None,
               bad_file_threshold: float = 0.0,
@@ -376,5 +471,5 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
             "errors": errors}
 
 
-__all__ = ["stage_jsonl", "stage_csv", "stage_avro", "staged_name",
-           "STAGE_SUMMARY_SCHEMA"]
+__all__ = ["stage_jsonl", "stage_csv", "stage_avro", "export_avro",
+           "staged_name", "STAGE_SUMMARY_SCHEMA"]

@@ -51,11 +51,14 @@ def main() -> int:
                    metavar="COL:LO:HI",
                    help="zone-map-pruned int range filter, repeatable; "
                         "empty LO/HI means unbounded (e.g. n_tok:128:)")
-    p.add_argument("--format", choices=("parquet", "json"),
+    p.add_argument("--format", choices=("parquet", "json", "avro"),
                    default="parquet",
-                   help="output format: parquet, or json (JSON-lines, "
+                   help="output format: parquet; json (JSON-lines, "
                         "one object per row — the raw-corpus exchange "
-                        "shape; add --json-gzip to compress)")
+                        "shape; add --json-gzip to compress); or avro "
+                        "(container files via the pure-Python writer, "
+                        "deflate codec, one file per non-empty "
+                        "partition)")
     p.add_argument("--json-gzip", action="store_true",
                    help="with --format json: gzip-compress part files")
     p.add_argument("--overwrite", action="store_true",
@@ -101,6 +104,25 @@ def main() -> int:
         # explicit schema: skips a full inference pass AND survives an
         # empty export (inference over zero rows raises)
         rows = spark.read.schema(df.schema).json(args.output).count()
+    elif args.format == "avro":
+        if args.json_gzip:
+            raise SystemExit("--json-gzip requires --format json")
+        from embulk_input_parquet_hadoop_spark.plans import fsutil
+        from embulk_input_parquet_hadoop_spark.sources import (avro_io,
+                                                               jsonl_io)
+        if fsutil.exists(args.output):
+            if not args.overwrite:
+                raise SystemExit(f"output {args.output} exists "
+                                 "(use --overwrite)")
+            # deterministic part names: stale parts from a previous
+            # wider run would otherwise survive an overwrite
+            fsutil.rmtree_any(args.output)
+        res = jsonl_io.export_avro(df, args.output)
+        # readback gate: block headers carry record counts, so the
+        # check costs O(blocks), no payload decode
+        rows = sum(avro_io.avro_record_count(fsutil.read_bytes(f), f)
+                   for f in res["files"])
+        assert rows == res["n_rows"], (rows, res["n_rows"])
     else:
         if args.json_gzip:
             raise SystemExit("--json-gzip requires --format json")

@@ -6,6 +6,8 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from embulk_input_parquet_hadoop_spark.plans import manifest as mf
@@ -199,6 +201,55 @@ def test_decode_job_exports_jsonl(spark, tmp_path, monkeypatch):
     assert len(rows) == len(src)
     for r in rows:
         assert r["tokens"] == src[r["doc_id"]].tokens
+
+
+def test_decode_job_exports_avro(spark, tmp_path, monkeypatch):
+    """--format avro exports the decoded tree as Avro containers via
+    the pure-Python writer; the export reloads bit-equal through BOTH
+    the pure-Python reader and the stage_avro ingest path (full
+    export->ingest symmetry), and the block-header readback count
+    gates the job."""
+    import sys as _sys
+
+    from jobs import decode_job
+
+    from embulk_input_parquet_hadoop_spark.sources import (avro_io,
+                                                           jsonl_io)
+
+    d = tmp_path / "data"
+    generate(str(d), n_docs=120, seed=23, n_files=2)
+    enc = str(tmp_path / "enc")
+    pipeline.encode_path(spark, str(d), enc)
+    out = str(tmp_path / "export_avro")
+    monkeypatch.setattr(_sys, "argv", [
+        "decode_job.py", "--input", enc, "--output", out,
+        "--format", "avro", "--cores", "8"])
+    assert decode_job.main() == 0
+    import glob as _glob
+    parts = sorted(_glob.glob(f"{out}/part-*.avro"))
+    assert parts
+    rows = []
+    for f in parts:
+        _, recs = avro_io.read_avro(f)
+        rows += recs
+    src = {r.doc_id: r for r in spark.read.parquet(str(d)).collect()}
+    assert len(rows) == len(src)
+    for r in rows:
+        assert r["tokens"] == src[r["doc_id"]].tokens
+        assert r["source"] == src[r["doc_id"]].source
+    # the ingest path stages the export straight back
+    staged = jsonl_io.stage_avro(spark, out, str(tmp_path / "restage"))
+    assert staged["n_rows"] == len(src) and not staged["errors"]
+    # overwrite contract: refuses without --overwrite, clears with it
+    monkeypatch.setattr(_sys, "argv", [
+        "decode_job.py", "--input", enc, "--output", out,
+        "--format", "avro", "--cores", "8"])
+    with pytest.raises(SystemExit, match="exists"):
+        decode_job.main()
+    monkeypatch.setattr(_sys, "argv", [
+        "decode_job.py", "--input", enc, "--output", out,
+        "--format", "avro", "--overwrite", "--cores", "8"])
+    assert decode_job.main() == 0
 
 
 def test_snapshot_diff_composes_with_partition_filter(spark, tmp_path):
