@@ -53,7 +53,8 @@ STAGE_SUMMARY_SCHEMA = ("source string, staged string, n_rows long, "
 _EXTS = {"jsonl": (".jsonl", ".json", ".ndjson", ".jsonl.gz",
                    ".json.gz", ".ndjson.gz"),
          "csv": (".csv", ".tsv", ".csv.gz", ".tsv.gz"),
-         "avro": (".avro",)}
+         "avro": (".avro",),
+         "orc": (".orc",)}
 
 
 def _list_files(root: str, exts: tuple) -> list[str]:
@@ -222,6 +223,38 @@ def _read_avro_table(path: str, arrow_schema):
              for f in avro_schema["fields"]])
     # explicit schema: extra avro fields drop, absent ones become null
     return pa.Table.from_pylist(records, schema=arrow_schema)
+
+
+def _read_orc_table(path: str, arrow_schema):
+    """One ORC file -> Arrow table (pyarrow's native ORC reader —
+    vectorized, unlike the Avro path). ``arrow_schema`` pins
+    types/order: extra columns drop, absent ones become null, listed
+    ones cast."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.orc as pa_orc
+    tbl = pa_orc.ORCFile(_io.BytesIO(fsutil.read_bytes(path))).read()
+    if arrow_schema is not None:
+        cols = [tbl.column(f.name) if f.name in tbl.schema.names
+                else pa.nulls(tbl.num_rows, f.type)
+                for f in arrow_schema]
+        names = [f.name for f in arrow_schema]
+        tbl = pa.Table.from_arrays(cols, names=names).cast(arrow_schema)
+    return tbl
+
+
+def stage_orc(spark: SparkSession, inputs: str | list[str],
+              staging_dir: str, schema_ddl: str | None = None,
+              bad_file_threshold: float = 0.0,
+              compression: str = "zstd") -> dict:
+    """ORC variant of :func:`stage_jsonl` — same idempotent
+    staged-tree contract over ``.orc`` files, read by pyarrow's
+    vectorized ORC reader (no jar). Unlike Avro this is a columnar
+    copy at full Arrow speed; the staging pass exists so the encode
+    task contract stays parquet-only (row groups, footers, deletes)."""
+    return _stage_files(spark, inputs, staging_dir, "orc", schema_ddl,
+                        bad_file_threshold, compression, None)
 
 
 def stage_avro(spark: SparkSession, inputs: str | list[str],
@@ -413,6 +446,8 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
                            if fmt == "jsonl"
                            else _read_avro_table(src, schema)
                            if fmt == "avro"
+                           else _read_orc_table(src, schema)
+                           if fmt == "orc"
                            else _read_csv_table(src, schema, delimiter))
                     # record the source identity the skip check needs
                     tbl = tbl.replace_schema_metadata(
@@ -471,5 +506,5 @@ def _stage_files(spark: SparkSession, inputs: str | list[str],
             "errors": errors}
 
 
-__all__ = ["stage_jsonl", "stage_csv", "stage_avro", "export_avro",
-           "staged_name", "STAGE_SUMMARY_SCHEMA"]
+__all__ = ["stage_jsonl", "stage_csv", "stage_avro", "stage_orc",
+           "export_avro", "staged_name", "STAGE_SUMMARY_SCHEMA"]

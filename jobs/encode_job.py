@@ -132,6 +132,9 @@ def main() -> int:
                         "(pure-Python reader, no avro package/jar; "
                         "null/deflate/snappy codecs; each file's "
                         "embedded writer schema maps to Arrow)")
+    p.add_argument("--orc", action="store_true",
+                   help="like --jsonl for .orc files (pyarrow's "
+                        "vectorized ORC reader, no jar)")
     p.add_argument("--staging", default=None, metavar="DIR",
                    help="with --jsonl/--csv/--avro/--hudi "
                         "(merge-on-read): parquet staging tree "
@@ -291,11 +294,12 @@ def main() -> int:
             input_files = staged["files"]
         else:
             input_files = scan["files"]
-    elif args.jsonl or args.csv or args.avro:
+    elif args.jsonl or args.csv or args.avro or args.orc:
         from embulk_input_parquet_hadoop_spark.sources import jsonl_io
         stg = args.staging or f"{args.output.rstrip('/')}/_staging"
         stage = (jsonl_io.stage_jsonl if args.jsonl
                  else jsonl_io.stage_avro if args.avro
+                 else jsonl_io.stage_orc if args.orc
                  else jsonl_io.stage_csv)
         staged = stage(
             spark, args.input, stg, schema_ddl=args.jsonl_schema,
@@ -318,15 +322,17 @@ def main() -> int:
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")
     if args.staging and not (args.jsonl or args.csv or args.avro
-                             or args.hudi):
+                             or args.orc or args.hudi):
         raise SystemExit("--staging requires --jsonl/--csv/--avro/"
-                         "--hudi")
-    if args.jsonl_schema and not (args.jsonl or args.csv or args.avro):
-        raise SystemExit("--jsonl-schema requires --jsonl/--csv/--avro")
+                         "--orc/--hudi")
+    if args.jsonl_schema and not (args.jsonl or args.csv or args.avro
+                                  or args.orc):
+        raise SystemExit("--jsonl-schema requires --jsonl/--csv/"
+                         "--avro/--orc")
     if sum((args.iceberg, args.delta, args.hive, args.hudi,
-            args.jsonl, args.csv, args.avro)) > 1:
+            args.jsonl, args.csv, args.avro, args.orc)) > 1:
         raise SystemExit("--iceberg/--delta/--hive/--hudi/--jsonl/"
-                         "--csv/--avro are mutually exclusive")
+                         "--csv/--avro/--orc are mutually exclusive")
     if args.inject_partitions and not (args.delta or args.hive):
         raise SystemExit("--inject-partitions requires --delta or "
                          "--hive")

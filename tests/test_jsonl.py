@@ -299,3 +299,60 @@ def test_stage_avro_encode_end_to_end(spark, tmp_path):
         pipeline.read_chunks(spark, out), ["doc_id"], "doc_id bigint")
     assert sorted(r.doc_id for r in dec.collect()) == [1, 2, 3, 4, 5]
     assert verify.verify_files(spark, out)["ok"]
+
+
+# ---------------------------------------------------------------------
+# ORC staging (pyarrow's vectorized reader, same protocol)
+# ---------------------------------------------------------------------
+
+def _orc_corpus(tmp_path):
+    import pyarrow as pa
+    import pyarrow.orc as pa_orc
+    d = tmp_path / "oraw"
+    d.mkdir()
+    files = []
+    for name, ids in [("a.orc", [1, 2]), ("b.orc", [3, 4, 5])]:
+        p = str(d / name)
+        pa_orc.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"t{i}" for i in ids]),
+            "tags": pa.array([[f"g{i}"] for i in ids],
+                             pa.list_(pa.string()))}), p)
+        files.append(p)
+    (d / ".hidden.orc").write_bytes(b"junk")
+    return str(d), files
+
+
+def test_stage_orc_basic_idempotent_and_encode(spark, tmp_path):
+    import pyarrow as pa
+
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    raw, _files = _orc_corpus(tmp_path)
+    stg = str(tmp_path / "stg")
+    res = jl.stage_orc(spark, raw, stg)
+    assert res["n_staged"] == 2 and res["n_rows"] == 5
+    assert not res["errors"]
+    t = pq.read_table(res["files"][0])
+    assert t.schema.field("tags").type == pa.list_(pa.string())
+    res2 = jl.stage_orc(spark, raw, stg)
+    assert res2["n_skipped"] == 2 and res2["files"] == res["files"]
+    out = str(tmp_path / "enc")
+    totals = pipeline.encode_path(spark, raw, out,
+                                  input_files=res["files"])
+    assert totals["n_rows"] == 5
+    dec = pipeline.decode_chunks(
+        pipeline.read_chunks(spark, out), ["doc_id"], "doc_id bigint")
+    assert sorted(r.doc_id for r in dec.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stage_orc_schema_ddl(spark, tmp_path):
+    raw, _files = _orc_corpus(tmp_path)
+    res = jl.stage_orc(spark, raw, str(tmp_path / "stg"),
+                       schema_ddl="doc_id int, text string, "
+                                  "missing double")
+    assert not res["errors"]
+    import pyarrow as pa
+    t = pq.read_table(res["files"][0])
+    assert t.schema.names == ["doc_id", "text", "missing"]
+    assert t.schema.field("doc_id").type == pa.int32()  # cast applied
+    assert t.column("missing").null_count == t.num_rows
