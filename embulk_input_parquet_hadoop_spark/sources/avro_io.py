@@ -311,6 +311,84 @@ def read_avro_bytes(data: bytes, name: str = "<bytes>") -> tuple[dict,
     return schema, records
 
 
+def write_avro_stream(fh, schema: dict, record_chunks,
+                      codec: str = "deflate") -> int:
+    """Stream a MULTI-BLOCK container to the open binary file ``fh``:
+    one block per chunk from the iterator — peak memory is one chunk
+    (one Arrow batch for the export path), never the whole file.
+    Returns the record count written."""
+    head = bytearray(_MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    _encode({"type": "map", "values": "bytes"}, meta, head, {})
+    head.extend(_SYNC)
+    fh.write(bytes(head))
+    named: dict = {}
+    total = 0
+    for chunk in record_chunks:
+        if not chunk:
+            continue
+        body = bytearray()
+        for r in chunk:
+            _encode(schema, r, body, named)
+        raw = bytes(body)
+        if codec == "deflate":
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = comp.compress(raw) + comp.flush()
+        elif codec == "null":
+            payload = raw
+        else:
+            raise ValueError(f"write codec {codec!r} not supported")
+        pre = bytearray()
+        _write_long(pre, len(chunk))
+        _write_long(pre, len(payload))
+        fh.write(bytes(pre))
+        fh.write(payload)
+        fh.write(_SYNC)
+        total += len(chunk)
+    return total
+
+
+def avro_record_count_ranged(path: str) -> int:
+    """Record count via block-header hops with RANGED reads — each
+    block prefix carries its record count, so the cost is O(blocks)
+    tiny reads on any fsutil scheme, never the payload bytes. The
+    readback gate for ``decode_job --format avro`` on large exports."""
+    from ..plans import fsutil
+    size = fsutil.file_size(path)
+    pref = 1 << 16
+    while True:
+        head = fsutil.read_bytes_range(path, 0, min(pref, size))
+        buf = io.BytesIO(head)
+        if buf.read(4) != _MAGIC:
+            raise ValueError(f"not an avro container file: {path}")
+        try:
+            _decode({"type": "map", "values": "bytes"}, buf, {})
+            buf.read(16)  # sync marker
+            # a short prefix can truncate silently (bytes values read
+            # short): accept only if we demonstrably had slack left,
+            # or the prefix was the whole file
+            if buf.tell() < len(head) or len(head) == size:
+                pos = buf.tell()
+                break
+        except EOFError:
+            pass
+        if pref >= size:
+            raise ValueError(f"truncated avro container: {path}")
+        pref *= 2
+    total = 0
+    while pos < size:
+        head = fsutil.read_bytes_range(path, pos, min(24, size - pos))
+        buf = io.BytesIO(head)
+        n = _read_long(buf)
+        blen = _read_long(buf)
+        total += n
+        pos += buf.tell() + blen + 16
+    if pos != size:
+        raise ValueError(f"trailing garbage after last block: {path}")
+    return total
+
+
 def avro_record_count(data: bytes, name: str = "<bytes>") -> int:
     """Record count of a container from its block headers alone — no
     payload decompression or datum decode (each block prefix carries

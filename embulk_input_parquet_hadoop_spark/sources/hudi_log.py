@@ -288,10 +288,24 @@ def scan_slice_logs(log_paths: list[str],
             staged.append(block)
     upserts: dict[str, dict] = {}
     deleted: dict[str, bool] = {}
+    last_inst: str | None = None
     for block in staged:
         inst = block["header"].get(H_INSTANT_TIME)
         if inst not in valid_instants:
             continue  # orphan block of a failed write
+        if last_inst is not None and inst < last_inst:
+            # scan order is file order (log version, then offset); a
+            # commit that appended to a NON-latest log file (e.g. a
+            # concurrent writer) would make file order disagree with
+            # commit order, and replaying it as-is silently lets the
+            # EARLIER commit win — refuse rather than mis-merge
+            raise HudiLogError(
+                f"log blocks out of commit order across the chain "
+                f"({last_inst} then {inst}): a commit appended to a "
+                "non-latest log file (concurrent writers?) — "
+                "commit-time-ordered replay cannot model this; "
+                "compact the table or read via the Hudi Spark reader")
+        last_inst = inst
         if block["type"] == DELETE_BLOCK:
             for key in decode_delete_block(block):
                 upserts.pop(key, None)
@@ -397,6 +411,15 @@ def merge_slice(base_path: str | None, log_paths: list[str],
             ukeys = pa.array(sorted(upserts), pa.string())
             base_order = keycol.filter(
                 pc.is_in(keycol, value_set=ukeys)).to_pylist()
+            if len(base_order) != len(set(base_order)):
+                # Hudi's contract is one record per key per file
+                # group; a duplicated key in the base makes "replace
+                # the base row" ambiguous — refuse rather than pick
+                raise HudiLogError(
+                    f"base file {base_path} holds duplicate "
+                    "_hoodie_record_key values for upserted keys "
+                    "(dedup-disabled insert or corrupt base) — "
+                    "refusing to merge")
             rows = [upserts.pop(k) for k in base_order]
         else:
             rows = []

@@ -53,7 +53,7 @@ STAGE_SUMMARY_SCHEMA = ("source string, staged string, n_rows long, "
 _EXTS = {"jsonl": (".jsonl", ".json", ".ndjson", ".jsonl.gz",
                    ".json.gz", ".ndjson.gz"),
          "csv": (".csv", ".tsv", ".csv.gz", ".tsv.gz"),
-         "avro": (".avro",),
+         "avro": (".avro", ".avro.gz"),
          "orc": (".orc",)}
 
 
@@ -338,15 +338,18 @@ def export_avro(df, output_dir: str, codec: str = "deflate") -> dict:
     fsutil.makedirs_any(base)
 
     def _write(batches):
+        import itertools
+
         from pyspark import TaskContext
 
         from . import avro_io
         summary = pa.schema([("file", pa.string()),
                              ("n_rows", pa.int64())])
-        rows: list[dict] = []
-        for b in batches:
-            rows.extend(b.to_pylist())
-        if not rows:
+        # peek for a non-empty batch without materializing the rest —
+        # empty partitions yield no file
+        it = iter(batches)
+        first = next((b for b in it if b.num_rows), None)
+        if first is None:
             return
         pid = TaskContext.get().partitionId()
         dest = f"{base}/part-{pid:05d}.avro"
@@ -354,14 +357,20 @@ def export_avro(df, output_dir: str, codec: str = "deflate") -> dict:
                  .split(",")[0].strip() or tempfile.gettempdir())
         tmp = os.path.join(spool, f".avro-{uuid.uuid4().hex}")
         try:
-            avro_io.write_avro(tmp, _json.loads(schema_json), rows,
-                               codec=codec)
+            # streamed: one container BLOCK per Arrow batch, so peak
+            # memory is one batch of Python dicts, never the partition
+            with open(tmp, "wb") as fh:
+                n = avro_io.write_avro_stream(
+                    fh, _json.loads(schema_json),
+                    (b.to_pylist()
+                     for b in itertools.chain([first], it)),
+                    codec=codec)
             fsutil.put_file(dest, tmp)
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
         yield pa.RecordBatch.from_pylist(
-            [{"file": dest, "n_rows": len(rows)}], schema=summary)
+            [{"file": dest, "n_rows": n}], schema=summary)
 
     res = df.mapInArrow(_write, "file string, n_rows long") \
         .toArrow().to_pylist()

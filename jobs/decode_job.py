@@ -119,8 +119,9 @@ def main() -> int:
             fsutil.rmtree_any(args.output)
         res = jsonl_io.export_avro(df, args.output)
         # readback gate: block headers carry record counts, so the
-        # check costs O(blocks), no payload decode
-        rows = sum(avro_io.avro_record_count(fsutil.read_bytes(f), f)
+        # check is O(blocks) ranged reads — never the payload bytes,
+        # never the whole file in memory
+        rows = sum(avro_io.avro_record_count_ranged(f)
                    for f in res["files"])
         assert rows == res["n_rows"], (rows, res["n_rows"])
     else:

@@ -136,7 +136,7 @@ def main() -> int:
                    help="like --jsonl for .orc files (pyarrow's "
                         "vectorized ORC reader, no jar)")
     p.add_argument("--staging", default=None, metavar="DIR",
-                   help="with --jsonl/--csv/--avro/--hudi "
+                   help="with --jsonl/--csv/--avro/--orc/--hudi "
                         "(merge-on-read): parquet staging tree "
                         "(default {output}/_staging — underscore "
                         "prefix keeps it out of parquet globs)")

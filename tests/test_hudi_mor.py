@@ -244,6 +244,44 @@ def test_merge_parquet_data_block(tmp_path):
     assert got["a"]["val"] == 111 and got["n"]["val"] == 777
 
 
+def test_merge_duplicate_base_keys_refused(tmp_path):
+    """A base file with duplicate record keys makes 'replace the base
+    row' ambiguous (Hudi's contract is one record per key per group)
+    — loud refusal, not a KeyError or a silent pick."""
+    p = str(tmp_path / "base.parquet")
+    pq.write_table(pa.table({
+        "_hoodie_record_key": pa.array(["a", "a"], pa.string()),
+        "doc_id": pa.array([1, 1], pa.int64()),
+        "val": pa.array([1, 2], pa.int64())}), p)
+    log = _log(tmp_path, ".f_001.log.1_0-1-0", [
+        hl.avro_data_block_bytes("002", SCHEMA, [_rec("a", 1, 9)])])
+    with pytest.raises(hl.HudiLogError, match="duplicate"):
+        hl.merge_slice(p, [log], {"001", "002"})
+    # untouched duplicate keys pass through (we merge, not validate)
+    log2 = _log(tmp_path, ".f_001.log.2_0-1-0", [
+        hl.avro_data_block_bytes("002", SCHEMA, [_rec("z", 9, 9)])])
+    tbl = hl.merge_slice(p, [log2], {"001", "002"})
+    assert tbl.num_rows == 3
+
+
+def test_merge_out_of_commit_order_append_refused(tmp_path):
+    """A commit that appended to a NON-latest log file makes file
+    order disagree with commit order — replaying it as-is would let
+    the earlier commit win, so the chain refuses."""
+    base = _mk_base(tmp_path, "base.parquet", [_rec("a", 1, 1)])
+    p1 = _log(tmp_path, ".f_001.log.1_0-1-0", [
+        hl.avro_data_block_bytes("002", SCHEMA, [_rec("a", 1, 2)]),
+        # instant 004 appended AFTER v2 existed (concurrent writer)
+        hl.avro_data_block_bytes("004", SCHEMA, [_rec("a", 1, 4)])])
+    p2 = _log(tmp_path, ".f_001.log.2_0-1-0", [
+        hl.avro_data_block_bytes("003", SCHEMA, [_rec("a", 1, 3)])])
+    with pytest.raises(hl.HudiLogError, match="out of commit order"):
+        hl.merge_slice(base, [p1, p2], {"001", "002", "003", "004"})
+    # the same bytes merge fine when 004 never completed (orphan)
+    tbl = hl.merge_slice(base, [p1, p2], {"001", "002", "003"})
+    assert _by_key(tbl)["a"]["val"] == 3
+
+
 def test_merge_base_without_record_key_refused(tmp_path):
     p = str(tmp_path / "base.parquet")
     pq.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}), p)

@@ -216,9 +216,21 @@ def _avro_corpus(tmp_path):
     files = []
     for name, ids, codec in [("a.avro", [1, 2], "deflate"),
                              ("b.avro", [3], "null"),
-                             ("c.avro", [4, 5], "deflate")]:
+                             ("c.avro", [4, 5], "deflate"),
+                             ("d.avro.gz", [6, 7], "null")]:
         p = str(d / name)
-        avro_io.write_avro(p, AVRO_SCHEMA, _avro_rows(ids), codec=codec)
+        if name.endswith(".gz"):
+            import gzip as _gz
+            import io as _io
+            tmp = str(d / "tmp.avro")
+            avro_io.write_avro(tmp, AVRO_SCHEMA, _avro_rows(ids),
+                               codec=codec)
+            with open(tmp, "rb") as fh:
+                (d / name).write_bytes(_gz.compress(fh.read()))
+            os.remove(tmp)
+        else:
+            avro_io.write_avro(p, AVRO_SCHEMA, _avro_rows(ids),
+                               codec=codec)
         files.append(p)
     (d / ".hidden.avro").write_bytes(b"junk")  # skipped by listing
     (d / "notes.txt").write_text("ignore")
@@ -229,12 +241,12 @@ def test_stage_avro_basic_and_idempotent(spark, tmp_path):
     raw, _files = _avro_corpus(tmp_path)
     stg = str(tmp_path / "stg")
     res = jl.stage_avro(spark, raw, stg)
-    assert res["n_staged"] == 3 and res["n_rows"] == 5
+    assert res["n_staged"] == 4 and res["n_rows"] == 7
     assert not res["errors"]
     tbls = [pq.read_table(f) for f in res["files"]]
     got = sorted(r for t in tbls
                  for r in t.column("doc_id").to_pylist())
-    assert got == [1, 2, 3, 4, 5]
+    assert got == [1, 2, 3, 4, 5, 6, 7]  # incl. the .avro.gz file
     # nested avro types land as real arrow types from the writer schema
     sch = tbls[0].schema
     import pyarrow as pa
@@ -249,7 +261,7 @@ def test_stage_avro_basic_and_idempotent(spark, tmp_path):
     assert dict(one[3]["meta"]) == {"k": 3}
     # idempotent second run
     res2 = jl.stage_avro(spark, raw, stg)
-    assert res2["n_skipped"] == 3 and res2["n_staged"] == 0
+    assert res2["n_skipped"] == 4 and res2["n_staged"] == 0
     assert res2["files"] == res["files"]
 
 
@@ -282,7 +294,7 @@ def test_stage_avro_unsupported_union_tolerated(spark, tmp_path):
     assert "union" in res["errors"][0][1]
     # the failing run already staged the good files; the retry skips
     # them (idempotence) and returns the same usable file list
-    assert res["n_skipped"] == 3 and len(res["files"]) == 3
+    assert res["n_skipped"] == 4 and len(res["files"]) == 4
 
 
 def test_stage_avro_encode_end_to_end(spark, tmp_path):
@@ -294,10 +306,11 @@ def test_stage_avro_encode_end_to_end(spark, tmp_path):
     out = str(tmp_path / "enc")
     totals = pipeline.encode_path(spark, raw, out,
                                   input_files=res["files"])
-    assert totals["n_rows"] == 5
+    assert totals["n_rows"] == 7
     dec = pipeline.decode_chunks(
         pipeline.read_chunks(spark, out), ["doc_id"], "doc_id bigint")
-    assert sorted(r.doc_id for r in dec.collect()) == [1, 2, 3, 4, 5]
+    assert sorted(r.doc_id for r in dec.collect()) == \
+        [1, 2, 3, 4, 5, 6, 7]
     assert verify.verify_files(spark, out)["ok"]
 
 
@@ -356,3 +369,40 @@ def test_stage_orc_schema_ddl(spark, tmp_path):
     assert t.schema.names == ["doc_id", "text", "missing"]
     assert t.schema.field("doc_id").type == pa.int32()  # cast applied
     assert t.column("missing").null_count == t.num_rows
+
+
+def test_avro_stream_writer_and_ranged_count(tmp_path):
+    """write_avro_stream emits a MULTI-block container (one block per
+    chunk, bounded memory) that the standard reader decodes, and
+    avro_record_count_ranged counts it via block-header hops without
+    touching payload bytes — locally and on a PUT-only object store."""
+    from embulk_input_parquet_hadoop_spark.plans import fsutil
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+
+    chunks = [_avro_rows([1, 2]), [], _avro_rows([3]),
+              _avro_rows([4, 5, 6])]
+    p = str(tmp_path / "multi.avro")
+    with open(p, "rb+" if os.path.exists(p) else "wb") as fh:
+        n = avro_io.write_avro_stream(fh, AVRO_SCHEMA, iter(chunks))
+    assert n == 6
+    schema, recs = avro_io.read_avro(p)
+    assert [r["doc_id"] for r in recs] == [1, 2, 3, 4, 5, 6]
+    data = open(p, "rb").read()
+    assert avro_io.avro_record_count(data) == 6
+    assert avro_io.avro_record_count_ranged(p) == 6
+    # ranged count over a remote scheme (put the same bytes)
+    remote = f"mock-s3://bucket{tmp_path}/multi.avro"
+    fsutil.put_bytes(remote, data)
+    assert avro_io.avro_record_count_ranged(remote) == 6
+    # deflate codec too, and a header larger than one range hop
+    big = [{"doc_id": i, "text": "x" * 50, "n": None,
+            "tags": [], "meta": {}, "pos": {"x": 0, "y": 0}}
+           for i in range(500)]
+    p2 = str(tmp_path / "big.avro")
+    with open(p2, "wb") as fh:
+        avro_io.write_avro_stream(fh, AVRO_SCHEMA,
+                                  (big[i:i + 64]
+                                   for i in range(0, 500, 64)))
+    assert avro_io.avro_record_count_ranged(p2) == 500
+    _, recs2 = avro_io.read_avro(p2)
+    assert len(recs2) == 500
