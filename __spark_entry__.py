@@ -704,6 +704,38 @@ def q58_token_budget_sample(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q61_dedup_keep_canonical(spark, sf_dir):
+    """Near-dup cluster collapse, oracle-gated end to end: the q25
+    chain (winnowing fingerprints -> equi-join edges -> connected
+    components) followed by `dedup.keep_canonical` — per cluster keep
+    the doc with max n_chars (ties -> min doc_id), drop the rest, pass
+    unclustered docs through — and aggregate the SURVIVING corpus per
+    source. The oracle recomputes edges + a recursive-CTE closure +
+    the same window rule in SQL, so parity covers the cluster
+    assignment AND the keeper choice AND the anti-join: one wrongly
+    dropped or kept document anywhere hash-mismatches. The corpus
+    filter is a left-anti join against the dropped-id set (clustered
+    minus keepers) — the big table is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = textstats.winnow_fingerprints(docs, "doc_id", "text",
+                                        k=4, w=5)
+    a, b = fps.alias("a"), fps.alias("b")
+    edges = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+             .distinct())
+    cc = dedup.connected_components(edges)
+    kept = dedup.keep_canonical(docs, cc, id_col="doc_id",
+                                order_col="n_chars")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def q60_avro_ingest_roundtrip(spark, sf_dir):
     """Avro-container corpus ingestion end to end, oracle-gated:
     documents re-serialized driver-side as three Avro container files
@@ -1261,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_token_budget_sample": q58_token_budget_sample,
         "q59_hudi_mor_roundtrip": q59_hudi_mor_roundtrip,
         "q60_avro_ingest_roundtrip": q60_avro_ingest_roundtrip,
+        "q61_dedup_keep_canonical": q61_dedup_keep_canonical,
     }.items()))
 
 
@@ -2161,6 +2194,64 @@ def oracle_sql() -> dict[str, str]:
         # same oracle shape as q49: the Hudi snapshot's latest slices
         # hold exactly the raw documents (the stale f-0 slice and the
         # replaced f-1/f-2 groups are metadata-invisible)
+        # q25's winnow-edge + recursive-CTE closure, extended with the
+        # keeper window (max n_chars, ties min id) and the corpus
+        # anti-join — parity covers clustering AND keeper AND filter
+        "q61_dedup_keep_canonical": f"""
+            WITH RECURSIVE d AS (SELECT doc_id, {WORDS} AS ws
+                                 FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                        range(1, greatest(len(ws) - 3, 0) + 1),
+                        i -> {{'pos': i,
+                              'h': CAST('0x' || substr(md5(
+                                     ws[i] || ' ' || ws[i+1] || ' ' ||
+                                     ws[i+2] || ' ' || ws[i+3]), 1, 8)
+                                   AS BIGINT)}})) AS u
+              FROM d
+            ),
+            hh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sh),
+            wins AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 4 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 4 FOLLOWING) AS n
+              FROM hh
+            ),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE n = 5),
+            e0 AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS w
+              FROM fps a JOIN fps b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+            ),
+            e AS (SELECT u, w FROM e0 UNION SELECT w, u FROM e0),
+            reach(v, r) AS (
+              SELECT DISTINCT u, u FROM e
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON reach.v = e.w
+            ),
+            cc AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+            ranked AS (
+              SELECT cc.v, cc.component,
+                     row_number() OVER (PARTITION BY cc.component
+                         ORDER BY dd.n_chars DESC, cc.v ASC) AS rk
+              FROM cc JOIN documents dd ON dd.doc_id = cc.v
+            ),
+            dropped AS (SELECT v FROM ranked WHERE rk > 1),
+            kept AS (
+              SELECT * FROM documents
+              WHERE doc_id NOT IN (SELECT v FROM dropped)
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM kept GROUP BY source
+        """,
         # the staged Avro corpus == raw documents with the
         # deterministic null-injection applied; words is the WORDS
         # split carried through Avro -> Arrow -> encode as a real

@@ -452,3 +452,33 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
+
+
+def keep_canonical(docs: DataFrame, components: DataFrame,
+                   id_col: str = "doc_id",
+                   order_col: str = "n_chars") -> DataFrame:
+    """Collapse near-duplicate clusters to ONE representative each:
+    keep, per component, the document with the largest ``order_col``
+    (ties -> smallest id), drop the rest, and pass every unclustered
+    document through untouched — the corpus-shrinking step that turns
+    :func:`connected_components` output into a deduplicated corpus.
+
+    Scale shape: ``components`` is O(clustered docs), typically orders
+    of magnitude smaller than the corpus. The keeper choice is one
+    window over it (shuffle keyed by component, bounded by cluster
+    count) and the corpus filter is a LEFT ANTI join against the
+    DROPPED id set — smaller still (clustered minus keepers), so AQE
+    broadcasts it and the full corpus scan stays shuffle-free. The
+    big table is never shuffled.
+    """
+    from pyspark.sql import Window
+
+    ranked = (components
+              .join(docs.select(F.col(id_col).alias("v"),
+                                F.col(order_col).alias("_ord")), "v")
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("component")
+                  .orderBy(F.col("_ord").desc(), F.col("v").asc()))))
+    dropped = ranked.filter(F.col("_rk") > 1) \
+        .select(F.col("v").alias(id_col))
+    return docs.join(dropped, on=id_col, how="left_anti")

@@ -184,3 +184,22 @@ def test_ngram_jaccard_max_pairs_guardrail(spark):
     got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3,
                                     max_pairs=5000)
     assert got.count() == 40 * 39 // 2
+
+
+def test_keep_canonical(spark):
+    """Per-cluster keeper = max order_col, ties -> min id; unclustered
+    docs pass through; exactly the non-keeper clustered docs drop."""
+    docs = spark.createDataFrame(
+        [(1, 10, "a"), (2, 30, "a"), (3, 30, "b"),   # cluster A
+         (4, 5, "b"), (5, 50, "c"),                  # cluster B
+         (9, 1, "c")],                               # unclustered
+        "doc_id long, n_chars long, source string")
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),   # cluster A: 2 and 3 tie on 30 -> 2
+         (4, 4), (5, 4)],          # cluster B: 5 wins on 50
+        "v long, component long")
+    kept = dedup.keep_canonical(docs, comps)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 5, 9]
+    # empty components: everything passes through
+    empty = spark.createDataFrame([], "v long, component long")
+    assert dedup.keep_canonical(docs, empty).count() == 6
