@@ -453,3 +453,78 @@ def test_temporal_zone_map_unit_agreement(data):
         [pa.array([d * 86_400_000 for d in days], type=pa.int64())
          .cast(pa.date64())], ["d"]))
     assert z32 == z64 == (min(days), max(days))
+
+
+# ---------------------------------------------------------------------
+# Avro datum codec (sources/avro_io.py): schema-driven value roundtrips
+# ---------------------------------------------------------------------
+
+_AVRO_SCHEMA = {"type": "record", "name": "fz", "fields": [
+    {"name": "i", "type": "long"},
+    {"name": "s", "type": "string"},
+    {"name": "b", "type": ["null", "bytes"], "default": None},
+    {"name": "f", "type": "double"},
+    {"name": "bl", "type": "boolean"},
+    {"name": "arr", "type": {"type": "array",
+                             "items": ["null", "long"]}},
+    {"name": "m", "type": {"type": "map", "values": "string"}},
+    {"name": "nest", "type": ["null", {
+        "type": "record", "name": "inner", "fields": [
+            {"name": "x", "type": "int"},
+            {"name": "t", "type": {"type": "array",
+                                   "items": "string"}}]}],
+     "default": None},
+]}
+
+_avro_rec = st.fixed_dictionaries({
+    "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "s": st.text(max_size=30),
+    "b": st.none() | st.binary(max_size=20),
+    "f": st.floats(allow_nan=False),
+    "bl": st.booleans(),
+    "arr": st.lists(st.none() | st.integers(min_value=-(2**40),
+                                            max_value=2**40),
+                    max_size=6),
+    "m": st.dictionaries(st.text(max_size=8), st.text(max_size=8),
+                         max_size=4),
+    "nest": st.none() | st.fixed_dictionaries({
+        "x": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "t": st.lists(st.text(max_size=6), max_size=4)}),
+})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_avro_rec, max_size=12),
+       st.sampled_from(["null", "deflate"]),
+       st.integers(min_value=1, max_value=5))
+def test_avro_container_roundtrip_any_values(recs, codec, chunk):
+    """Arbitrary nested records survive datum encode -> multi-block
+    container stream -> decode bit-exactly (zig-zag longs, unions,
+    nulls, nested records, maps, arrays); the block-header counters
+    agree with the record count."""
+    import io as _io
+    import os as _os
+    import tempfile as _tf
+
+    from embulk_input_parquet_hadoop_spark.sources import avro_io
+
+    # single datum roundtrip
+    for r in recs[:3]:
+        blob = avro_io.encode_datum(_AVRO_SCHEMA, r)
+        assert avro_io.decode_datum(_AVRO_SCHEMA, blob) == r
+    # streamed container roundtrip + header-hop counting
+    fd, tmp = _tf.mkstemp(suffix=".avro")
+    _os.close(fd)
+    try:
+        chunks = [recs[i:i + chunk] for i in range(0, len(recs), chunk)]
+        with open(tmp, "wb") as fh:
+            n = avro_io.write_avro_stream(fh, _AVRO_SCHEMA,
+                                          iter(chunks), codec=codec)
+        assert n == len(recs)
+        _, got = avro_io.read_avro(tmp)
+        assert got == recs
+        data = open(tmp, "rb").read()
+        assert avro_io.avro_record_count(data) == len(recs)
+        assert avro_io.avro_record_count_ranged(tmp) == len(recs)
+    finally:
+        _os.remove(tmp)
