@@ -704,6 +704,60 @@ def q58_token_budget_sample(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q62_orc_ingest_roundtrip(spark, sf_dir):
+    """ORC corpus ingestion end to end, oracle-gated: documents
+    re-serialized driver-side as three ORC files (pyarrow's writer;
+    a deterministic null-injection on n_chars and the WORDS array
+    exercising the nested mapping), staged to parquet distributedly
+    (`jsonl_io.stage_orc`, vectorized read, one task per file),
+    encoded, decoded, aggregated — the q60 contract for the ORC
+    format. Any lost row, mangled null, or misread array
+    hash-mismatches against the plain-SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.orc as pa_orc
+    import pyarrow.parquet as pq
+
+    from embulk_input_parquet_hadoop_spark.sources import jsonl_io
+    base = _scratch(
+        f"spark_graft_q62_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(f"{base}/raw")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars", "source", "text"])
+    ids = tbl.column("doc_id").to_numpy()
+    import numpy as np
+    n_chars = tbl.column("n_chars").to_numpy()
+    words = pa.array([[w for w in t.split(" ") if w]
+                      for t in tbl.column("text").to_pylist()],
+                     pa.list_(pa.string()))
+    full = pa.table({
+        "doc_id": tbl.column("doc_id"),
+        "n_chars": pa.array(
+            np.where(ids % 7 == 0, None, n_chars), pa.int64(),
+            from_pandas=True),
+        "source": tbl.column("source"),
+        "words": words})
+    for part in range(3):
+        pa_orc.write_table(full.filter(pa.array(ids % 3 == part)),
+                           f"{base}/raw/p{part}.orc")
+    staged = jsonl_io.stage_orc(spark, f"{base}/raw",
+                                f"{base}/staging")
+    assert not staged["errors"], staged["errors"]
+    pipeline.encode_path(spark, f"{base}/raw", f"{base}/enc",
+                         input_files=staged["files"], batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "n_chars", "source", "words"],
+        "doc_id bigint, n_chars bigint, source string, "
+        "words array<string>")
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.count("n_chars").alias("chars_nonnull"),
+                 F.sum(F.size("words")).alias("words_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def q61_dedup_keep_canonical(spark, sf_dir):
     """Near-dup cluster collapse, oracle-gated end to end: the q25
     chain (winnowing fingerprints -> equi-join edges -> connected
@@ -1294,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_hudi_mor_roundtrip": q59_hudi_mor_roundtrip,
         "q60_avro_ingest_roundtrip": q60_avro_ingest_roundtrip,
         "q61_dedup_keep_canonical": q61_dedup_keep_canonical,
+        "q62_orc_ingest_roundtrip": q62_orc_ingest_roundtrip,
     }.items()))
 
 
@@ -2251,6 +2306,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list(doc_id)), ','))
                        AS ids_md5
             FROM kept GROUP BY source
+        """,
+        # same model as q60: the staged ORC corpus == raw documents
+        # with the deterministic null-injection applied, words = the
+        # WORDS split carried through as a real array column (the
+        # ingest chains differ, the row semantics are identical)
+        "q62_orc_ingest_roundtrip": f"""
+            WITH eff AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE n_chars END AS n_chars,
+                     source,
+                     len({WORDS}) AS n_words
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   count(n_chars) AS chars_nonnull,
+                   CAST(sum(n_words) AS BIGINT) AS words_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM eff GROUP BY source
         """,
         # the staged Avro corpus == raw documents with the
         # deterministic null-injection applied; words is the WORDS
