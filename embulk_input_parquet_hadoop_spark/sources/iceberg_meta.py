@@ -220,6 +220,25 @@ def _schema_fields_by_id(meta: dict) -> dict[int, dict]:
             if "id" in f and "name" in f}
 
 
+def resolve_ref(table_dir: str, ref: str) -> int:
+    """Snapshot id of a named BRANCH or TAG from the table metadata's
+    ``refs`` map (Iceberg v2 named references — ``main`` is the
+    default branch; tags pin audit/reproducibility points). Feed the
+    result to any ``snapshot_id=`` parameter: time travel by name
+    instead of by raw id."""
+    meta = read_table_meta(table_dir)
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        raise IcebergMetaError(
+            f"ref {ref!r} not found in {table_dir} "
+            f"(have {sorted(refs)})")
+    sid = refs[ref].get("snapshot-id")
+    if sid is None:
+        raise IcebergMetaError(
+            f"ref {ref!r} in {table_dir} carries no snapshot-id")
+    return int(sid)
+
+
 def _scan(table_dir: str, snapshot_id: int | None,
           partition_filter: dict | None) -> dict:
     """Raw snapshot scan: ``{"data": [(path, seq, spec_id, partition)],
@@ -728,7 +747,8 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
                         data_sequence_number: int = 1,
                         equality_delete_tables: list[dict] | None = None,
                         deletion_vectors: dict[str, list[int]] | None = None,
-                        dv_manifest_fields: bool = True
+                        dv_manifest_fields: bool = True,
+                        refs: dict[str, int] | None = None
                         ) -> str:
     """Minimal spec-shaped Iceberg v2 table over existing Parquet files.
 
@@ -989,6 +1009,12 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             "summary": {"operation": "append"},
         }],
         "schemas": [], "partition-specs": [], "sort-orders": [],
+        # named references: main tracks the current snapshot (as real
+        # writers maintain); ``refs`` adds branches/tags by name
+        "refs": {"main": {"snapshot-id": snapshot_id,
+                          "type": "branch"},
+                 **{name: {"snapshot-id": sid, "type": "tag"}
+                    for name, sid in (refs or {}).items()}},
     }
     if schema_fields:
         meta["current-schema-id"] = 0

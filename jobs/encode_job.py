@@ -160,6 +160,10 @@ def main() -> int:
                    help="with --iceberg: encode only data files added "
                         "after snapshot ID (live-set diff vs the "
                         "current snapshot); implies --append")
+    p.add_argument("--ref", default=None, metavar="NAME",
+                   help="with --iceberg: encode the snapshot a named "
+                        "branch/tag points at (table metadata refs) "
+                        "instead of the current snapshot")
     p.add_argument("--entropy", action="store_true",
                    help="opt-in order-1 rANS competitor for large int "
                         "frames: smaller output (bytes/token) at ~5-10x "
@@ -199,6 +203,9 @@ def main() -> int:
         pf = None
         if args.partition:
             pf = dict(kv.split("=", 1) for kv in args.partition)
+        if args.ref is not None and args.since_snapshot is not None:
+            raise SystemExit("--ref and --since-snapshot are mutually "
+                             "exclusive")
         if args.since_snapshot is not None:
             # a snapshot diff is incremental by definition; an empty diff
             # flows through encode_path's append no-op so --vacuum /
@@ -223,7 +230,10 @@ def main() -> int:
             # MOR-aware full-snapshot scan: position deletes apply
             # row-positionally, equality deletes value-wise, both
             # inside the encode tasks
+            sid = (iceberg_meta.resolve_ref(args.input, args.ref)
+                   if args.ref is not None else None)
             scan = iceberg_meta.snapshot_scan(args.input,
+                                              snapshot_id=sid,
                                               partition_filter=pf)
             input_files = scan["data_files"]
             row_deletes = scan["position_deletes"] or None
@@ -321,6 +331,8 @@ def main() -> int:
     if (args.as_of is not None or args.since_instant is not None) \
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")
+    if args.ref is not None and not args.iceberg:
+        raise SystemExit("--ref requires --iceberg")
     if args.staging and not (args.jsonl or args.csv or args.avro
                              or args.orc or args.hudi):
         raise SystemExit("--staging requires --jsonl/--csv/--avro/"

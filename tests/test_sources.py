@@ -143,6 +143,33 @@ def test_iceberg_time_travel(tmp_path, tokens_dir):
         [os.path.abspath(files[0])]
 
 
+def test_iceberg_named_refs(tmp_path, tokens_dir):
+    """Time travel by NAMED reference: resolve_ref maps a branch/tag
+    from the metadata refs map to its snapshot id, composing with
+    every snapshot_id= entry point; unknown refs refuse with the
+    available names."""
+    import glob
+    import os
+
+    import pytest
+
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    files = sorted(glob.glob(f"{tokens_dir}/*.parquet"))
+    tdir = str(tmp_path / "ref_table")
+    iceberg_meta.write_table_fixture(
+        tdir, files, snapshot_id=2, older_snapshots={1: files[:1]},
+        refs={"audit-2024": 1})
+    # main tracks the current snapshot; the tag pins the older one
+    assert iceberg_meta.resolve_ref(tdir, "main") == 2
+    sid = iceberg_meta.resolve_ref(tdir, "audit-2024")
+    assert sid == 1
+    assert iceberg_meta.snapshot_data_files(tdir, snapshot_id=sid) == \
+        [os.path.abspath(files[0])]
+    with pytest.raises(iceberg_meta.IcebergMetaError,
+                       match="audit-2024"):
+        iceberg_meta.resolve_ref(tdir, "nope")
+
+
 def test_iceberg_partition_pruning(tmp_path, tokens_dir):
     """partition_filter prunes at the metadata level — the filtered
     snapshot lists only the matching partition's files, none others are
