@@ -158,6 +158,20 @@ def file_size(path: str) -> int:
     return int(filesystem.get_file_info(root).size)
 
 
+def mtime_ms(path: str) -> int:
+    """Last-modified time in epoch milliseconds for any scheme —
+    Delta's commit-timestamp fallback (the spec resolves
+    ``timestampAsOf`` by log-file modification time when in-commit
+    timestamps are absent)."""
+    if is_local(path):
+        return int(os.stat(strip_file_scheme(path)).st_mtime * 1000)
+    filesystem, root = get_fs(path)
+    mt = filesystem.get_file_info(root).mtime
+    if mt is None:
+        raise OSError(f"filesystem reports no mtime for {path}")
+    return int(mt.timestamp() * 1000)
+
+
 def read_bytes_range(path: str, offset: int, length: int) -> bytes:
     """Ranged read ([offset, offset+length)) for any scheme — object
     stores serve this as one GET with a Range header (pyarrow

@@ -333,6 +333,61 @@ def snapshot_versions(table_dir: str) -> list[int]:
     return out
 
 
+def commit_timestamps_ms(table_dir: str) -> dict[int, int]:
+    """Per-version commit timestamp (epoch ms) for every version whose
+    JSON commit is still in the log, monotonicity-adjusted the way
+    Delta's own history resolution does (a later version's timestamp
+    is forced strictly past the previous one's — file mtimes can
+    regress under copies).
+
+    Per commit, in precedence order: the ``commitInfo`` action's
+    ``inCommitTimestamp`` (the feature-gated authoritative field),
+    then ``commitInfo.timestamp``, then the commit FILE's modification
+    time (the spec's classic fallback). Checkpoint-only versions
+    (JSON expired by log cleanup) are not time-resolvable and are
+    absent — same visibility as Delta's own ``timestampAsOf``."""
+    log = _log_dir(table_dir)
+    lst = _list_log(table_dir)
+    out: dict[int, int] = {}
+    prev = None
+    for v in sorted(lst["jsons"]):
+        path = f"{log}/{v:020d}.json"
+        ts = None
+        for a in _read_json_commit(path):
+            ci = a.get("commitInfo")
+            if ci is not None:
+                ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                break
+        if ts is None:
+            ts = fsutil.mtime_ms(path)
+        ts = int(ts)
+        if prev is not None and ts <= prev:
+            ts = prev + 1
+        out[v] = ts
+        prev = ts
+    return out
+
+
+def version_at_timestamp(table_dir: str, ts_ms: int) -> int:
+    """Latest version whose commit timestamp is <= ``ts_ms`` — Delta's
+    ``timestampAsOf`` resolution. Feed the result to any ``version=``
+    parameter. Refuses a timestamp before the first resolvable commit
+    (nothing existed yet) rather than guessing."""
+    stamps = commit_timestamps_ms(table_dir)
+    if not stamps:
+        raise DeltaMetaError(
+            f"no JSON commits left in the log under {table_dir} — "
+            "timestamp time travel needs the commit files "
+            "(log cleanup expired them); use version= instead")
+    ok = [v for v, t in stamps.items() if t <= ts_ms]
+    if not ok:
+        lo = min(stamps.values())
+        raise DeltaMetaError(
+            f"timestamp {ts_ms} precedes the first resolvable commit "
+            f"({lo}) of {table_dir}")
+    return max(ok)
+
+
 def latest_version(table_dir: str) -> int:
     lst = _list_log(table_dir)
     vs = lst["jsons"] | set(lst["checkpoints"]) | set(lst["v2"])

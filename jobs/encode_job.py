@@ -86,6 +86,13 @@ def main() -> int:
     p.add_argument("--at-version", type=int, default=None, metavar="V",
                    help="with --delta: time-travel to table version V "
                         "instead of the latest")
+    p.add_argument("--at-timestamp", type=int, default=None,
+                   metavar="EPOCH_MS",
+                   help="with --delta: time-travel to the latest "
+                        "version committed at or before the given "
+                        "epoch-milliseconds (in-commit timestamps, "
+                        "then commitInfo, then log-file mtime — the "
+                        "spec's timestampAsOf resolution)")
     p.add_argument("--since-version", type=int, default=None,
                    metavar="V",
                    help="with --delta: encode only data files added "
@@ -245,6 +252,12 @@ def main() -> int:
         pf = None
         if args.partition:
             pf = dict(kv.split("=", 1) for kv in args.partition)
+        if args.at_timestamp is not None:
+            if args.at_version is not None:
+                raise SystemExit("--at-version and --at-timestamp are "
+                                 "mutually exclusive")
+            args.at_version = delta_meta.version_at_timestamp(
+                args.input, args.at_timestamp)
         if args.since_version is not None:
             # same incremental contract as --iceberg --since-snapshot:
             # diff refuses removals / changed deletion vectors on
@@ -326,8 +339,10 @@ def main() -> int:
                          "--hudi")
     elif args.since_snapshot is not None:
         raise SystemExit("--since-snapshot requires --iceberg")
-    elif args.since_version is not None or args.at_version is not None:
-        raise SystemExit("--since-version/--at-version require --delta")
+    elif args.since_version is not None or args.at_version is not None \
+            or args.at_timestamp is not None:
+        raise SystemExit("--since-version/--at-version/--at-timestamp "
+                         "require --delta")
     if (args.as_of is not None or args.since_instant is not None) \
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")

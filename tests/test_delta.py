@@ -64,6 +64,47 @@ def test_z85_rejects_garbage():
 # Log replay / scan
 # ---------------------------------------------------------------------
 
+def test_version_at_timestamp(tmp_path):
+    """timestampAsOf resolution: mtime fallback with Delta's
+    monotonicity adjustment, commitInfo.timestamp precedence over
+    mtime, inCommitTimestamp precedence over both; a too-early
+    timestamp refuses."""
+    t1, t2 = _tabs()
+    d = str(tmp_path / "t")
+    dm.write_delta_fixture(d, [t1, t2], commits=[
+        {"add": [0]}, {"add": [1]}, {"remove": [1]}])
+    log = f"{d}/_delta_log"
+    paths = [f"{log}/{v:020d}.json" for v in range(3)]
+    # mtime fallback: t=1000s, 2000s, then a REGRESSED 1500s for v2 —
+    # the adjustment forces v2 strictly past v1
+    for p, t in zip(paths, (1000, 2000, 1500)):
+        os.utime(p, (t, t))
+    ts = dm.commit_timestamps_ms(d)
+    assert ts[0] == 1_000_000 and ts[1] == 2_000_000
+    assert ts[2] == 2_000_001  # monotonicity adjustment
+    assert dm.version_at_timestamp(d, 1_000_000) == 0  # inclusive
+    assert dm.version_at_timestamp(d, 1_999_999) == 0
+    assert dm.version_at_timestamp(d, 2_000_000) == 1
+    assert dm.version_at_timestamp(d, 10**15) == 2
+    with pytest.raises(dm.DeltaMetaError, match="precedes"):
+        dm.version_at_timestamp(d, 999_999)
+    # commitInfo.timestamp beats mtime; inCommitTimestamp beats both
+    v1_actions = open(paths[1]).read()
+    with open(paths[1], "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 3_000_000}})
+                 + "\n" + v1_actions)
+    os.utime(paths[1], (2000, 2000))
+    assert dm.commit_timestamps_ms(d)[1] == 3_000_000
+    with open(paths[1], "w") as fh:
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 3_000_000,
+            "inCommitTimestamp": 4_000_000}}) + "\n" + v1_actions)
+    assert dm.commit_timestamps_ms(d)[1] == 4_000_000
+    # the resolved version feeds the ordinary version= entry points
+    v = dm.version_at_timestamp(d, 1_500_000)
+    assert len(dm.snapshot_scan(d, version=v)["data_files"]) == 1
+
+
 def test_scan_add_dv_remove_and_time_travel(tmp_path):
     t1, t2 = _tabs()
     d = str(tmp_path / "t")
