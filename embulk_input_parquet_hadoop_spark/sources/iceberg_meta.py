@@ -239,6 +239,29 @@ def resolve_ref(table_dir: str, ref: str) -> int:
     return int(sid)
 
 
+def snapshot_at_timestamp(table_dir: str, ts_ms: int) -> int:
+    """Latest snapshot committed at or before ``ts_ms`` (each snapshot
+    record carries ``timestamp-ms``) — Iceberg's ``as-of-timestamp``
+    resolution; feed the result to any ``snapshot_id=`` parameter.
+    Refuses a timestamp before the first snapshot, and refuses a table
+    whose snapshot records carry no timestamps (old/hand-rolled
+    metadata) rather than guessing."""
+    meta = read_table_meta(table_dir)
+    snaps = meta.get("snapshots", [])
+    stamped = [(s["timestamp-ms"], s["snapshot-id"])
+               for s in snaps if s.get("timestamp-ms") is not None]
+    if not stamped:
+        raise IcebergMetaError(
+            f"no snapshot in {table_dir} carries timestamp-ms — "
+            "timestamp time travel is undecidable; use snapshot_id=")
+    ok = [(t, sid) for t, sid in stamped if t <= ts_ms]
+    if not ok:
+        raise IcebergMetaError(
+            f"timestamp {ts_ms} precedes the first snapshot "
+            f"({min(t for t, _ in stamped)}) of {table_dir}")
+    return max(ok)[1]
+
+
 def _scan(table_dir: str, snapshot_id: int | None,
           partition_filter: dict | None) -> dict:
     """Raw snapshot scan: ``{"data": [(path, seq, spec_id, partition)],
@@ -817,6 +840,9 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         ml = _write_snapshot(meta_dir, sid, sfiles, [0] * len(sfiles),
                              delete_files=dels)
         snap_records.append({"snapshot-id": sid, "manifest-list": ml,
+                             # deterministic spec-shaped commit time:
+                             # 2024-01-01T00:00:00Z + id seconds
+                             "timestamp-ms": 1704067200000 + sid * 1000,
                              "summary": {"operation": "append"}})
     part_fields: list[tuple[str, str]] = []
     if partitions:
@@ -1006,6 +1032,7 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
         "snapshots": snap_records + [{
             "snapshot-id": snapshot_id,
             "manifest-list": mlist,
+            "timestamp-ms": 1704067200000 + snapshot_id * 1000,
             "summary": {"operation": "append"},
         }],
         "schemas": [], "partition-specs": [], "sort-orders": [],

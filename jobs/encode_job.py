@@ -171,6 +171,11 @@ def main() -> int:
                    help="with --iceberg: encode the snapshot a named "
                         "branch/tag points at (table metadata refs) "
                         "instead of the current snapshot")
+    p.add_argument("--as-of-timestamp", type=int, default=None,
+                   metavar="EPOCH_MS",
+                   help="with --iceberg: encode the latest snapshot "
+                        "committed at or before the given epoch-ms "
+                        "(snapshot timestamp-ms records)")
     p.add_argument("--entropy", action="store_true",
                    help="opt-in order-1 rANS competitor for large int "
                         "frames: smaller output (bytes/token) at ~5-10x "
@@ -210,9 +215,10 @@ def main() -> int:
         pf = None
         if args.partition:
             pf = dict(kv.split("=", 1) for kv in args.partition)
-        if args.ref is not None and args.since_snapshot is not None:
-            raise SystemExit("--ref and --since-snapshot are mutually "
-                             "exclusive")
+        if sum(x is not None for x in (args.ref, args.as_of_timestamp,
+                                       args.since_snapshot)) > 1:
+            raise SystemExit("--ref/--as-of-timestamp/--since-snapshot "
+                             "are mutually exclusive")
         if args.since_snapshot is not None:
             # a snapshot diff is incremental by definition; an empty diff
             # flows through encode_path's append no-op so --vacuum /
@@ -238,7 +244,10 @@ def main() -> int:
             # row-positionally, equality deletes value-wise, both
             # inside the encode tasks
             sid = (iceberg_meta.resolve_ref(args.input, args.ref)
-                   if args.ref is not None else None)
+                   if args.ref is not None
+                   else iceberg_meta.snapshot_at_timestamp(
+                       args.input, args.as_of_timestamp)
+                   if args.as_of_timestamp is not None else None)
             scan = iceberg_meta.snapshot_scan(args.input,
                                               snapshot_id=sid,
                                               partition_filter=pf)
@@ -346,8 +355,9 @@ def main() -> int:
     if (args.as_of is not None or args.since_instant is not None) \
             and not args.hudi:
         raise SystemExit("--as-of/--since-instant require --hudi")
-    if args.ref is not None and not args.iceberg:
-        raise SystemExit("--ref requires --iceberg")
+    if (args.ref is not None or args.as_of_timestamp is not None) \
+            and not args.iceberg:
+        raise SystemExit("--ref/--as-of-timestamp require --iceberg")
     if args.staging and not (args.jsonl or args.csv or args.avro
                              or args.orc or args.hudi):
         raise SystemExit("--staging requires --jsonl/--csv/--avro/"

@@ -168,6 +168,17 @@ def test_iceberg_named_refs(tmp_path, tokens_dir):
     with pytest.raises(iceberg_meta.IcebergMetaError,
                        match="audit-2024"):
         iceberg_meta.resolve_ref(tdir, "nope")
+    # timestamp resolution: fixture stamps id seconds past a fixed
+    # epoch, so the older snapshot resolves below the current's stamp
+    base_ms = 1704067200000
+    assert iceberg_meta.snapshot_at_timestamp(
+        tdir, base_ms + 1000) == 1      # inclusive at snapshot 1
+    assert iceberg_meta.snapshot_at_timestamp(
+        tdir, base_ms + 1999) == 1
+    assert iceberg_meta.snapshot_at_timestamp(
+        tdir, base_ms + 2000) == 2
+    with pytest.raises(iceberg_meta.IcebergMetaError, match="precedes"):
+        iceberg_meta.snapshot_at_timestamp(tdir, base_ms)
 
 
 def test_iceberg_partition_pruning(tmp_path, tokens_dir):
