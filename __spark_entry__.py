@@ -1281,6 +1281,84 @@ def q41_split_assign(spark, sf_dir):
                  F.min("doc_id").alias("min_id")))
 
 
+def q63_duplicate_ngram_spans(spark, sf_dir):
+    """Exact duplicate-substring span detection (Lee et al. 2022
+    ExactSubstr at 5-word-gram granularity): every window whose text
+    occurs elsewhere in the corpus — except the globally first
+    occurrence by (doc_id, pos) — is a duplicate span; overlapping and
+    adjacent spans merge per document (`dedup.duplicate_spans`). The
+    per-source rollup hashes the sorted (doc_id, merged dup-word count)
+    pairs, so one mis-placed span boundary, a missed internal
+    repetition, or a wrong first-occurrence choice anywhere in the
+    corpus hash-mismatches against the oracle's window-function
+    re-derivation. Scale shape: one keyed agg on gram hash (map-side
+    combine eats hot boilerplate grams), one linear equi-join back, one
+    per-doc window — no all-pairs stage anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", k=5)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .alias("dup_words"))
+    return (per_doc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs_with_dups"),
+                 F.sum("n_spans").alias("spans_sum"),
+                 F.sum("dup_words").alias("dup_words_sum"),
+                 F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+                     F.concat_ws(":", F.col("doc_id").cast("string"),
+                                 F.col("dup_words").cast("string"))))))
+                 .alias("spans_md5")))
+
+
+def q64_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch shuffle into training shards
+    (`mixture.shuffle_shards`): shard = md5(seed, doc_id) mod 8,
+    within-shard order = the hash itself. The per-shard rollup hashes
+    the doc_id sequence IN POSITION ORDER, so the oracle (same md5
+    arithmetic, window re-derivation) catches a wrong shard
+    assignment, a non-dense position, or any reordering — the full
+    permutation is pinned, not just membership. Map-only assignment +
+    one window keyed by shard (n_shards is the parallelism knob at
+    100 TB; no global single-partition sort anywhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = mixture.shuffle_shards(docs, "doc_id", n_shards=8, seed=11)
+    return (sh.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("pos").alias("min_pos"),
+                 F.max("pos").alias("max_pos"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "doc_id"))),
+                     lambda x: x["doc_id"].cast("string"))))
+                 .alias("perm_md5")))
+
+
+def q65_remove_duplicate_spans(spark, sf_dir):
+    """End-to-end exact-substring dedup (Lee et al. 2022 removal step):
+    detect duplicate 5-gram spans, REBUILD each document with those
+    words removed (`dedup.remove_duplicate_spans` — first occurrence
+    survives, later copies vanish, wholly-duplicated docs become empty
+    strings, untouched docs pass through byte-identical). The rollup
+    hashes md5(doc_id:text_dedup) over the whole corpus, so a single
+    mis-removed or mis-kept WORD anywhere changes the answer — parity
+    covers detection, merge, and reconstruction together."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", k=5)
+    clean = dedup.remove_duplicate_spans(docs, spans, "doc_id", "text")
+    per_doc = clean.select(
+        "doc_id", "source",
+        F.size(words(F.col("text_dedup"))).alias("n_words_kept"),
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.col("text_dedup"))).alias("h"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words_kept").alias("words_kept_sum"),
+                 F.md5(F.concat_ws(",", F.array_sort(
+                     F.collect_list("h")))).alias("texts_md5")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sorted: keys are numbered so that every oracle-gated query sorts
     # before the two rows-only ones (q53 multimodal byte-kernel, q54
@@ -1349,6 +1427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_avro_ingest_roundtrip": q60_avro_ingest_roundtrip,
         "q61_dedup_keep_canonical": q61_dedup_keep_canonical,
         "q62_orc_ingest_roundtrip": q62_orc_ingest_roundtrip,
+        "q63_duplicate_ngram_spans": q63_duplicate_ngram_spans,
+        "q64_shuffle_shards": q64_shuffle_shards,
+        "q65_remove_duplicate_spans": q65_remove_duplicate_spans,
     }.items()))
 
 
@@ -2327,6 +2408,171 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list(doc_id)), ','))
                        AS ids_md5
             FROM eff GROUP BY source
+        """,
+        # q63: same gram identity (md5-derived 60-bit int over the
+        # space-joined 5-word window), first occurrence by (doc_id,
+        # pos) via a window rank, gaps-and-islands merge of
+        # overlapping-or-adjacent spans — the oracle re-derives every
+        # span boundary, so parity covers extraction, the
+        # first-occurrence rule, AND the merge rule
+        "q63_duplicate_ngram_spans": f"""
+            WITH d AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> {{'pos': i,
+                         'h': CAST('0x' || substr(md5(array_to_string(
+                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}}))
+                   AS u
+                FROM d)
+            ),
+            r AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rk
+              FROM g
+            ),
+            sp AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                   FROM r WHERE rk > 1),
+            m AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -2) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM sp
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS gid
+              FROM m
+            ),
+            mg AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me
+                   FROM isl GROUP BY doc_id, gid),
+            pd AS (SELECT doc_id, count(*) AS n_spans,
+                          sum(me - ms + 1) AS dup_words
+                   FROM mg GROUP BY doc_id)
+            SELECT dd.source, count(*) AS n_docs_with_dups,
+                   CAST(sum(n_spans) AS BIGINT) AS spans_sum,
+                   CAST(sum(dup_words) AS BIGINT) AS dup_words_sum,
+                   md5(array_to_string(list_sort(
+                       list(pd.doc_id || ':' || dup_words)), ','))
+                       AS spans_md5
+            FROM pd JOIN documents dd USING (doc_id)
+            GROUP BY dd.source
+        """,
+        # q65: q63's span derivation, then the removal is re-derived
+        # word-by-word — kept word = not covered by any merged span of
+        # its doc; affected docs rebuild as the space-join of kept
+        # words (empty string when wholly duplicated), untouched docs
+        # keep their ORIGINAL text verbatim (the Spark side's
+        # _spans-null branch)
+        "q65_remove_duplicate_spans": f"""
+            WITH d AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> {{'pos': i,
+                         'h': CAST('0x' || substr(md5(array_to_string(
+                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}}))
+                   AS u
+                FROM d)
+            ),
+            r AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rk
+              FROM g
+            ),
+            sp AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                   FROM r WHERE rk > 1),
+            m AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -2) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM sp
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS gid
+              FROM m
+            ),
+            mg AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me
+                   FROM isl GROUP BY doc_id, gid),
+            wpos AS (
+              SELECT doc_id, u.i AS i, u.w AS w FROM (
+                SELECT doc_id, unnest(list_transform(
+                   range(1, len(ws) + 1),
+                   i -> {{'i': i, 'w': ws[i]}})) AS u
+                FROM d)
+            ),
+            kept AS (
+              SELECT wp.doc_id, wp.i, wp.w
+              FROM wpos wp
+              WHERE NOT EXISTS (SELECT 1 FROM mg
+                                WHERE mg.doc_id = wp.doc_id
+                                  AND wp.i BETWEEN mg.ms AND mg.me)
+            ),
+            txt AS (SELECT doc_id,
+                           array_to_string(list(w ORDER BY i), ' ') AS t
+                    FROM kept GROUP BY doc_id),
+            red AS (
+              SELECT dd.doc_id, dd.source,
+                     CASE WHEN dd.doc_id IN (SELECT doc_id FROM mg)
+                          THEN coalesce(t.t, '')
+                          ELSE dd.text END AS text_dedup
+              FROM documents dd LEFT JOIN txt t ON t.doc_id = dd.doc_id
+            ),
+            pd AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split(text_dedup, ' '),
+                                     w -> w <> '')) AS n_words_kept,
+                     md5(doc_id || ':' || text_dedup) AS h
+              FROM red
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_words_kept) AS BIGINT) AS words_kept_sum,
+                   md5(array_to_string(list_sort(list(h)), ','))
+                       AS texts_md5
+            FROM pd GROUP BY source
+        """,
+        # q64: same md5 shard arithmetic (mixture._unit_hash), the
+        # permutation pinned by hashing doc_ids in position order
+        "q64_shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     CAST('0x' || substr(md5('mix:11:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS shuf
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_chars, shuf,
+                     CAST(shuf % 8 AS INT) AS shard
+              FROM h
+            ),
+            p AS (
+              SELECT doc_id, n_chars, shard,
+                     row_number() OVER (PARTITION BY shard
+                         ORDER BY shuf ASC, doc_id ASC) - 1 AS pos
+              FROM s
+            )
+            SELECT shard, count(*) AS n_docs,
+                   CAST(min(pos) AS INT) AS min_pos,
+                   CAST(max(pos) AS INT) AS max_pos,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   md5(array_to_string(
+                       list(CAST(doc_id AS VARCHAR) ORDER BY pos), ','))
+                       AS perm_md5
+            FROM p GROUP BY shard
         """,
         # the staged Avro corpus == raw documents with the
         # deterministic null-injection applied; words is the WORDS

@@ -482,3 +482,106 @@ def keep_canonical(docs: DataFrame, components: DataFrame,
     dropped = ranked.filter(F.col("_rk") > 1) \
         .select(F.col("v").alias(id_col))
     return docs.join(dropped, on=id_col, how="left_anti")
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """Exact duplicate-substring spans at k-word-gram granularity
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — the ExactSubstr variant, on the repo's WORDS
+    tokenization instead of a suffix array).
+
+    Every k-word window whose exact text occurs elsewhere in the corpus
+    — EXCEPT the globally first occurrence, ordered by (id, position) —
+    is a duplicate span ``[pos, pos+k-1]`` (1-based word positions).
+    Overlapping and ADJACENT spans within a document merge (adjacent
+    word ranges are contiguous text), so a long repeated passage comes
+    back as ONE span, not len-k+1 of them. Returns
+    ``(id_col, span_start, span_end)`` — callers redact, drop, or
+    aggregate. A document with no duplicated window yields no rows.
+
+    Scale shape (no all-pairs anywhere):
+    - gram extraction is map-side (the word array is materialized in
+      its own projection first — the HOF-lambda CSE rule — and each
+      gram hashes k ``element_at`` lookups, O(k·len) per doc);
+    - the first-occurrence choice is ONE keyed aggregation
+      ``min(struct(id, pos))`` over gram hash — map-side combine makes
+      a corpus-wide hot gram (boilerplate repeated 10^6 times) safe;
+      the join back is an equi-join whose output is the occurrence
+      rows themselves (linear);
+    - span merging is a per-document window (gaps-and-islands),
+      bounded by document length.
+
+    Gram identity is the md5-derived 60-bit int (functions/hashes) so a
+    DuckDB oracle reproduces spans exactly.
+    """
+    from ..functions.hashes import md5_long
+
+    ws_df = df.select(id_col, words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.when(F.size(ws) >= k,
+                 F.sequence(F.lit(1), F.size(ws) - (k - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: md5_long(F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int"))
+                   for j in range(k)])))
+    occ = (ws_df.select(id_col, F.posexplode(grams).alias("_p0", "h"))
+           .select(id_col, (F.col("_p0") + 1).alias("pos"), "h"))
+    firsts = (occ.groupBy("h")
+              .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("pos").alias("p"))).alias("_f"),
+                   F.count(F.lit(1)).alias("_cnt"))
+              .filter(F.col("_cnt") > 1))
+    dups = (occ.join(firsts, "h")
+            .filter(~((F.col(id_col) == F.col("_f.i"))
+                      & (F.col("pos") == F.col("_f.p"))))
+            .select(id_col, F.col("pos").alias("s"),
+                    (F.col("pos") + (k - 1)).alias("e")))
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    dups = dups.withColumn(
+        "_ni", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-2)) + 1,
+                      F.lit(1)).otherwise(F.lit(0)))
+    dups = dups.withColumn(
+        "_gid", F.sum("_ni").over(w.rowsBetween(
+            Window.unboundedPreceding, 0)))
+    return (dups.groupBy(id_col, "_gid")
+            .agg(F.min("s").alias("span_start"),
+                 F.max("e").alias("span_end"))
+            .select(id_col, "span_start", "span_end"))
+
+
+def remove_duplicate_spans(docs: DataFrame, spans: DataFrame,
+                           id_col: str, text_col: str,
+                           out_col: str = "text_dedup") -> DataFrame:
+    """Apply :func:`duplicate_spans` output to the corpus: rebuild each
+    document's text with every duplicated span's words removed (the
+    Lee et al. 2022 ExactSubstr REMOVAL step — the first occurrence
+    stays, later copies vanish; a wholly-duplicated document becomes
+    the empty string, not a dropped row, so corpus accounting stays
+    exact).
+
+    Plan shape: spans collapse to ONE array column per affected doc
+    (keyed agg, bounded by span count), broadcast-or-shuffle LEFT join
+    back to the corpus (only affected docs carry an array), then a
+    map-side indexed ``filter`` HOF keeps word i unless some span
+    covers it — O(len · n_spans_doc) per doc, no explode of the corpus
+    words through a shuffle. The word array and span array are
+    materialized as real columns first (HOF-lambda CSE rule).
+    """
+    sp = (spans.groupBy(id_col)
+          .agg(F.collect_list(F.struct(
+              F.col("span_start").alias("s"),
+              F.col("span_end").alias("e"))).alias("_spans")))
+    ws_df = (docs.withColumn("_ws", words(F.col(text_col)))
+             .join(sp, on=id_col, how="left"))
+    kept = F.filter(
+        F.col("_ws"),
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda sp_: (sp_["s"] <= i + 1) & (i + 1 <= sp_["e"])))
+    out = F.when(F.col("_spans").isNull(), F.col(text_col)) \
+        .otherwise(F.concat_ws(" ", kept))
+    return ws_df.withColumn(out_col, out).drop("_ws", "_spans")

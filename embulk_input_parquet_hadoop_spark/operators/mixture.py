@@ -227,3 +227,36 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
                         F.sum(F.col(n_col).cast("long")).over(w))
             .filter(F.col("cum_tokens") <= F.col("_tb_budget"))
             .drop("_tb_hk", "_tb_budget"))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
+                   seed: int = 0) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    The epoch-shuffle step every training pipeline needs before writing
+    sequence shards: each row gets a ``shard`` and a ``pos`` (0-based
+    dense position within its shard), such that reading shard 0, 1, ...
+    in pos order is a reproducible pseudorandom permutation of the
+    corpus. shard = md5(seed, id) mod n_shards — balanced in
+    expectation, reproducible by any engine (no RNG state); within-shard
+    order is the hash itself (ties broken by id, so duplicate-free
+    inputs get a total order even on the 2^-60 hash collision).
+
+    Scale shape: the assignment is map-only; the only shuffle is the
+    per-shard window (ONE exchange keyed by shard). Shard cardinality is
+    the operator's parallelism knob — at 100 TB you pick n_shards large
+    enough (10^4-10^5) that a shard's rows fit an executor's sort
+    spill comfortably; a global single-sequence permutation
+    (ntile/row_number over everything) would be a one-partition sort and
+    is exactly what this avoids. The epoch seed goes in the hash, so
+    re-sharding for epoch 2 is a new seed, not a new algorithm.
+    """
+    key = _unit_hash(seed, F.col(id_col))
+    from pyspark.sql import Window
+    out = df.withColumn("_shuf", key) \
+            .withColumn("shard", F.pmod(F.col("_shuf"),
+                                        F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("_shuf").asc(),
+                                            F.col(id_col).asc())
+    return (out.withColumn("pos", F.row_number().over(w) - 1)
+            .drop("_shuf"))

@@ -258,3 +258,31 @@ def test_token_budget_rejects_null_and_negative_counts(spark):
         "doc_id long, source string, n_tok int")
     with pytest.raises(Exception, match="non-null"):
         mixture.token_budget_sample(neg, {"wiki": 100}).collect()
+
+
+def test_shuffle_shards_is_a_dense_deterministic_permutation(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(400)],
+                               "doc_id long, n_chars long")
+    out = mixture.shuffle_shards(df, "doc_id", n_shards=8, seed=3)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    # every input id exactly once, shards in range
+    assert sorted(r.doc_id for r in rows) == list(range(400))
+    assert all(0 <= r.shard < 8 for r in rows)
+    # positions dense 0..n-1 within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # balanced in expectation: no shard dominates (md5 uniformity)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(sizes) == 8 and max(sizes) < 2.5 * min(sizes)
+    # partitioning-independent: identical assignment after repartition
+    again = (mixture.shuffle_shards(df.repartition(13), "doc_id",
+                                    n_shards=8, seed=3)
+             .select("doc_id", "shard", "pos").collect())
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different seed is a different permutation
+    other = (mixture.shuffle_shards(df, "doc_id", n_shards=8, seed=4)
+             .select("doc_id", "shard", "pos").collect())
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
