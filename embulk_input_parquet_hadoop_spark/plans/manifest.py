@@ -10,6 +10,12 @@ The reference explicitly lacks resume ("Resume supported: no",
   record exists). Driver-side metadata stays a driver-side file write —
   running a Spark job to persist one row costs seconds of fixed overhead
   per wave and buys nothing.
+- ``{out}/manifest/checkpoint-K.json`` optional compaction of every wave
+  record <= K (:func:`compact_manifest`) — the Delta last-checkpoint
+  reader shape for OUR tree: lineage/metrics reads become one object
+  read + the post-checkpoint tail instead of O(waves) small reads on a
+  long-lived append tree. Purely a read cache; per-wave records remain
+  the visibility source of truth and are never deleted by compaction.
 - chunk-level codec metrics are aggregated from the wave's chunk files with
   the ``blobs`` payload column pruned at the Parquet scan (stats are
   top-level columns — see ``pipeline.CHUNK_SPARK_SCHEMA``), so the commit
@@ -27,10 +33,84 @@ from pyspark.sql import functions as F
 from . import fsutil
 
 _WAVE_RE = re.compile(r"^wave-(\d+)\.json$")
+_CKPT_RE = re.compile(r"^checkpoint-(\d+)\.json$")
 
 
 def _manifest_dir(out_dir: str) -> str:
     return f"{out_dir}/manifest"
+
+
+def _latest_checkpoint(out_dir: str) -> tuple[int, str] | None:
+    """(max_wave, path) of the newest checkpoint record, or None."""
+    mdir = _manifest_dir(out_dir)
+    if not fsutil.isdir(mdir):
+        return None
+    best = None
+    for f in fsutil.listdir(mdir):
+        if (m := _CKPT_RE.match(f)):
+            k = int(m.group(1))
+            if best is None or k > best[0]:
+                best = (k, f"{mdir}/{f}")
+    return best
+
+
+def _wave_records(out_dir: str) -> list[dict]:
+    """Every committed wave's manifest record, checkpoint-accelerated:
+    the newest ``checkpoint-K.json`` serves waves <= K in ONE read, and
+    only wave files committed after it are read individually — the same
+    reader shape as a Delta last-checkpoint replay. Per-wave files stay
+    the single VISIBILITY point (``completed_waves`` never consults the
+    checkpoint); the checkpoint is a pure read cache, so a stale or
+    absent one only costs extra reads, never changes what is visible."""
+    mdir = _manifest_dir(out_dir)
+    if not fsutil.isdir(mdir):
+        return []
+    ckpt = _latest_checkpoint(out_dir)
+    recs: dict[int, dict] = {}
+    base = -1
+    if ckpt is not None:
+        base, path = ckpt
+        for r in fsutil.read_json(path)["waves"]:
+            recs[int(r["wave_id"])] = r
+    for f in fsutil.listdir(mdir):
+        if (m := _WAVE_RE.match(f)) and int(m.group(1)) > base:
+            r = fsutil.read_json(f"{mdir}/{f}")
+            recs[int(r["wave_id"])] = r
+    return [recs[k] for k in sorted(recs)]
+
+
+def compact_manifest(out_dir: str, keep_old: bool = False) -> dict:
+    """Compact every committed wave record into ``checkpoint-K.json``
+    (K = the highest committed wave id), atomically visible via the
+    same ``fsutil`` put discipline as wave commits. Per-wave records
+    are NOT deleted — they remain the visibility source of truth for
+    ``completed_waves``/readers and the resume protocol; the checkpoint
+    only collapses the O(waves) lineage/metrics reads
+    (``committed_input_files``, ``read_manifest``) to one read plus the
+    post-checkpoint tail. Superseded older checkpoints are removed
+    AFTER the new one is visible (``keep_old=True`` skips that); a
+    crash between the two leaves two checkpoints and readers pick the
+    newest — never an inconsistent view. Like ``vacuum``, do not run
+    concurrently with another compact on the same tree.
+    """
+    recs = _wave_records(out_dir)
+    if not recs:
+        raise FileNotFoundError(f"no committed waves under {out_dir}")
+    k = max(int(r["wave_id"]) for r in recs)
+    mdir = _manifest_dir(out_dir)
+    old = [f for f in fsutil.listdir(mdir)
+           if (m := _CKPT_RE.match(f)) and int(m.group(1)) != k]
+    fsutil.write_json_atomic(mdir, f"checkpoint-{k}.json",
+                             {"max_wave": k, "n_waves": len(recs),
+                              "waves": recs})
+    removed = 0
+    if not keep_old:
+        for f in old:
+            fsutil.delete_quiet(f"{mdir}/{f}")
+            removed += 1
+    return {"checkpoint": f"{mdir}/checkpoint-{k}.json",
+            "max_wave": k, "n_waves": len(recs),
+            "old_checkpoints_removed": removed}
 
 
 def completed_waves(spark: SparkSession, out_dir: str) -> set[int]:
@@ -44,15 +124,14 @@ def completed_waves(spark: SparkSession, out_dir: str) -> set[int]:
 def committed_input_files(out_dir: str) -> set[str]:
     """Union of every committed wave's input-file lineage — the set an
     incremental (``append``) encode subtracts so already-encoded source
-    files are never re-encoded. O(waves) driver-side JSON reads; at 100 TB
-    (~64 waves) this is a few MB of strings."""
-    mdir = _manifest_dir(out_dir)
+    files are never re-encoded. One checkpoint read plus the
+    post-checkpoint tail (see :func:`_wave_records`); without a
+    checkpoint, O(waves) driver-side JSON reads — at 100 TB in one
+    encode (~64 waves) a few MB of strings, and a long-lived
+    append-every-day tree keeps it O(1) via :func:`compact_manifest`."""
     out: set[str] = set()
-    if not fsutil.isdir(mdir):
-        return out
-    for f in fsutil.listdir(mdir):
-        if _WAVE_RE.match(f):
-            out.update(fsutil.read_json(f"{mdir}/{f}")["input_files"])
+    for r in _wave_records(out_dir):
+        out.update(r["input_files"])
     return out
 
 
@@ -162,9 +241,7 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     if not fsutil.isdir(out_dir):
         raise FileNotFoundError(
             f"encode output dir does not exist: {out_dir}")
-    mdir = _manifest_dir(out_dir)
-    recs = [fsutil.read_json(f"{mdir}/{f}")
-            for f in sorted(fsutil.listdir(mdir)) if _WAVE_RE.match(f)]
+    recs = _wave_records(out_dir)
     schema = ("wave_id int, input_files array<string>, n_chunks long, "
               "n_rows long, n_tokens long, raw_bytes long, enc_bytes long, "
               "n_bad_files long, n_bad_rows long, wall_s double")

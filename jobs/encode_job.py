@@ -186,6 +186,11 @@ def main() -> int:
                         "(uncommitted waves, stray .tmp parts) from "
                         "--output; pairs with --resume for a clean "
                         "restart")
+    p.add_argument("--compact-manifest", action="store_true",
+                   help="after encoding: compact committed wave records "
+                        "into manifest/checkpoint-K.json (one-read "
+                        "lineage/metrics for long-lived append trees; "
+                        "per-wave records stay as the visibility truth)")
     p.add_argument("--verify-files", action="store_true",
                    help="channel-free positional verify (one task per "
                         "source file) instead of the global join")
@@ -402,6 +407,9 @@ def main() -> int:
         totals["vacuum"] = vacuum_result
     if totals["wall_s"]:
         totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]
+    if args.compact_manifest:
+        from embulk_input_parquet_hadoop_spark.plans import manifest as mf
+        totals["manifest_checkpoint"] = mf.compact_manifest(args.output)
     if args.relayout_columnar:
         from embulk_input_parquet_hadoop_spark.plans import columnar
         totals["columnar"] = columnar.relayout_columnar(
