@@ -1359,6 +1359,38 @@ def q65_remove_duplicate_spans(spark, sf_dir):
                      F.collect_list("h")))).alias("texts_md5")))
 
 
+def q66_decontaminate_excision(spark, sf_dir):
+    """Decontamination by EXCISION, oracle-gated: spans of training
+    docs whose 5-word window appears anywhere in the held-out
+    benchmark slice (q40's deterministic md5 ~1/16 split) are located
+    (`dedup.contaminated_spans`, benchmark grams broadcast — zero scan
+    shuffle) and REMOVED from the text (`dedup.remove_duplicate_spans`)
+    instead of dropping whole documents. The rollup hashes every
+    scrubbed text, so a single word excised too many or too few
+    anywhere mismatches the oracle's word-by-word re-derivation."""
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")),
+                           1, 1) == "0"
+    bench = docs.filter(is_bench)
+    train = docs.filter(~is_bench)
+    spans = dedup.contaminated_spans(train, bench, "doc_id", "text",
+                                     k=5)
+    clean = dedup.remove_duplicate_spans(train, spans, "doc_id", "text")
+    per_doc = clean.select(
+        "doc_id", "source",
+        F.size(words(F.col("text_dedup"))).alias("n_kept"),
+        F.size(words(F.col("text"))).alias("n_orig"),
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          F.col("text_dedup"))).alias("h"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("n_kept") < F.col("n_orig"), 1)
+                       .otherwise(0)).alias("n_docs_excised"),
+                 F.sum("n_kept").alias("words_kept_sum"),
+                 F.md5(F.concat_ws(",", F.array_sort(
+                     F.collect_list("h")))).alias("texts_md5")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sorted: keys are numbered so that every oracle-gated query sorts
     # before the two rows-only ones (q53 multimodal byte-kernel, q54
@@ -1430,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_duplicate_ngram_spans": q63_duplicate_ngram_spans,
         "q64_shuffle_shards": q64_shuffle_shards,
         "q65_remove_duplicate_spans": q65_remove_duplicate_spans,
+        "q66_decontaminate_excision": q66_decontaminate_excision,
     }.items()))
 
 
@@ -2540,6 +2573,97 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_words_kept) AS BIGINT) AS words_kept_sum,
+                   md5(array_to_string(list_sort(list(h)), ','))
+                       AS texts_md5
+            FROM pd GROUP BY source
+        """,
+        # q66: q65's reconstruction machinery with the span source
+        # swapped — a gram is excisable iff its hash appears in the
+        # benchmark slice's gram set (q40's md5 ~1/16 split)
+        "q66_decontaminate_excision": f"""
+            WITH split AS (
+              SELECT doc_id, text, source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                       AS is_bench
+              FROM documents
+            ),
+            d AS (SELECT doc_id, text, source, {WORDS} AS ws
+                  FROM split WHERE NOT is_bench),
+            bw AS (SELECT doc_id, {WORDS} AS ws
+                   FROM split WHERE is_bench),
+            bg AS (
+              SELECT DISTINCT u.h AS h FROM (
+                SELECT unnest(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> {{'h': CAST('0x' || substr(md5(array_to_string(
+                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}}))
+                   AS u
+                FROM bw)
+            ),
+            g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> {{'pos': i,
+                         'h': CAST('0x' || substr(md5(array_to_string(
+                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}}))
+                   AS u
+                FROM d)
+            ),
+            sp AS (SELECT g.doc_id, g.pos AS s, g.pos + 4 AS e
+                   FROM g JOIN bg USING (h)),
+            m AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -2) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM sp
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS gid
+              FROM m
+            ),
+            mg AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me
+                   FROM isl GROUP BY doc_id, gid),
+            wpos AS (
+              SELECT doc_id, u.i AS i, u.w AS w FROM (
+                SELECT doc_id, unnest(list_transform(
+                   range(1, len(ws) + 1),
+                   i -> {{'i': i, 'w': ws[i]}})) AS u
+                FROM d)
+            ),
+            kept AS (
+              SELECT wp.doc_id, wp.i, wp.w
+              FROM wpos wp
+              WHERE NOT EXISTS (SELECT 1 FROM mg
+                                WHERE mg.doc_id = wp.doc_id
+                                  AND wp.i BETWEEN mg.ms AND mg.me)
+            ),
+            txt AS (SELECT doc_id,
+                           array_to_string(list(w ORDER BY i), ' ') AS t
+                    FROM kept GROUP BY doc_id),
+            red AS (
+              SELECT d.doc_id, d.source, len(d.ws) AS n_orig,
+                     CASE WHEN d.doc_id IN (SELECT doc_id FROM mg)
+                          THEN coalesce(t.t, '')
+                          ELSE d.text END AS text_dedup
+              FROM d LEFT JOIN txt t ON t.doc_id = d.doc_id
+            ),
+            pd AS (
+              SELECT doc_id, source, n_orig,
+                     len(list_filter(string_split(text_dedup, ' '),
+                                     w -> w <> '')) AS n_kept,
+                     md5(doc_id || ':' || text_dedup) AS h
+              FROM red
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN n_kept < n_orig THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_excised,
+                   CAST(sum(n_kept) AS BIGINT) AS words_kept_sum,
                    md5(array_to_string(list_sort(list(h)), ','))
                        AS texts_md5
             FROM pd GROUP BY source

@@ -515,6 +515,25 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     Gram identity is the md5-derived 60-bit int (functions/hashes) so a
     DuckDB oracle reproduces spans exactly.
     """
+    occ = _gram_occurrences(df, id_col, text_col, k)
+    firsts = (occ.groupBy("h")
+              .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("pos").alias("p"))).alias("_f"),
+                   F.count(F.lit(1)).alias("_cnt"))
+              .filter(F.col("_cnt") > 1))
+    dups = (occ.join(firsts, "h")
+            .filter(~((F.col(id_col) == F.col("_f.i"))
+                      & (F.col("pos") == F.col("_f.p"))))
+            .select(id_col, F.col("pos").alias("s"),
+                    (F.col("pos") + (k - 1)).alias("e")))
+    return _merge_spans(dups, id_col)
+
+
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
+                      k: int) -> DataFrame:
+    """(id, pos, h): every k-word window's md5-derived 60-bit hash with
+    its 1-based word position. Map-side; the word array materializes in
+    its own projection first (HOF-lambda CSE rule — see word_shingles)."""
     from ..functions.hashes import md5_long
 
     ws_df = df.select(id_col, words(F.col(text_col)).alias("_ws"))
@@ -526,31 +545,48 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         idx, lambda i: md5_long(F.concat_ws(
             " ", *[F.element_at(ws, (i + j).cast("int"))
                    for j in range(k)])))
-    occ = (ws_df.select(id_col, F.posexplode(grams).alias("_p0", "h"))
-           .select(id_col, (F.col("_p0") + 1).alias("pos"), "h"))
-    firsts = (occ.groupBy("h")
-              .agg(F.min(F.struct(F.col(id_col).alias("i"),
-                                  F.col("pos").alias("p"))).alias("_f"),
-                   F.count(F.lit(1)).alias("_cnt"))
-              .filter(F.col("_cnt") > 1))
-    dups = (occ.join(firsts, "h")
-            .filter(~((F.col(id_col) == F.col("_f.i"))
-                      & (F.col("pos") == F.col("_f.p"))))
-            .select(id_col, F.col("pos").alias("s"),
-                    (F.col("pos") + (k - 1)).alias("e")))
+    return (ws_df.select(id_col, F.posexplode(grams).alias("_p0", "h"))
+            .select(id_col, (F.col("_p0") + 1).alias("pos"), "h"))
+
+
+def _merge_spans(spans: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of (id, s, e) word ranges: overlapping OR
+    adjacent ranges coalesce. Per-document window, bounded by doc length."""
     w = Window.partitionBy(id_col).orderBy("s")
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
-    dups = dups.withColumn(
+    out = spans.withColumn(
         "_ni", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-2)) + 1,
                       F.lit(1)).otherwise(F.lit(0)))
-    dups = dups.withColumn(
+    out = out.withColumn(
         "_gid", F.sum("_ni").over(w.rowsBetween(
             Window.unboundedPreceding, 0)))
-    return (dups.groupBy(id_col, "_gid")
+    return (out.groupBy(id_col, "_gid")
             .agg(F.min("s").alias("span_start"),
                  F.max("e").alias("span_end"))
             .select(id_col, "span_start", "span_end"))
+
+
+def contaminated_spans(train: DataFrame, bench: DataFrame, id_col: str,
+                       text_col: str, k: int = 5) -> DataFrame:
+    """Spans of training documents whose k-word window appears ANYWHERE
+    in the benchmark corpus — decontamination by EXCISION: feed the
+    result to :func:`remove_duplicate_spans` to scrub the overlapping
+    passages while keeping the rest of each document (the
+    whole-document alternative is :func:`contaminated_ids` + anti-join).
+
+    Plan shape mirrors :func:`contamination_report`: the benchmark gram
+    set is tiny (eval suites are MBs) and **broadcast**, so the corpus
+    probe is a map-side hash join — zero scan shuffle; the island merge
+    is the per-doc window. Same gram identity as
+    :func:`duplicate_spans`, so one DuckDB oracle covers both."""
+    occ = _gram_occurrences(train, id_col, text_col, k)
+    bench_h = (_gram_occurrences(bench, id_col, text_col, k)
+               .select("h").distinct())
+    hits = (occ.join(F.broadcast(bench_h), "h")
+            .select(id_col, F.col("pos").alias("s"),
+                    (F.col("pos") + (k - 1)).alias("e")))
+    return _merge_spans(hits, id_col)
 
 
 def remove_duplicate_spans(docs: DataFrame, spans: DataFrame,

@@ -142,3 +142,23 @@ def test_remove_matches_python_reference_on_random_corpus(spark):
         keep = [w for p, w in enumerate(ws, start=1)
                 if not any(s <= p <= e for s, e in ref_spans[i])]
         assert got[i] == " ".join(keep)
+
+
+def test_contaminated_spans_against_benchmark(spark):
+    train = spark.createDataFrame(
+        [(1, "PRE a b c MID d e f POST"), (2, "clean words only here"),
+         (3, "a b c")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, "a b c x y z d e f")], "doc_id bigint, text string")
+    spans = dedup.contaminated_spans(train, bench, "doc_id", "text",
+                                     k=3)
+    got = sorted((r.doc_id, r.span_start, r.span_end)
+                 for r in spans.collect())
+    # doc 1: "a b c" at words 2-4 and "d e f" at 6-8, NOT adjacent
+    # (word 5 "MID" survives); doc 3 wholly matches
+    assert got == [(1, 2, 4), (1, 6, 8), (3, 1, 3)]
+    clean = dedup.remove_duplicate_spans(train, spans, "doc_id", "text")
+    texts = {r.doc_id: r.text_dedup for r in clean.collect()}
+    assert texts == {1: "PRE MID POST",
+                     2: "clean words only here", 3: ""}
