@@ -97,6 +97,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
+# Shared span-oracle CTE fragments (q63/q65/q66 — ONE source of truth so
+# a merge-rule or gram-hash fix cannot silently diverge the oracles).
+# All assume a prior CTE `d(doc_id, ws, ...)`; 5-word grams (k=5).
+
+# g: every gram's md5-derived 60-bit hash with its 1-based position
+GRAM_CTE = """
+            g AS (
+              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(ws) - 4, 0) + 1),
+                   i -> {'pos': i,
+                         'h': CAST('0x' || substr(md5(array_to_string(
+                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}))
+                   AS u
+                FROM d)
+            )"""
+
+# r/sp: duplicate occurrences = everything but the globally first
+# occurrence of each gram by (doc_id, pos)
+DUP_OCC_CTES = """
+            r AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rk
+              FROM g
+            ),
+            sp AS (SELECT doc_id, pos AS s, pos + 4 AS e
+                   FROM r WHERE rk > 1)"""
+
+# m/isl/mg: gaps-and-islands merge of overlapping-or-adjacent spans
+SPAN_MERGE_CTES = """
+            m AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -2) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM sp
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS gid
+              FROM m
+            ),
+            mg AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me
+                   FROM isl GROUP BY doc_id, gid)"""
+
+# wpos/kept/txt: rebuild each affected doc from the words no merged
+# span covers
+SPAN_RECONSTRUCT_CTES = """
+            wpos AS (
+              SELECT doc_id, u.i AS i, u.w AS w FROM (
+                SELECT doc_id, unnest(list_transform(
+                   range(1, len(ws) + 1),
+                   i -> {'i': i, 'w': ws[i]})) AS u
+                FROM d)
+            ),
+            kept AS (
+              SELECT wp.doc_id, wp.i, wp.w
+              FROM wpos wp
+              WHERE NOT EXISTS (SELECT 1 FROM mg
+                                WHERE mg.doc_id = wp.doc_id
+                                  AND wp.i BETWEEN mg.ms AND mg.me)
+            ),
+            txt AS (SELECT doc_id,
+                           array_to_string(list(w ORDER BY i), ' ') AS t
+                    FROM kept GROUP BY doc_id)"""
+
 
 def q01_scan_filter_project(spark, sf_dir):
     return (_t(spark, sf_dir, "documents")
@@ -2450,41 +2520,9 @@ def oracle_sql() -> dict[str, str]:
         # first-occurrence rule, AND the merge rule
         "q63_duplicate_ngram_spans": f"""
             WITH d AS (SELECT doc_id, {WORDS} AS ws FROM documents),
-            g AS (
-              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
-                SELECT doc_id, unnest(list_transform(
-                   range(1, greatest(len(ws) - 4, 0) + 1),
-                   i -> {{'pos': i,
-                         'h': CAST('0x' || substr(md5(array_to_string(
-                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}}))
-                   AS u
-                FROM d)
-            ),
-            r AS (
-              SELECT doc_id, pos,
-                     row_number() OVER (PARTITION BY h
-                                        ORDER BY doc_id, pos) AS rk
-              FROM g
-            ),
-            sp AS (SELECT doc_id, pos AS s, pos + 4 AS e
-                   FROM r WHERE rk > 1),
-            m AS (
-              SELECT doc_id, s, e,
-                     CASE WHEN s > coalesce(max(e) OVER (
-                              PARTITION BY doc_id ORDER BY s
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), -2) + 1
-                          THEN 1 ELSE 0 END AS ni
-              FROM sp
-            ),
-            isl AS (
-              SELECT doc_id, s, e,
-                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
-                                   ROWS UNBOUNDED PRECEDING) AS gid
-              FROM m
-            ),
-            mg AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me
-                   FROM isl GROUP BY doc_id, gid),
+            {GRAM_CTE},
+            {DUP_OCC_CTES},
+            {SPAN_MERGE_CTES},
             pd AS (SELECT doc_id, count(*) AS n_spans,
                           sum(me - ms + 1) AS dup_words
                    FROM mg GROUP BY doc_id)
@@ -2505,58 +2543,10 @@ def oracle_sql() -> dict[str, str]:
         # _spans-null branch)
         "q65_remove_duplicate_spans": f"""
             WITH d AS (SELECT doc_id, {WORDS} AS ws FROM documents),
-            g AS (
-              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
-                SELECT doc_id, unnest(list_transform(
-                   range(1, greatest(len(ws) - 4, 0) + 1),
-                   i -> {{'pos': i,
-                         'h': CAST('0x' || substr(md5(array_to_string(
-                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}}))
-                   AS u
-                FROM d)
-            ),
-            r AS (
-              SELECT doc_id, pos,
-                     row_number() OVER (PARTITION BY h
-                                        ORDER BY doc_id, pos) AS rk
-              FROM g
-            ),
-            sp AS (SELECT doc_id, pos AS s, pos + 4 AS e
-                   FROM r WHERE rk > 1),
-            m AS (
-              SELECT doc_id, s, e,
-                     CASE WHEN s > coalesce(max(e) OVER (
-                              PARTITION BY doc_id ORDER BY s
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), -2) + 1
-                          THEN 1 ELSE 0 END AS ni
-              FROM sp
-            ),
-            isl AS (
-              SELECT doc_id, s, e,
-                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
-                                   ROWS UNBOUNDED PRECEDING) AS gid
-              FROM m
-            ),
-            mg AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me
-                   FROM isl GROUP BY doc_id, gid),
-            wpos AS (
-              SELECT doc_id, u.i AS i, u.w AS w FROM (
-                SELECT doc_id, unnest(list_transform(
-                   range(1, len(ws) + 1),
-                   i -> {{'i': i, 'w': ws[i]}})) AS u
-                FROM d)
-            ),
-            kept AS (
-              SELECT wp.doc_id, wp.i, wp.w
-              FROM wpos wp
-              WHERE NOT EXISTS (SELECT 1 FROM mg
-                                WHERE mg.doc_id = wp.doc_id
-                                  AND wp.i BETWEEN mg.ms AND mg.me)
-            ),
-            txt AS (SELECT doc_id,
-                           array_to_string(list(w ORDER BY i), ' ') AS t
-                    FROM kept GROUP BY doc_id),
+            {GRAM_CTE},
+            {DUP_OCC_CTES},
+            {SPAN_MERGE_CTES},
+            {SPAN_RECONSTRUCT_CTES},
             red AS (
               SELECT dd.doc_id, dd.source,
                      CASE WHEN dd.doc_id IN (SELECT doc_id FROM mg)
@@ -2600,52 +2590,11 @@ def oracle_sql() -> dict[str, str]:
                    AS u
                 FROM bw)
             ),
-            g AS (
-              SELECT doc_id, u.pos AS pos, u.h AS h FROM (
-                SELECT doc_id, unnest(list_transform(
-                   range(1, greatest(len(ws) - 4, 0) + 1),
-                   i -> {{'pos': i,
-                         'h': CAST('0x' || substr(md5(array_to_string(
-                                ws[i:i+4], ' ')), 1, 15) AS BIGINT)}}))
-                   AS u
-                FROM d)
-            ),
+            {GRAM_CTE},
             sp AS (SELECT g.doc_id, g.pos AS s, g.pos + 4 AS e
                    FROM g JOIN bg USING (h)),
-            m AS (
-              SELECT doc_id, s, e,
-                     CASE WHEN s > coalesce(max(e) OVER (
-                              PARTITION BY doc_id ORDER BY s
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), -2) + 1
-                          THEN 1 ELSE 0 END AS ni
-              FROM sp
-            ),
-            isl AS (
-              SELECT doc_id, s, e,
-                     sum(ni) OVER (PARTITION BY doc_id ORDER BY s
-                                   ROWS UNBOUNDED PRECEDING) AS gid
-              FROM m
-            ),
-            mg AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me
-                   FROM isl GROUP BY doc_id, gid),
-            wpos AS (
-              SELECT doc_id, u.i AS i, u.w AS w FROM (
-                SELECT doc_id, unnest(list_transform(
-                   range(1, len(ws) + 1),
-                   i -> {{'i': i, 'w': ws[i]}})) AS u
-                FROM d)
-            ),
-            kept AS (
-              SELECT wp.doc_id, wp.i, wp.w
-              FROM wpos wp
-              WHERE NOT EXISTS (SELECT 1 FROM mg
-                                WHERE mg.doc_id = wp.doc_id
-                                  AND wp.i BETWEEN mg.ms AND mg.me)
-            ),
-            txt AS (SELECT doc_id,
-                           array_to_string(list(w ORDER BY i), ' ') AS t
-                    FROM kept GROUP BY doc_id),
+            {SPAN_MERGE_CTES},
+            {SPAN_RECONSTRUCT_CTES},
             red AS (
               SELECT d.doc_id, d.source, len(d.ws) AS n_orig,
                      CASE WHEN d.doc_id IN (SELECT doc_id FROM mg)

@@ -109,15 +109,17 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
             .select("id_a", "id_b").distinct())
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str,
-                  k: int = 3) -> DataFrame:
-    """(id, shingle) pairs of k-word shingles, distinct per doc.
+def _gram_text_array(df: DataFrame, id_col: str, text_col: str,
+                     k: int) -> DataFrame:
+    """(id, _grams): each doc's k-word windows as an array of gram
+    strings (array index j = 1-based word position j+1).
 
     The word array is materialized in its own projection BEFORE the
-    shingle transform: inlined, every ``element_at(ws, i)`` inside the
-    lambda re-evaluates the full split/filter, making shingling O(len^2)
-    per document (measured 6x wall on the sf0.1 corpus). The explode
-    generator keeps Catalyst from collapsing the projection back in.
+    gram transform: inlined, every ``element_at(ws, i)`` inside the
+    lambda re-evaluates the full split/filter, making gram extraction
+    O(len^2) per document (measured 6x wall on the sf0.1 corpus). The
+    downstream explode keeps Catalyst from collapsing the projection
+    back in.
     """
     ws_df = df.select(id_col, words(F.col(text_col)).alias("_ws"))
     ws = F.col("_ws")
@@ -125,11 +127,18 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     idx = F.when(F.size(ws) >= k,
                  F.sequence(F.lit(1), F.size(ws) - (k - 1))
                  ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(
+    grams = F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + j).cast("int"))
                    for j in range(k)]))
-    return (ws_df.select(id_col, F.explode(shingles).alias("shingle"))
+    return ws_df.select(id_col, grams.alias("_grams"))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 3) -> DataFrame:
+    """(id, shingle) pairs of k-word shingles, distinct per doc."""
+    return (_gram_text_array(df, id_col, text_col, k)
+            .select(id_col, F.explode("_grams").alias("shingle"))
             .distinct())
 
 
@@ -532,20 +541,16 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
 def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
                       k: int) -> DataFrame:
     """(id, pos, h): every k-word window's md5-derived 60-bit hash with
-    its 1-based word position. Map-side; the word array materializes in
-    its own projection first (HOF-lambda CSE rule — see word_shingles)."""
+    its 1-based word position. Map-side; shares the CSE-safe gram
+    scaffolding with :func:`word_shingles` (see _gram_text_array)."""
     from ..functions.hashes import md5_long
 
-    ws_df = df.select(id_col, words(F.col(text_col)).alias("_ws"))
-    ws = F.col("_ws")
-    idx = F.when(F.size(ws) >= k,
-                 F.sequence(F.lit(1), F.size(ws) - (k - 1))
-                 ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: md5_long(F.concat_ws(
-            " ", *[F.element_at(ws, (i + j).cast("int"))
-                   for j in range(k)])))
-    return (ws_df.select(id_col, F.posexplode(grams).alias("_p0", "h"))
+    g = _gram_text_array(df, id_col, text_col, k)
+    # explicit 1-arg lambda: md5_long(col, hex_chars=15) has two
+    # parameters, and F.transform would bind hex_chars to the ELEMENT
+    # INDEX (the (x, i) lambda form), silently varying the hash width
+    hashed = F.transform(F.col("_grams"), lambda gr: md5_long(gr))
+    return (g.select(id_col, F.posexplode(hashed).alias("_p0", "h"))
             .select(id_col, (F.col("_p0") + 1).alias("pos"), "h"))
 
 

@@ -251,6 +251,11 @@ def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
     is exactly what this avoids. The epoch seed goes in the hash, so
     re-sharding for epoch 2 is a new seed, not a new algorithm.
     """
+    if n_shards < 1:
+        # pmod(x, 0) is NULL under non-ANSI Spark: every row would land
+        # in ONE null window partition — the exact single-partition sort
+        # this operator exists to avoid — with no error anywhere
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     key = _unit_hash(seed, F.col(id_col))
     from pyspark.sql import Window
     out = df.withColumn("_shuf", key) \

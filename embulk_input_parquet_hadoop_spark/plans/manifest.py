@@ -60,19 +60,27 @@ def _wave_records(out_dir: str) -> list[dict]:
     only wave files committed after it are read individually — the same
     reader shape as a Delta last-checkpoint replay. Per-wave files stay
     the single VISIBILITY point (``completed_waves`` never consults the
-    checkpoint); the checkpoint is a pure read cache, so a stale or
-    absent one only costs extra reads, never changes what is visible."""
+    checkpoint), and that extends to lineage: a checkpoint entry is
+    served ONLY while its wave's record file still exists, so deleting
+    ``wave-K.json`` (the rollback gesture) removes wave K from every
+    reader — visibility, metrics, AND the append-lineage set — and an
+    append re-encodes its files instead of silently skipping them. The
+    checkpoint caches record *contents*, never record *existence*; a
+    stale or absent one only costs extra reads."""
     mdir = _manifest_dir(out_dir)
     if not fsutil.isdir(mdir):
         return []
     ckpt = _latest_checkpoint(out_dir)
+    names = fsutil.listdir(mdir)
+    present = {int(m.group(1)) for f in names if (m := _WAVE_RE.match(f))}
     recs: dict[int, dict] = {}
     base = -1
     if ckpt is not None:
         base, path = ckpt
         for r in fsutil.read_json(path)["waves"]:
-            recs[int(r["wave_id"])] = r
-    for f in fsutil.listdir(mdir):
+            if int(r["wave_id"]) in present:
+                recs[int(r["wave_id"])] = r
+    for f in names:
         if (m := _WAVE_RE.match(f)) and int(m.group(1)) > base:
             r = fsutil.read_json(f"{mdir}/{f}")
             recs[int(r["wave_id"])] = r

@@ -409,7 +409,14 @@ def main() -> int:
         totals["tokens_per_sec"] = totals["n_tokens"] / totals["wall_s"]
     if args.compact_manifest:
         from embulk_input_parquet_hadoop_spark.plans import manifest as mf
-        totals["manifest_checkpoint"] = mf.compact_manifest(args.output)
+        # a legitimate zero-wave run (append no-op on an empty diff) has
+        # nothing to compact — skip with a note instead of aborting the
+        # totals report
+        if mf.completed_waves(spark, args.output):
+            totals["manifest_checkpoint"] = mf.compact_manifest(
+                args.output)
+        else:
+            totals["manifest_checkpoint"] = None
     if args.relayout_columnar:
         from embulk_input_parquet_hadoop_spark.plans import columnar
         totals["columnar"] = columnar.relayout_columnar(

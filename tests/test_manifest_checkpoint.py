@@ -116,8 +116,17 @@ def test_visibility_still_per_wave_and_vacuum_keeps_checkpoint(
     assert fsutil.exists(f"{out}/manifest/checkpoint-2.json")
     # completed_waves never consults the checkpoint: delete one wave
     # record and visibility shrinks even though the checkpoint covers it
+    pre_lineage = mf.committed_input_files(out)
     Path(f"{out}/manifest/wave-1.json").unlink()
     assert mf.completed_waves(spark, out) == {0, 2}
+    # ...and so does LINEAGE: the checkpoint serves record contents,
+    # never record existence — a rolled-back wave's input files must be
+    # re-encodable by append, not silently skipped
+    post = mf.committed_input_files(out)
+    assert post < pre_lineage and len(post) == 2
+    assert sorted(r.wave_id
+                  for r in mf.read_manifest(spark, out).collect()) \
+        == [0, 2]
 
 
 def test_compact_on_object_store_scheme(spark, tmp_path):

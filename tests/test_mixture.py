@@ -286,3 +286,11 @@ def test_shuffle_shards_is_a_dense_deterministic_permutation(spark):
     other = (mixture.shuffle_shards(df, "doc_id", n_shards=8, seed=4)
              .select("doc_id", "shard", "pos").collect())
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_shuffle_shards_rejects_bad_n_shards(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError, match="n_shards"):
+        mixture.shuffle_shards(df, "doc_id", n_shards=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        mixture.shuffle_shards(df, "doc_id", n_shards=-4)
