@@ -162,3 +162,17 @@ def test_contaminated_spans_against_benchmark(spark):
     texts = {r.doc_id: r.text_dedup for r in clean.collect()}
     assert texts == {1: "PRE MID POST",
                      2: "clean words only here", 3: ""}
+
+
+def test_contaminated_spans_broadcasts_benchmark_grams(spark):
+    train = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(1000, "w3 w4 w5")], "doc_id bigint, text string")
+    spans = dedup.contaminated_spans(train, bench, "doc_id", "text",
+                                     k=3)
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    # the benchmark gram probe must be a map-side broadcast hash join
+    # (zero shuffle on the corpus scan), mirroring contamination_report
+    assert "BroadcastHashJoin" in plan
