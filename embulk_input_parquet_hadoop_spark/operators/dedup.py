@@ -110,16 +110,22 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
 
 
 def _gram_text_array(df: DataFrame, id_col: str, text_col: str,
-                     k: int) -> DataFrame:
-    """(id, _grams): each doc's k-word windows as an array of gram
-    strings (array index j = 1-based word position j+1).
+                     k: int) -> tuple[DataFrame, "F.Column"]:
+    """(ws_df, grams): ``ws_df`` materializes the word array as a real
+    ``_ws`` column, ``grams`` is the k-word-window gram-string array
+    expression OVER that column (array index j = 1-based word position
+    j+1).
 
-    The word array is materialized in its own projection BEFORE the
-    gram transform: inlined, every ``element_at(ws, i)`` inside the
-    lambda re-evaluates the full split/filter, making gram extraction
-    O(len^2) per document (measured 6x wall on the sf0.1 corpus). The
-    downstream explode keeps Catalyst from collapsing the projection
-    back in.
+    The caller MUST apply a generator (explode/posexplode of ``grams``
+    or an expression composed from it) DIRECTLY on ``ws_df`` — the
+    generator is what stops Catalyst collapsing the ``_ws`` projection
+    into the gram lambda. Returning a pre-projected grams DataFrame
+    instead puts two adjacent Projects in the plan, Catalyst fuses them
+    to ``transform(words(text), ...)``, and every ``element_at`` inside
+    the lambda re-evaluates the full split/filter: O(len^2) per doc
+    (first measured 6x wall on the sf0.1 corpus; the tuple shape
+    re-regressed q12 12.8s / q40 10.8s when briefly flattened in r5 —
+    do not "simplify" this into one DataFrame).
     """
     ws_df = df.select(id_col, words(F.col(text_col)).alias("_ws"))
     ws = F.col("_ws")
@@ -131,14 +137,14 @@ def _gram_text_array(df: DataFrame, id_col: str, text_col: str,
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(ws, (i + j).cast("int"))
                    for j in range(k)]))
-    return ws_df.select(id_col, grams.alias("_grams"))
+    return ws_df, grams
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
                   k: int = 3) -> DataFrame:
     """(id, shingle) pairs of k-word shingles, distinct per doc."""
-    return (_gram_text_array(df, id_col, text_col, k)
-            .select(id_col, F.explode("_grams").alias("shingle"))
+    ws_df, grams = _gram_text_array(df, id_col, text_col, k)
+    return (ws_df.select(id_col, F.explode(grams).alias("shingle"))
             .distinct())
 
 
@@ -545,12 +551,12 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
     scaffolding with :func:`word_shingles` (see _gram_text_array)."""
     from ..functions.hashes import md5_long
 
-    g = _gram_text_array(df, id_col, text_col, k)
+    ws_df, grams = _gram_text_array(df, id_col, text_col, k)
     # explicit 1-arg lambda: md5_long(col, hex_chars=15) has two
     # parameters, and F.transform would bind hex_chars to the ELEMENT
     # INDEX (the (x, i) lambda form), silently varying the hash width
-    hashed = F.transform(F.col("_grams"), lambda gr: md5_long(gr))
-    return (g.select(id_col, F.posexplode(hashed).alias("_p0", "h"))
+    hashed = F.transform(grams, lambda gr: md5_long(gr))
+    return (ws_df.select(id_col, F.posexplode(hashed).alias("_p0", "h"))
             .select(id_col, (F.col("_p0") + 1).alias("pos"), "h"))
 
 
