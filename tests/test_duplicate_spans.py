@@ -176,3 +176,17 @@ def test_contaminated_spans_broadcasts_benchmark_grams(spark):
     # the benchmark gram probe must be a map-side broadcast hash join
     # (zero shuffle on the corpus scan), mirroring contamination_report
     assert "BroadcastHashJoin" in plan
+
+
+def test_gram_extraction_materializes_word_array(spark):
+    # regression guard for the O(len^2) HOF-CSE defect: the generator
+    # must reference a projected _ws attribute; if the word-split ever
+    # collapses into the gram lambda, element_at re-evaluates the full
+    # split/filter PER ELEMENT (q12 2.8->12.8s when this regressed)
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id bigint, text string")
+    for q in (dedup.word_shingles(df, "doc_id", "text", k=3),
+              dedup._gram_occurrences(df, "doc_id", "text", 3)):
+        opt = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "AS _ws" in opt, opt
+        assert "element_at(filter(" not in opt.replace(" ", ""), opt
