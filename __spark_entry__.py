@@ -1461,6 +1461,30 @@ def q66_decontaminate_excision(spark, sf_dir):
                      F.collect_list("h")))).alias("texts_md5")))
 
 
+def q67_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup end to end, oracle-gated: SRP
+    bucketing (q26's exact md5-derived planes) -> within-bucket cosine
+    pairs (applyInArrow numpy kernels, block-paired so a mega-bucket
+    cannot OOM) -> connected components -> `dedup.keep_canonical`
+    (per cluster keep the max-vec_id vector, drop the rest, pass
+    unclustered vectors through). The per-label rollup hashes the
+    SURVIVING id set, so parity covers bucketing, the cosine
+    threshold, clustering, the keeper rule, and the anti-join in one
+    answer. Every stage is keyed agg / equi-join / bounded window —
+    the all-pairs work is confined inside buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.srp_neardup_pairs(emb, threshold=0.3, n_planes=4)
+    edges = pairs.select("id_a", "id_b").distinct()
+    cc = dedup.connected_components(edges)
+    kept = dedup.keep_canonical(emb, cc, id_col="vec_id",
+                                order_col="vec_id")
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("vec_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sorted: keys are numbered so that every oracle-gated query sorts
     # before the two rows-only ones (q53 multimodal byte-kernel, q54
@@ -1533,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_shuffle_shards": q64_shuffle_shards,
         "q65_remove_duplicate_spans": q65_remove_duplicate_spans,
         "q66_decontaminate_excision": q66_decontaminate_excision,
+        "q67_semantic_dedup": q67_semantic_dedup,
     }.items()))
 
 
@@ -2160,6 +2185,49 @@ def oracle_sql() -> dict[str, str]:
             WITH {_srp_cte(8)}
             SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_id
             FROM bk GROUP BY bucket
+        """,
+        # q67: q26's pair derivation + q61's recursive closure +
+        # the max-id keeper window + the anti-join, over embeddings
+        "q67_semantic_dedup": f"""
+            WITH RECURSIVE {_srp_cte(4)},
+            un AS (
+              SELECT vec_id,
+                     CASE WHEN sqrt(list_dot_product(d, d)) = 0 THEN d
+                          ELSE list_transform(
+                              d, x -> x / sqrt(list_dot_product(d, d)))
+                     END AS u
+              FROM ed
+            ),
+            e0 AS (
+              SELECT ba.vec_id AS a, bb.vec_id AS b
+              FROM bk ba JOIN bk bb
+                   ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+              JOIN un ua ON ua.vec_id = ba.vec_id
+              JOIN un ub ON ub.vec_id = bb.vec_id
+              WHERE round(list_dot_product(ua.u, ub.u), 4) >= 0.3
+            ),
+            e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach(v, r) AS (
+              SELECT DISTINCT a, a FROM e
+              UNION
+              SELECT e.a, reach.r FROM e JOIN reach ON reach.v = e.b
+            ),
+            cc AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+            ranked AS (
+              SELECT v, component,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY v DESC) AS rk
+              FROM cc
+            ),
+            dropped AS (SELECT v FROM ranked WHERE rk > 1),
+            kept AS (
+              SELECT * FROM embeddings
+              WHERE vec_id NOT IN (SELECT v FROM dropped)
+            )
+            SELECT label, count(*) AS n_vecs,
+                   md5(array_to_string(list_sort(list(vec_id)), ','))
+                       AS ids_md5
+            FROM kept GROUP BY label
         """,
         "q26_srp_neardup_bucketed": f"""
             WITH {_srp_cte(4)},
