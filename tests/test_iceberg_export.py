@@ -1,0 +1,101 @@
+"""iceberg_meta.export_table: DataFrame -> single-snapshot Iceberg v2
+table, readback-gated through the repo's own native reader."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+
+
+def test_export_roundtrips_through_native_reader(spark, tmp_path):
+    df = (spark.range(0, 500)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("s"), (F.col("id") % 5).cast("string"))
+                  .alias("source"),
+                  (F.col("id") * 3).alias("n_chars"),
+                  F.array(F.col("id").cast("int"),
+                          (F.col("id") + 1).cast("int")).alias("toks"))
+          .repartition(3))
+    out = str(tmp_path / "tbl")
+    res = iceberg_meta.export_table(df, out)
+    assert res["n_rows"] == 500 and len(res["files"]) == 3
+
+    # the native reader resolves the snapshot and Spark reads it back
+    files = iceberg_meta.snapshot_data_files(out)
+    back = spark.read.parquet(*files)
+    assert back.count() == 500
+    got = sorted(r.doc_id for r in back.select("doc_id").collect())
+    assert got == list(range(500))
+    arr = back.filter(F.col("doc_id") == 7).collect()[0]
+    assert list(arr.toks) == [7, 8]
+
+
+def test_export_schema_has_unique_nested_field_ids(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1, 2], {"k": 1.5}, (10, "x"))],
+        "a long, arr array<int>, m map<string,double>, "
+        "s struct<u:long, v:string>")
+    out = str(tmp_path / "tbl2")
+    iceberg_meta.export_table(df, out)
+    meta = json.loads((tmp_path / "tbl2" / "metadata" /
+                       "v1.metadata.json").read_text())
+    schema = meta["schemas"][0]
+    ids = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t["type"] == "struct":
+                for f in t["fields"]:
+                    ids.append(f["id"])
+                    walk(f["type"])
+            elif t["type"] == "list":
+                ids.append(t["element-id"])
+                walk(t["element"])
+            elif t["type"] == "map":
+                ids.append(t["key-id"])
+                ids.append(t["value-id"])
+                walk(t["key"])
+                walk(t["value"])
+
+    walk(schema)
+    assert len(ids) == len(set(ids)), ids
+    # top-level 1..4, nested allocated after
+    top = [f["id"] for f in schema["fields"]]
+    assert top == [1, 2, 3, 4]
+    assert min(i for i in ids if i not in top) > 4
+    # spot-check primitive mappings
+    by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    assert by_name["a"] == "long"
+    assert by_name["arr"]["element"] == "int"
+    assert by_name["m"]["value"] == "double"
+
+
+def test_export_refuses_unmappable_types_and_remote(spark, tmp_path):
+    df = spark.createDataFrame([(bytearray(b"x"),)], "b binary") \
+        .select(F.col("b"), F.lit(None).cast("void").alias("n"))
+    with pytest.raises(NotImplementedError, match="Iceberg mapping"):
+        iceberg_meta.export_table(df, str(tmp_path / "bad"))
+    ok = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(NotImplementedError, match="local"):
+        iceberg_meta.export_table(ok, "mock-s3://bucket/t")
+
+
+def test_export_feeds_encode_path(spark, tmp_path):
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    from embulk_input_parquet_hadoop_spark.sources.datagen import generate
+    src = tmp_path / "src"
+    generate(str(src), n_docs=400, seed=13, n_files=1)
+    tok = spark.read.parquet(str(src))
+    out = str(tmp_path / "iceberg_tbl")
+    iceberg_meta.export_table(tok, out)
+    enc = str(tmp_path / "enc")
+    files = iceberg_meta.snapshot_data_files(out)
+    t = pipeline.encode_path(spark, out, enc, input_files=files)
+    assert t["n_rows"] == 400
+    from embulk_input_parquet_hadoop_spark.plans import verify
+    assert verify.verify_files(spark, enc)["ok"]
