@@ -1522,6 +1522,40 @@ def q68_iceberg_export_roundtrip(spark, sf_dir):
                      lambda x: x.cast("string")))).alias("ids_md5")))
 
 
+def q69_delta_export_roundtrip(spark, sf_dir):
+    """Delta EXPORT roundtrip, oracle-gated (q68's contract for the
+    Delta log): documents (with the WORDS array) exported as a
+    one-commit Delta table (`delta_meta.export_table` — Spark parquet
+    data + _delta_log protocol/metaData/add actions, schemaString =
+    Spark's own StructType JSON), resolved back through the repo's
+    native log replay (`snapshot_scan`), encoded, decoded, and
+    aggregated against the plain-SQL oracle over the raw documents."""
+    from embulk_input_parquet_hadoop_spark.sources import delta_meta
+    base = _scratch(
+        f"spark_graft_q69_{os.path.basename(sf_dir.rstrip('/'))}")
+    docs = _t(spark, sf_dir, "documents")
+    df = (docs.select("doc_id", "n_chars", "source",
+                      words(F.col("text")).alias("words"))
+          .repartition(3))
+    tbl = f"{base}/tbl"
+    delta_meta.export_table(df, tbl)
+    scan = delta_meta.snapshot_scan(tbl)
+    pipeline.encode_path(spark, tbl, f"{base}/enc",
+                         input_files=scan["data_files"],
+                         batch_rows=2048)
+    dec = pipeline.read_decoded(
+        spark, f"{base}/enc", ["doc_id", "n_chars", "source", "words"],
+        "doc_id bigint, n_chars bigint, source string, "
+        "words array<string>")
+    return (dec.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.sum(F.size("words")).alias("words_sum"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("ids_md5")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sorted: keys are numbered so that every oracle-gated query sorts
     # before the two rows-only ones (q53 multimodal byte-kernel, q54
@@ -1596,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_decontaminate_excision": q66_decontaminate_excision,
         "q67_semantic_dedup": q67_semantic_dedup,
         "q68_iceberg_export_roundtrip": q68_iceberg_export_roundtrip,
+        "q69_delta_export_roundtrip": q69_delta_export_roundtrip,
     }.items()))
 
 
@@ -2270,6 +2305,16 @@ def oracle_sql() -> dict[str, str]:
         # q68: the exported+re-encoded corpus must equal the raw
         # documents exactly (same shape as q60/q62's ingest oracles)
         "q68_iceberg_export_roundtrip": f"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(sum(len({WORDS})) AS BIGINT) AS words_sum,
+                   md5(array_to_string(list_sort(list(doc_id)), ','))
+                       AS ids_md5
+            FROM documents GROUP BY source
+        """,
+        # q69: same oracle as q68 — the Delta-exported corpus must
+        # equal the raw documents exactly
+        "q69_delta_export_roundtrip": f"""
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS chars_sum,
                    CAST(sum(len({WORDS})) AS BIGINT) AS words_sum,

@@ -1266,3 +1266,99 @@ def _write_checkpoint_v2(base: str, all_versions: list[list[dict]],
         fsutil.put_bytes(f"{log}/{name}", _pq_bytes(rows, schema))
     fsutil.put_bytes(f"{log}/_last_checkpoint",
                      json.dumps({"version": version}).encode())
+
+
+_EXPORT_PRIMS = {"string", "long", "integer", "short", "byte", "double",
+                 "float", "boolean", "binary", "date", "timestamp",
+                 "timestamp_ntz"}
+
+
+def _check_exportable(t) -> None:
+    """Refuse Spark types with no safe Delta schemaString spelling —
+    a table other Delta readers cannot interpret is worse than none."""
+    if isinstance(t, str):
+        if t in _EXPORT_PRIMS or t.startswith("decimal("):
+            return
+        raise NotImplementedError(f"no Delta mapping for type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        for f in t["fields"]:
+            _check_exportable(f["type"])
+    elif kind == "array":
+        _check_exportable(t["elementType"])
+    elif kind == "map":
+        _check_exportable(t["keyType"])
+        _check_exportable(t["valueType"])
+    else:
+        raise NotImplementedError(f"no Delta mapping for type {kind!r}")
+
+
+def export_table(df, table_dir: str) -> dict:
+    """Write a DataFrame as a one-commit Delta table any Delta reader
+    can open: Spark writes the data parquet at the table root, then
+    version 0 of ``_delta_log`` records protocol(1,2) + metaData
+    (schemaString IS Spark's StructType JSON — the Delta wire format)
+    + one ``add`` per file with size and ``numRecords`` stats.
+
+    The log JSON publishes atomically-at-visibility through ``fsutil``
+    (a reader never sees a table whose log references missing files:
+    data lands first, the commit is the visibility point — the same
+    ordering Delta writers use). Caveats, stated: single commit,
+    unpartitioned, no column min/max stats. The export inverse of the
+    native Delta *reader* (`snapshot_scan`), not a transactional
+    writer. Returns {"table_dir", "files", "n_rows"} after a readback
+    gate through our own reader.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    if not fsutil.is_local(table_dir):
+        raise NotImplementedError(
+            "export_table writes local trees only (Spark's parquet "
+            "writer + os.path metadata); copy or mount remote targets")
+    schema_json = json.loads(df.schema.json())
+    _check_exportable(schema_json)
+    base = table_dir.rstrip("/")
+    df.write.parquet(base)
+    names = sorted(f for f in os.listdir(base)
+                   if f.endswith(".parquet") and not f.startswith((".",
+                                                                   "_")))
+    now_ms = int(_time.time() * 1000)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": now_ms,
+        }},
+    ]
+    n_rows = 0
+    for n in names:
+        p = os.path.join(base, n)
+        cnt = pq.read_metadata(p).num_rows
+        n_rows += cnt
+        actions.append({"add": {
+            "path": n,
+            "partitionValues": {},
+            "size": os.path.getsize(p),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": cnt}),
+        }})
+    body = "\n".join(json.dumps(a) for a in actions) + "\n"
+    fsutil.makedirs_any(f"{base}/_delta_log")
+    fsutil.put_bytes(f"{base}/_delta_log/{0:020d}.json",
+                     body.encode())
+    scan = snapshot_scan(base)
+    back = sorted(scan["data_files"])
+    want = sorted(os.path.join(base, n) for n in names)
+    if back != want:
+        raise RuntimeError(
+            f"export readback mismatch: wrote {len(want)} files, "
+            f"snapshot lists {len(back)}")
+    return {"table_dir": base, "files": want, "n_rows": n_rows}

@@ -52,17 +52,21 @@ def main() -> int:
                    help="zone-map-pruned int range filter, repeatable; "
                         "empty LO/HI means unbounded (e.g. n_tok:128:)")
     p.add_argument("--format",
-                   choices=("parquet", "json", "avro", "iceberg"),
+                   choices=("parquet", "json", "avro", "iceberg",
+                            "delta"),
                    default="parquet",
                    help="output format: parquet; json (JSON-lines, "
                         "one object per row — the raw-corpus exchange "
                         "shape; add --json-gzip to compress); avro "
                         "(container files via the pure-Python writer, "
                         "deflate codec, one file per non-empty "
-                        "partition); or iceberg (single-snapshot "
+                        "partition); iceberg (single-snapshot "
                         "unpartitioned Iceberg v2 table — parquet data "
                         "+ spec-shaped metadata via the pure-Python "
-                        "Avro writer, readable by any Iceberg engine)")
+                        "Avro writer); or delta (one-commit Delta "
+                        "table: _delta_log protocol+metaData+add "
+                        "actions with numRecords stats) — both "
+                        "readable by any engine speaking the format")
     p.add_argument("--json-gzip", action="store_true",
                    help="with --format json: gzip-compress part files")
     p.add_argument("--overwrite", action="store_true",
@@ -128,7 +132,7 @@ def main() -> int:
         rows = sum(avro_io.avro_record_count_ranged(f)
                    for f in res["files"])
         assert rows == res["n_rows"], (rows, res["n_rows"])
-    elif args.format == "iceberg":
+    elif args.format in ("iceberg", "delta"):
         if args.json_gzip:
             raise SystemExit("--json-gzip requires --format json")
         from embulk_input_parquet_hadoop_spark.plans import fsutil
@@ -138,7 +142,12 @@ def main() -> int:
                 raise SystemExit(f"output {args.output} exists "
                                  "(use --overwrite)")
             fsutil.rmtree_any(args.output)
-        res = iceberg_meta.export_table(df, args.output)
+        if args.format == "iceberg":
+            res = iceberg_meta.export_table(df, args.output)
+        else:
+            from embulk_input_parquet_hadoop_spark.sources import (
+                delta_meta)
+            res = delta_meta.export_table(df, args.output)
         # export_table's readback gate already reconciled the snapshot
         # file list and manifest record counts against the written data
         rows = res["n_rows"]
