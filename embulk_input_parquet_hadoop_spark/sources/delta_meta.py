@@ -1293,23 +1293,36 @@ def _check_exportable(t) -> None:
         raise NotImplementedError(f"no Delta mapping for type {kind!r}")
 
 
-def export_table(df, table_dir: str) -> dict:
+def export_table(df, table_dir: str,
+                 partition_by: list[str] | None = None) -> dict:
     """Write a DataFrame as a one-commit Delta table any Delta reader
     can open: Spark writes the data parquet at the table root, then
     version 0 of ``_delta_log`` records protocol(1,2) + metaData
     (schemaString IS Spark's StructType JSON — the Delta wire format)
     + one ``add`` per file with size and ``numRecords`` stats.
 
+    ``partition_by``: hive-layout partitioned export, spec-complete —
+    Spark's ``partitionBy`` writes ``col=value/`` directories (and per
+    the Delta protocol drops the partition columns from the data
+    files), each ``add`` carries the ``partitionValues`` map decoded
+    from its directory path (hive-unescaped; ``__HIVE_DEFAULT_PARTITION__``
+    -> null), and ``metaData.partitionColumns`` lists the columns — so
+    a reader reconstructs them exactly, including ours
+    (``snapshot_scan`` + ``encode_path(const_columns=)``). At 100 TB
+    an unpartitioned export is an antipattern; this is the
+    partition-pruning handle.
+
     The log JSON publishes atomically-at-visibility through ``fsutil``
     (a reader never sees a table whose log references missing files:
     data lands first, the commit is the visibility point — the same
-    ordering Delta writers use). Caveats, stated: single commit,
-    unpartitioned, no column min/max stats. The export inverse of the
-    native Delta *reader* (`snapshot_scan`), not a transactional
-    writer. Returns {"table_dir", "files", "n_rows"} after a readback
-    gate through our own reader.
+    ordering Delta writers use). Caveats, stated: single commit, no
+    column min/max stats. The export inverse of the native Delta
+    *reader* (`snapshot_scan`), not a transactional writer. Returns
+    {"table_dir", "files", "n_rows"} after a readback gate through our
+    own reader.
     """
     import time as _time
+    import urllib.parse as _up
     import uuid as _uuid
 
     import pyarrow.parquet as pq
@@ -1320,11 +1333,25 @@ def export_table(df, table_dir: str) -> dict:
             "writer + os.path metadata); copy or mount remote targets")
     schema_json = json.loads(df.schema.json())
     _check_exportable(schema_json)
+    part_cols = list(partition_by or [])
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns {missing} not in "
+                         f"DataFrame columns {df.columns}")
     base = table_dir.rstrip("/")
-    df.write.parquet(base)
-    names = sorted(f for f in os.listdir(base)
-                   if f.endswith(".parquet") and not f.startswith((".",
-                                                                   "_")))
+    w = df.write
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(base)
+    names = []
+    for root, _dirs, fns in os.walk(base):
+        if "_delta_log" in root:
+            continue
+        for f in fns:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                names.append(os.path.relpath(os.path.join(root, f),
+                                             base))
+    names.sort()
     now_ms = int(_time.time() * 1000)
     actions = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -1332,7 +1359,7 @@ def export_table(df, table_dir: str) -> dict:
             "id": str(_uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": part_cols,
             "configuration": {},
             "createdTime": now_ms,
         }},
@@ -1342,9 +1369,22 @@ def export_table(df, table_dir: str) -> dict:
         p = os.path.join(base, n)
         cnt = pq.read_metadata(p).num_rows
         n_rows += cnt
+        pv: dict[str, str | None] = {}
+        if part_cols:
+            # decode the hive path segments Spark wrote (in order)
+            segs = dict(
+                seg.split("=", 1) for seg in n.split(os.sep)[:-1]
+                if "=" in seg)
+            for c in part_cols:
+                if c not in segs:
+                    raise RuntimeError(
+                        f"partitioned data file {n} lacks a {c}= path "
+                        f"segment")
+                v = _up.unquote(segs[c])
+                pv[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
         actions.append({"add": {
-            "path": n,
-            "partitionValues": {},
+            "path": n.replace(os.sep, "/"),
+            "partitionValues": pv,
             "size": os.path.getsize(p),
             "modificationTime": now_ms,
             "dataChange": True,

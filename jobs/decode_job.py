@@ -69,6 +69,10 @@ def main() -> int:
                         "readable by any engine speaking the format")
     p.add_argument("--json-gzip", action="store_true",
                    help="with --format json: gzip-compress part files")
+    p.add_argument("--partition-by", default=None, metavar="COLS",
+                   help="with --format delta: comma-separated partition "
+                        "columns — hive-layout export with "
+                        "partitionColumns/partitionValues in the log")
     p.add_argument("--overwrite", action="store_true",
                    help="replace an existing output directory")
     p.add_argument("--cores", type=int, default=None,
@@ -104,6 +108,8 @@ def main() -> int:
     df = pipeline.read_decoded(spark, args.input, columns, schema,
                                int_ranges=ranges)
     mode = "overwrite" if args.overwrite else "errorifexists"
+    if args.partition_by and args.format != "delta":
+        raise SystemExit("--partition-by requires --format delta")
     if args.format == "json":
         w = df.write.mode(mode)
         if args.json_gzip:
@@ -143,11 +149,16 @@ def main() -> int:
                                  "(use --overwrite)")
             fsutil.rmtree_any(args.output)
         if args.format == "iceberg":
+            if args.partition_by:
+                raise SystemExit("--partition-by requires --format delta")
             res = iceberg_meta.export_table(df, args.output)
         else:
             from embulk_input_parquet_hadoop_spark.sources import (
                 delta_meta)
-            res = delta_meta.export_table(df, args.output)
+            res = delta_meta.export_table(
+                df, args.output,
+                partition_by=(args.partition_by.split(",")
+                              if args.partition_by else None))
         # export_table's readback gate already reconciled the snapshot
         # file list and manifest record counts against the written data
         rows = res["n_rows"]

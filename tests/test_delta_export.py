@@ -75,3 +75,44 @@ def test_export_feeds_encode_path(spark, tmp_path):
                              input_files=scan["data_files"])
     assert t["n_rows"] == 300
     assert verify.verify_files(spark, enc)["ok"]
+
+
+def test_partitioned_export_roundtrip_with_injection(spark, tmp_path):
+    from embulk_input_parquet_hadoop_spark.plans import pipeline
+    df = (spark.range(0, 300)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 101 == 0, F.lit(None))
+                  .otherwise(F.concat(F.lit("s"),
+                                      (F.col("id") % 3).cast("string")))
+                  .alias("source"),
+                  (F.col("id") * 2).alias("n")))
+    out = str(tmp_path / "pdt")
+    res = dm.export_table(df, out, partition_by=["source"])
+    assert res["n_rows"] == 300
+
+    scan = dm.snapshot_scan(out)
+    assert scan["partition_columns"] == ["source"]
+    # every file carries a decoded partition value (None for the hive
+    # default-partition directory)
+    vals = {scan["partition_values"][f]["source"]
+            for f in scan["data_files"]}
+    assert vals == {"s0", "s1", "s2", None}
+    # metadata-level pruning works, including the null partition
+    pruned = dm.snapshot_scan(out, partition_filter={"source": "s1"})
+    assert 0 < len(pruned["data_files"]) < len(scan["data_files"])
+    nulls = dm.snapshot_scan(out, partition_filter={"source": None})
+    assert len(nulls["data_files"]) >= 1
+
+    # encode with injected partition constants -> decoded table equals
+    # the original, INCLUDING the dropped-from-data partition column
+    cc, cs = dm.partition_const_columns(scan)
+    enc = str(tmp_path / "enc")
+    pipeline.encode_path(spark, out, enc,
+                         input_files=scan["data_files"],
+                         const_columns=cc, const_schema=cs)
+    dec = pipeline.read_decoded(
+        spark, enc, ["doc_id", "source", "n"],
+        "doc_id bigint, source string, n bigint")
+    got = sorted((r.doc_id, r.source, r.n) for r in dec.collect())
+    want = sorted((r.doc_id, r.source, r.n) for r in df.collect())
+    assert got == want
