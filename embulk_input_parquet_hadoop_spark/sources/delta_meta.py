@@ -1345,7 +1345,11 @@ def export_table(df, table_dir: str,
     w.parquet(base)
     names = []
     for root, _dirs, fns in os.walk(base):
-        if "_delta_log" in root:
+        rel = os.path.relpath(root, base)
+        # skip the log DIRECTORY only — a substring test would silently
+        # export an empty table for any table_dir whose own path
+        # contains "_delta_log"
+        if rel.split(os.sep)[0] == "_delta_log":
             continue
         for f in fns:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
@@ -1383,7 +1387,7 @@ def export_table(df, table_dir: str,
                 v = _up.unquote(segs[c])
                 pv[c] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
         actions.append({"add": {
-            "path": n.replace(os.sep, "/"),
+            "path": quote(n.replace(os.sep, "/")),
             "partitionValues": pv,
             "size": os.path.getsize(p),
             "modificationTime": now_ms,

@@ -969,9 +969,10 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
     # schema_fields entries: either a name (type "string") or a
     # (name, type) pair — type may be a primitive string or a dict
     # (struct/list/map JSON, for the non-primitive-key refusal tests)
-    _sf = [(nm, "string") if isinstance(nm, str) else (nm[0], nm[1])
+    _sf = [(nm, "string", False) if isinstance(nm, str) else
+           (nm[0], nm[1], nm[2] if len(nm) > 2 else False)
            for nm in (schema_fields or [])]
-    field_ids = {nm: i + 1 for i, (nm, _t) in enumerate(_sf)}
+    field_ids = {nm: i + 1 for i, (nm, _t, _r) in enumerate(_sf)}
     for spec in equality_delete_tables or []:
         import pyarrow.parquet as pq
         tab = spec["table"]
@@ -1035,7 +1036,19 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
             "timestamp-ms": 1704067200000 + snapshot_id * 1000,
             "summary": {"operation": "append"},
         }],
-        "schemas": [], "partition-specs": [], "sort-orders": [],
+        # spec-required v2/v3 top-level fields (readers like
+        # pyiceberg reject metadata without them); partition-specs must
+        # carry at least the default empty spec 0
+        "last-sequence-number": max(
+            [m["sequence_number"] for m in manifests] + [0]),
+        "last-updated-ms": 1704067200000 + snapshot_id * 1000,
+        "last-column-id": 0,  # raised below when a schema is written
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "schemas": [],
         # named references: main tracks the current snapshot (as real
         # writers maintain); ``refs`` adds branches/tags by name
         "refs": {"main": {"snapshot-id": snapshot_id,
@@ -1044,12 +1057,58 @@ def write_table_fixture(table_dir: str, parquet_files: list[str],
                     for name, sid in (refs or {}).items()}},
     }
     if schema_fields:
+        def _ids_of(t):
+            """Every field id a type JSON carries (nested included)."""
+            out = []
+            if isinstance(t, dict):
+                k = t.get("type")
+                if k == "struct":
+                    for f in t["fields"]:
+                        out.append(f["id"])
+                        out.extend(_ids_of(f["type"]))
+                elif k == "list":
+                    out.append(t["element-id"])
+                    out.extend(_ids_of(t["element"]))
+                elif k == "map":
+                    out.extend([t["key-id"], t["value-id"]])
+                    out.extend(_ids_of(t["key"]))
+                    out.extend(_ids_of(t["value"]))
+            return out
+
+        def _name_map(nm, fid, t):
+            """schema.name-mapping.default entry: lets readers resolve
+            data parquet written WITHOUT field ids (e.g. our export's
+            Spark writer) by name, per the spec's name-mapping rules."""
+            e = {"field-id": fid, "names": [nm]}
+            if isinstance(t, dict):
+                k = t.get("type")
+                if k == "struct":
+                    e["fields"] = [
+                        _name_map(f["name"], f["id"], f["type"])
+                        for f in t["fields"]]
+                elif k == "list":
+                    e["fields"] = [_name_map("element", t["element-id"],
+                                             t["element"])]
+                elif k == "map":
+                    e["fields"] = [
+                        _name_map("key", t["key-id"], t["key"]),
+                        _name_map("value", t["value-id"], t["value"])]
+            return e
+
         meta["current-schema-id"] = 0
         meta["schemas"] = [{
             "schema-id": 0, "type": "struct", "fields": [
-                {"id": field_ids[nm], "name": nm, "required": False,
-                 "type": typ}
-                for nm, typ in _sf]}]
+                {"id": field_ids[nm], "name": nm,
+                 "required": bool(req), "type": typ}
+                for nm, typ, req in _sf]}]
+        all_ids = list(field_ids.values())
+        for _nm, typ, _r in _sf:
+            all_ids.extend(_ids_of(typ))
+        meta["last-column-id"] = max(all_ids)
+        meta["properties"] = {
+            "schema.name-mapping.default": json.dumps(
+                [_name_map(nm, field_ids[nm], typ)
+                 for nm, typ, _r in _sf])}
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
@@ -1116,7 +1175,10 @@ def export_table(df, table_dir: str, snapshot_id: int = 1) -> dict:
     Production caveats, stated rather than hidden: one snapshot, no
     partition spec, no column stats in the manifests (readers that
     min/max-prune get no pruning, correctness unaffected), local
-    filesystem only (the metadata writer is os.path-based). Appends =
+    filesystem only (the metadata writer is os.path-based). Spark's
+    parquet writer emits no field ids, so the metadata sets
+    ``schema.name-mapping.default`` — the spec's mechanism for
+    resolving id-less data files by name. Appends =
     re-export; this is the EXPORT inverse of the native Iceberg
     *reader* (`snapshot_data_files`), not a transactional writer.
 
@@ -1147,7 +1209,8 @@ def export_table(df, table_dir: str, snapshot_id: int = 1) -> dict:
         next_id[0] += 1
         return next_id[0]
 
-    schema_fields = [(f.name, _iceberg_type(f.dataType, alloc))
+    schema_fields = [(f.name, _iceberg_type(f.dataType, alloc),
+                      not f.nullable)
                      for f in df.schema.fields]
     write_table_fixture(table_dir, files, counts,
                         snapshot_id=snapshot_id,

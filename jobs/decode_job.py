@@ -143,14 +143,18 @@ def main() -> int:
             raise SystemExit("--json-gzip requires --format json")
         from embulk_input_parquet_hadoop_spark.plans import fsutil
         from embulk_input_parquet_hadoop_spark.sources import iceberg_meta
+        if not fsutil.is_local(args.output):
+            # refuse BEFORE any destructive --overwrite cleanup: the
+            # exporters are local-only, so a remote target must never
+            # reach the rmtree below with nothing written after it
+            raise SystemExit(f"--format {args.format} writes local "
+                             "trees only; copy or mount remote targets")
         if fsutil.exists(args.output):
             if not args.overwrite:
                 raise SystemExit(f"output {args.output} exists "
                                  "(use --overwrite)")
             fsutil.rmtree_any(args.output)
         if args.format == "iceberg":
-            if args.partition_by:
-                raise SystemExit("--partition-by requires --format delta")
             res = iceberg_meta.export_table(df, args.output)
         else:
             from embulk_input_parquet_hadoop_spark.sources import (

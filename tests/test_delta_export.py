@@ -116,3 +116,32 @@ def test_partitioned_export_roundtrip_with_injection(spark, tmp_path):
     got = sorted((r.doc_id, r.source, r.n) for r in dec.collect())
     want = sorted((r.doc_id, r.source, r.n) for r in df.collect())
     assert got == want
+
+
+def test_partition_values_with_hive_escaped_chars_roundtrip(
+        spark, tmp_path):
+    # ':' is hive-escaped in directory names; add.path must be
+    # percent-encoded per the spec so _resolve_path's unquote restores
+    # the on-disk spelling (this regressed the readback gate once)
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain")],
+        "doc_id bigint, source string")
+    out = str(tmp_path / "esc")
+    res = dm.export_table(df, out, partition_by=["source"])
+    assert res["n_rows"] == 3
+    scan = dm.snapshot_scan(out)
+    vals = {scan["partition_values"][f]["source"]
+            for f in scan["data_files"]}
+    assert vals == {"a:b", "plain"}
+    back = spark.read.parquet(*scan["data_files"])
+    assert back.count() == 3
+
+
+def test_export_into_dir_whose_path_mentions_delta_log(spark, tmp_path):
+    # a substring test on the walk once exported an EMPTY table for
+    # such paths; only the table's own _delta_log dir must be skipped
+    base = tmp_path / "backup_delta_log" / "tbl"
+    df = spark.createDataFrame([(1,), (2,)], "a long")
+    res = dm.export_table(df, str(base))
+    assert res["n_rows"] == 2
+    assert len(dm.snapshot_scan(str(base))["data_files"]) >= 1

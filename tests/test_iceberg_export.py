@@ -99,3 +99,45 @@ def test_export_feeds_encode_path(spark, tmp_path):
     assert t["n_rows"] == 400
     from embulk_input_parquet_hadoop_spark.plans import verify
     assert verify.verify_files(spark, enc)["ok"]
+
+
+def test_export_metadata_is_spec_complete(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1, 2], "x")],
+        "a long, arr array<int>, s string") \
+        .select(F.col("a"), F.col("arr"),
+                F.col("s").cast("string").alias("s"))
+    out = str(tmp_path / "tbl3")
+    iceberg_meta.export_table(df, out)
+    meta = json.loads((tmp_path / "tbl3" / "metadata" /
+                       "v1.metadata.json").read_text())
+    # spec-required v2 top-level fields readers reject without
+    for k in ("last-sequence-number", "last-updated-ms",
+              "last-column-id", "default-spec-id", "last-partition-id",
+              "default-sort-order-id"):
+        assert k in meta, k
+    assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    assert meta["sort-orders"] == [{"order-id": 0, "fields": []}]
+    # last-column-id covers the nested element id too
+    assert meta["last-column-id"] == 4
+    # name mapping lets readers resolve the id-less data parquet
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert [e["names"] for e in nm] == [["a"], ["arr"], ["s"]]
+    arr_entry = nm[1]
+    assert arr_entry["fields"][0]["names"] == ["element"]
+    assert arr_entry["fields"][0]["field-id"] == 4
+
+
+def test_export_preserves_top_level_nullability(spark, tmp_path):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    schema = StructType([StructField("a", LongType(), False),
+                         StructField("b", StringType(), True)])
+    df = spark.createDataFrame([(1, "x")], schema)
+    out = str(tmp_path / "tbl4")
+    iceberg_meta.export_table(df, out)
+    meta = json.loads((tmp_path / "tbl4" / "metadata" /
+                       "v1.metadata.json").read_text())
+    req = {f["name"]: f["required"]
+           for f in meta["schemas"][0]["fields"]}
+    assert req == {"a": True, "b": False}
