@@ -141,3 +141,16 @@ def test_export_preserves_top_level_nullability(spark, tmp_path):
     req = {f["name"]: f["required"]
            for f in meta["schemas"][0]["fields"]}
     assert req == {"a": True, "b": False}
+
+
+def test_export_parses_through_full_snapshot_scan(spark, tmp_path):
+    # encode_job --iceberg plans via snapshot_scan (the delete-aware
+    # path) — the exported manifests must parse through it, not only
+    # through snapshot_data_files
+    df = spark.range(0, 50).select(F.col("id").alias("a"))
+    out = str(tmp_path / "tbl5")
+    res = iceberg_meta.export_table(df, out)
+    scan = iceberg_meta.snapshot_scan(out)
+    assert sorted(scan["data_files"]) == sorted(res["files"])
+    assert not scan["position_deletes"]
+    assert not scan.get("eq_deletes")
