@@ -500,15 +500,18 @@ def keep_canonical(docs: DataFrame, components: DataFrame,
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                    k: int = 5) -> DataFrame:
+                    k: int = 5, min_count: int = 2) -> DataFrame:
     """Exact duplicate-substring spans at k-word-gram granularity
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better" — the ExactSubstr variant, on the repo's WORDS
     tokenization instead of a suffix array).
 
-    Every k-word window whose exact text occurs elsewhere in the corpus
-    — EXCEPT the globally first occurrence, ordered by (id, position) —
-    is a duplicate span ``[pos, pos+k-1]`` (1-based word positions).
+    Every k-word window whose exact text occurs at least ``min_count``
+    times in the corpus — EXCEPT the globally first occurrence, ordered
+    by (id, position) — is a duplicate span ``[pos, pos+k-1]`` (1-based
+    word positions). ``min_count`` (default 2 = any repetition) is the
+    frequency floor: raise it to excise only heavily-boilerplate
+    passages while tolerating a handful of legitimate repeats.
     Overlapping and ADJACENT spans within a document merge (adjacent
     word ranges are contiguous text), so a long repeated passage comes
     back as ONE span, not len-k+1 of them. Returns
@@ -535,7 +538,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
               .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                   F.col("pos").alias("p"))).alias("_f"),
                    F.count(F.lit(1)).alias("_cnt"))
-              .filter(F.col("_cnt") > 1))
+              .filter(F.col("_cnt") >= max(int(min_count), 2)))
     dups = (occ.join(firsts, "h")
             .filter(~((F.col(id_col) == F.col("_f.i"))
                       & (F.col("pos") == F.col("_f.p"))))

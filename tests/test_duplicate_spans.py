@@ -190,3 +190,19 @@ def test_gram_extraction_materializes_word_array(spark):
         opt = q._jdf.queryExecution().optimizedPlan().toString()
         assert "AS _ws" in opt, opt
         assert "element_at(filter(" not in opt.replace(" ", ""), opt
+
+
+def test_min_count_frequency_floor(spark):
+    # "a b c" occurs 3x, "q r s" occurs 2x: at min_count=3 only the
+    # former's non-first occurrences are spans
+    rows = [(1, "a b c q r s"), (2, "a b c q r s"), (3, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert sorted((r.doc_id, r.span_start, r.span_end) for r in
+                  dedup.duplicate_spans(df, "doc_id", "text", k=3,
+                                        min_count=3).collect()) \
+        == [(2, 1, 3), (3, 1, 3)]
+    # default min_count=2 keeps the old semantics
+    assert sorted((r.doc_id, r.span_start, r.span_end) for r in
+                  dedup.duplicate_spans(df, "doc_id", "text",
+                                        k=3).collect()) \
+        == [(2, 1, 6), (3, 1, 3)]
